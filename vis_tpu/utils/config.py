@@ -1,0 +1,286 @@
+"""Typed environment-backed configuration for the TPU-native inspection framework.
+
+Mirrors the configuration surface of the reference system (reference:
+utils/config.py:17-356) — same env-var names, defaults, validators, and helper
+properties — and extends it with TPU-specific fields (mesh shape, model dtype,
+KV-cache budget, serving knobs).  The reference used pydantic-settings; that
+package is not available here, so env loading (including `.env` files) is
+implemented directly on top of pydantic v2.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from pydantic import BaseModel, Field, ValidationError, field_validator
+
+_VALID_LOG_LEVELS = {"DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL"}
+_VALID_CRITICALITIES = {"low", "medium", "high"}
+_VALID_ENVIRONMENTS = {"development", "staging", "production"}
+
+
+def _parse_env_file(path: Path) -> Dict[str, str]:
+    """Parse a `.env`-style file into a dict.  Lines are KEY=VALUE; `#` comments
+    and blank lines are ignored; surrounding single/double quotes are stripped."""
+    values: Dict[str, str] = {}
+    if not path.exists():
+        return values
+    for raw_line in path.read_text().splitlines():
+        line = raw_line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key = key.strip()
+        value = value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+            value = value[1:-1]
+        if key:
+            values[key] = value
+    return values
+
+
+def _coerce_bool(value: str) -> bool:
+    return value.strip().lower() in {"1", "true", "yes", "on"}
+
+
+class Config(BaseModel):
+    """Application configuration, populated from env vars / `.env`.
+
+    Field names are lowercase; each maps to the UPPER_CASE env var of the same
+    name (the reference's alias scheme, reference utils/config.py:23-192).
+    """
+
+    # --- Model selection (on-pod JAX engines replace remote providers) -----
+    vlm_inspector_model: str = "Qwen/Qwen2-VL-7B-Instruct"
+    vlm_inspector_temperature: float = 0.1
+    vlm_inspector_max_tokens: int = 2048
+    vlm_inspector_provider: str = "tpu"  # "tpu" | "mock"
+
+    vlm_auditor_model: str = "meta-llama/Llama-3.2-11B-Vision-Instruct"
+    vlm_auditor_temperature: float = 0.1
+    vlm_auditor_max_tokens: int = 2048
+    vlm_auditor_provider: str = "tpu"
+
+    explainer_model: str = "meta-llama/Llama-3.1-8B-Instruct"
+    explainer_temperature: float = 0.3
+    explainer_max_tokens: int = 2048
+    explainer_provider: str = "tpu"
+
+    # --- Safety thresholds (reference utils/config.py:94-118) --------------
+    confidence_threshold: float = 0.85
+    max_defects_auto: int = 2
+    vlm_agreement_required: bool = True
+    high_criticality_requires_review: bool = True
+    low_confidence_threshold: float = 0.5
+    critical_defect_types: str = "crack,corrosion,missing_part,deformation"
+
+    # --- Persistence --------------------------------------------------------
+    database_path: str = "inspections.db"
+    database_echo: bool = False
+    chat_history_db: str = "chat_history.db"
+
+    # --- Files / uploads ----------------------------------------------------
+    upload_dir: str = "uploads"
+    report_dir: str = "reports"
+    log_dir: str = "logs"
+    max_file_size_mb: int = 10
+    allowed_extensions: str = "jpg,jpeg,png,webp"
+
+    # --- Logging ------------------------------------------------------------
+    log_level: str = "INFO"
+    log_format: str = "detailed"
+    log_to_console: bool = True
+    log_to_file: bool = True
+
+    # --- Engine / serving ---------------------------------------------------
+    api_timeout: int = 60
+    api_max_retries: int = 3
+    api_retry_backoff: int = 2
+    enable_streaming: bool = True
+    max_concurrent_calls: int = 3
+    max_image_dimension: int = 2048
+    auditor_max_image_dimension: int = 1024
+
+    # --- Chat ---------------------------------------------------------------
+    enable_chat_memory: bool = True
+    max_chat_history: int = 50
+
+    # --- App ----------------------------------------------------------------
+    app_title: str = "Vision Inspection System (TPU)"
+    default_criticality: str = "medium"
+    show_debug_info: bool = False
+    enable_analytics: bool = True
+
+    # --- Runtime flags ------------------------------------------------------
+    environment: str = "development"
+    skip_health_checks: bool = False
+    use_mock_responses: bool = False
+    verbose_errors: bool = True
+
+    # --- TPU-specific (new in this framework) ------------------------------
+    mesh_shape: str = "1x1"          # "data x model", e.g. "2x4" on a v5e-8
+    model_dtype: str = "bfloat16"
+    checkpoint_dir: str = "checkpoints"
+    kv_cache_max_tokens: int = 8192   # per-request KV budget
+    kv_page_size: int = 128           # paged-KV block size (tokens)
+    prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
+    decode_batch_size: int = 8        # continuous-batching decode width
+    profile_dir: str = ""             # non-empty => dump JAX profiler traces
+
+    # ------------------------------------------------------------------
+    # Validators (same rules as reference utils/config.py:198-258)
+    # ------------------------------------------------------------------
+    @field_validator("confidence_threshold", "low_confidence_threshold")
+    @classmethod
+    def _check_unit_interval(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"threshold must be within [0, 1], got {v}")
+        return v
+
+    @field_validator("log_level")
+    @classmethod
+    def _check_log_level(cls, v: str) -> str:
+        upper = v.upper()
+        if upper not in _VALID_LOG_LEVELS:
+            raise ValueError(f"invalid log level {v!r}; expected one of {sorted(_VALID_LOG_LEVELS)}")
+        return upper
+
+    @field_validator("default_criticality")
+    @classmethod
+    def _check_criticality(cls, v: str) -> str:
+        lower = v.lower()
+        if lower not in _VALID_CRITICALITIES:
+            raise ValueError(f"invalid criticality {v!r}; expected one of {sorted(_VALID_CRITICALITIES)}")
+        return lower
+
+    @field_validator("environment")
+    @classmethod
+    def _check_environment(cls, v: str) -> str:
+        lower = v.lower()
+        if lower not in _VALID_ENVIRONMENTS:
+            raise ValueError(f"invalid environment {v!r}; expected one of {sorted(_VALID_ENVIRONMENTS)}")
+        return lower
+
+    @field_validator("mesh_shape")
+    @classmethod
+    def _check_mesh_shape(cls, v: str) -> str:
+        parts = v.lower().split("x")
+        if not parts or not all(p.isdigit() and int(p) >= 1 for p in parts):
+            raise ValueError(f"mesh_shape must look like '2x4', got {v!r}")
+        return v.lower()
+
+    # ------------------------------------------------------------------
+    # Helper properties
+    # ------------------------------------------------------------------
+    @property
+    def critical_defect_types_list(self) -> List[str]:
+        return [t.strip().lower() for t in self.critical_defect_types.split(",") if t.strip()]
+
+    @property
+    def allowed_extensions_list(self) -> List[str]:
+        return [e.strip().lower().lstrip(".") for e in self.allowed_extensions.split(",") if e.strip()]
+
+    @property
+    def is_production(self) -> bool:
+        return self.environment == "production"
+
+    @property
+    def is_development(self) -> bool:
+        return self.environment == "development"
+
+    @property
+    def mesh_shape_tuple(self) -> tuple:
+        return tuple(int(p) for p in self.mesh_shape.split("x"))
+
+    @property
+    def prefill_bucket_list(self) -> List[int]:
+        return sorted(int(b) for b in self.prefill_buckets.split(",") if b.strip())
+
+    def get_upload_dir(self) -> Path:
+        p = Path(self.upload_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def get_report_dir(self) -> Path:
+        p = Path(self.report_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def get_log_dir(self) -> Path:
+        p = Path(self.log_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def get_checkpoint_dir(self) -> Path:
+        p = Path(self.checkpoint_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+
+def _load_from_env(env_file: Optional[Path] = None, **overrides: Any) -> Config:
+    """Build a Config from (lowest→highest precedence) defaults, `.env`,
+    process env, explicit overrides."""
+    source: Dict[str, str] = {}
+    env_path = env_file or Path(".env")
+    source.update(_parse_env_file(env_path))
+    for field_name in Config.model_fields:
+        env_key = field_name.upper()
+        if env_key in os.environ:
+            source[env_key] = os.environ[env_key]
+
+    kwargs: Dict[str, Any] = {}
+    for field_name, field_info in Config.model_fields.items():
+        env_key = field_name.upper()
+        if env_key not in source:
+            continue
+        raw = source[env_key]
+        annotation = field_info.annotation
+        if annotation is bool:
+            kwargs[field_name] = _coerce_bool(raw)
+        else:
+            kwargs[field_name] = raw
+    kwargs.update(overrides)
+    return Config(**kwargs)
+
+
+_config: Optional[Config] = None
+
+
+def get_config(reload: bool = False, **overrides: Any) -> Config:
+    """Return the process-wide Config singleton (reference utils/config.py:313).
+
+    Fails fast with a readable error listing every invalid field, then exits —
+    matching the reference's SystemExit-on-invalid behavior (utils/config.py:330-346).
+    """
+    global _config
+    if _config is None or reload or overrides:
+        try:
+            _config = _load_from_env(**overrides)
+        except ValidationError as exc:
+            print("=" * 72, file=sys.stderr)
+            print("CONFIGURATION ERROR — fix the following and restart:", file=sys.stderr)
+            for err in exc.errors():
+                loc = ".".join(str(p) for p in err["loc"])
+                print(f"  - {loc}: {err['msg']}", file=sys.stderr)
+            print("=" * 72, file=sys.stderr)
+            raise SystemExit(1) from exc
+    return _config
+
+
+class _ConfigProxy:
+    """Lazy attribute proxy so `from vis_tpu.utils.config import config` gives a
+    live view of the singleton without forcing load at import time."""
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(get_config(), name)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return repr(get_config())
+
+
+config = _ConfigProxy()
+
+__all__ = ["Config", "get_config", "config"]
