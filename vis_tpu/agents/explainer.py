@@ -1,0 +1,212 @@
+"""Explainer agent: report narration, decision support, and chat
+(reference: src/agents/explainer.py:15-355, with the Groq text-LLM transport
+replaced by an in-process TPU engine backend with streaming decode).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Iterator, List, Optional
+
+from vis_tpu.agents.base import BaseVLMAgent, InferenceBackend
+from vis_tpu.schemas.models import VLMAnalysisResult
+from vis_tpu.utils.config import config
+from vis_tpu.utils.prompts import get_prompt
+
+
+def _json_default(obj: Any) -> str:
+    if hasattr(obj, "isoformat"):
+        return obj.isoformat()
+    return str(obj)
+
+
+_DECISION_SUPPORT_PROMPT = """You are a repair cost estimator. Based on the following defects, estimate
+repair vs replace costs in US DOLLARS.
+
+DEFECTS:
+{defects}
+
+VERDICT: {verdict}
+
+Output ONLY a valid JSON object with exactly these keys:
+- repair_cost_min: number (USD)
+- repair_cost_max: number (USD)
+- replace_cost_estimate: number (USD)
+- repair_time_estimate: string (e.g. "2-4 hours")
+- replace_lead_time: string (e.g. "3-5 days")
+- recommendation: "REPAIR" or "REPLACE"
+- reasoning: string (one brief sentence)
+
+Use realistic market rates for standard industrial components."""
+
+
+class ExplainerAgent(BaseVLMAgent):
+    component = "EXPLAINER"
+
+    def __init__(self, backend: InferenceBackend):
+        super().__init__(
+            backend,
+            model_name=config.explainer_model,
+            temperature=config.explainer_temperature,
+            max_tokens=config.explainer_max_tokens,
+        )
+
+    def _call_llm(self, prompt: str) -> str:
+        return self.backend.generate(
+            prompt, None, max_tokens=self.max_tokens, temperature=self.temperature
+        )
+
+    def _format_reasoning_chain(
+        self,
+        inspector_result: VLMAnalysisResult,
+        auditor_result: VLMAnalysisResult,
+    ) -> str:
+        """Numbered dual-chain summary for prompts/reports
+        (reference explainer.py:133-165)."""
+        lines = ["INSPECTOR ANALYSIS:"]
+        lines.append(f"1. Object identified: {inspector_result.object_identified}")
+        lines.append(f"2. Overall condition: {inspector_result.overall_condition}")
+        lines.append(f"3. Defects found: {len(inspector_result.defects)}")
+        for i, d in enumerate(inspector_result.defects[:3], 1):
+            lines.append(f"   {i}. {d.type} at {d.location} -> {d.safety_impact}")
+        lines.append(f"4. Confidence: {inspector_result.overall_confidence}")
+        lines.append("")
+        lines.append("AUDITOR VERIFICATION:")
+        lines.append(f"1. Object confirmed: {auditor_result.object_identified}")
+        lines.append(f"2. Condition assessment: {auditor_result.overall_condition}")
+        lines.append(f"3. Defects verified: {len(auditor_result.defects)}")
+        for i, d in enumerate(auditor_result.defects[:3], 1):
+            lines.append(f"   {i}. {d.type} -> {d.safety_impact}")
+        lines.append(f"4. Confidence: {auditor_result.overall_confidence}")
+        return "\n".join(lines)
+
+    def generate_explanation(
+        self,
+        inspector_result: VLMAnalysisResult,
+        auditor_result: VLMAnalysisResult,
+        consensus: Dict[str, Any],
+        safety_verdict: Dict[str, Any],
+    ) -> str:
+        """Narrate the structured findings into the sectioned report text."""
+        findings = {
+            "inspector": {
+                "object": inspector_result.object_identified,
+                "condition": inspector_result.overall_condition,
+                "defects": [
+                    {
+                        "type": d.type,
+                        "location": d.location,
+                        "safety_impact": d.safety_impact,
+                        "reasoning": d.reasoning,
+                    }
+                    for d in inspector_result.defects
+                ],
+                "confidence": inspector_result.overall_confidence,
+            },
+            "auditor": {
+                "object": auditor_result.object_identified,
+                "condition": auditor_result.overall_condition,
+                "defects": [
+                    {
+                        "type": d.type,
+                        "location": d.location,
+                        "safety_impact": d.safety_impact,
+                    }
+                    for d in auditor_result.defects
+                ],
+                "confidence": auditor_result.overall_confidence,
+            },
+            "consensus": consensus,
+            "verdict": safety_verdict,
+        }
+        findings_str = json.dumps(findings, indent=2, default=_json_default)
+        prompt = get_prompt("explainer").format(findings=findings_str)
+        try:
+            explanation = self._call_llm(prompt)
+            return explanation.strip()
+        except Exception as exc:
+            self.logger.error(f"Explanation generation failed: {exc}")
+            return (
+                f"Inspection complete. The system detected "
+                f"{len(inspector_result.defects)} defects. Final verdict: "
+                f"{safety_verdict.get('verdict', 'UNKNOWN')}. Please review the "
+                "detailed findings in the report."
+            )
+
+    def generate_decision_support(
+        self, defects: List[Any], verdict: str
+    ) -> Dict[str, Any]:
+        """Repair-vs-replace cost/time estimate (reference explainer.py:264-338)."""
+        if not defects:
+            return {
+                "repair_cost": "$0",
+                "replace_cost": "N/A",
+                "repair_time": "N/A",
+                "replace_time": "N/A",
+                "recommendation": "No Action Required",
+                "reasoning": "No defects detected.",
+            }
+
+        def _get(d: Any, key: str, default: str) -> str:
+            if isinstance(d, dict):
+                return d.get(key, default)
+            return getattr(d, key, default)
+
+        defect_summary = json.dumps(
+            [
+                {
+                    "type": _get(d, "type", "unknown"),
+                    "severity": _get(d, "safety_impact", "MODERATE"),
+                    "location": _get(d, "location", "unspecified"),
+                }
+                for d in defects
+            ],
+            indent=2,
+        )
+        prompt = _DECISION_SUPPORT_PROMPT.format(defects=defect_summary, verdict=verdict)
+        try:
+            response = self._call_llm(prompt).strip()
+            if "```json" in response:
+                response = response.split("```json")[1].split("```")[0].strip()
+            elif "```" in response:
+                response = response.split("```")[1].split("```")[0].strip()
+            data = json.loads(response)
+            return {
+                "repair_cost": f"${data.get('repair_cost_min', 0):,} - ${data.get('repair_cost_max', 0):,}",
+                "replace_cost": f"${data.get('replace_cost_estimate', 0):,}",
+                "repair_time": data.get("repair_time_estimate", "Unknown"),
+                "replace_time": data.get("replace_lead_time", "Unknown"),
+                "recommendation": data.get("recommendation", "Review"),
+                "reasoning": data.get("reasoning", ""),
+            }
+        except Exception as exc:
+            self.logger.error(f"Decision support generation failed: {exc}")
+            return {
+                "repair_cost": "N/A",
+                "replace_cost": "N/A",
+                "repair_time": "N/A",
+                "replace_time": "N/A",
+                "recommendation": "Manual Review Required",
+                "reasoning": "Could not generate estimates.",
+            }
+
+    def chat(self, system_context: str, question: str) -> str:
+        """Single-turn contextual answer for the chat widget."""
+        prompt = f"{get_prompt('chat_system')}\n\n{system_context}\n\nUser: {question}\nAssistant:"
+        return self._call_llm(prompt).strip()
+
+    def chat_stream(self, system_context: str, question: str) -> Iterator[str]:
+        """Token-streaming variant of chat()."""
+        prompt = f"{get_prompt('chat_system')}\n\n{system_context}\n\nUser: {question}\nAssistant:"
+        yield from self.backend.generate_stream(
+            prompt, None, max_tokens=self.max_tokens, temperature=self.temperature
+        )
+
+    def rewrite_query(self, question: str, history: List[Any]) -> str:
+        """History-aware standalone-question rewriting via this agent's LLM."""
+        from vis_tpu.chat_memory import rewrite_query_with_history
+
+        return rewrite_query_with_history(question, history, llm=self._call_llm)
+
+
+__all__ = ["ExplainerAgent"]
