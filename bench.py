@@ -1,0 +1,191 @@
+"""End-to-end inspection benchmark on real TPU hardware.
+
+Measures the north-star metric (BASELINE.md): p50 wall-clock latency of a
+single-image dual-VLM consensus verdict — preprocess -> shared vision-encoder
+prefill -> batched inspector+auditor decode -> consensus + safety gates —
+against the reference system's 3-5 s/image remote-API pipeline
+(reference README.md:294; baseline p50 taken as 4.0 s).
+
+Configuration: Qwen2-VL-2B-shaped models (bf16, random weights — latency is
+weight-value independent), both roles batched on one chip with a shared
+vision prefill, 448 greedy decode tokens (the reference's ~400-500-token JSON
+budget, reference utils/prompts.py target), fused single-dispatch decode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_P50_S = 4.0
+DECODE_TOKENS = 448
+RUNS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vis_tpu.models.common.decoder import (
+        decode_loop,
+        prefill,
+    )
+    from vis_tpu.models.common.layers import KVCache
+    from vis_tpu.models.qwen2_vl.config import Qwen2VLConfig
+    from vis_tpu.models.qwen2_vl.model import (
+        embed_multimodal,
+        encode_image,
+        init_params,
+    )
+    from vis_tpu.models.qwen2_vl.vision import vision_rotary_tables
+    from vis_tpu.ops.preprocess import build_mrope_positions, preprocess_image
+    from vis_tpu.safety import analyze_consensus, evaluate_safety
+    from vis_tpu.schemas.models import InspectionContext, VLMAnalysisResult
+    from vis_tpu.utils.prompts import get_prompt
+
+    device = jax.devices()[0]
+    print(f"# device: {device} ({device.platform})", file=sys.stderr)
+
+    config = Qwen2VLConfig.qwen2_vl_2b()
+    params = init_params(config, jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"# model: qwen2-vl-2b shape, {n_params/1e9:.2f}B params bf16",
+          file=sys.stderr)
+
+    # ---- image -> patches (host hot path) ------------------------------
+    image_path = REPO / "assets" / "sample.jpg"
+    if not image_path.exists():
+        image_path = Path("/root/reference/Mouri.jpg")
+    t0 = time.perf_counter()
+    image = preprocess_image(image_path, max_image_dim=1024)
+    prep_s = time.perf_counter() - t0
+    print(f"# preprocess: {prep_s*1000:.1f} ms, grid {image.grid_h}x{image.grid_w} "
+          f"({image.num_patches} patches)", file=sys.stderr)
+
+    padded_patches, patch_bucket = image.padded()
+    cos, sin = vision_rotary_tables(config.vision, image.grid_h, image.grid_w)
+    cos_p = np.zeros((patch_bucket, cos.shape[1]), np.float32)
+    sin_p = np.zeros((patch_bucket, sin.shape[1]), np.float32)
+    cos_p[: cos.shape[0]], sin_p[: sin.shape[0]] = cos, sin
+
+    # ---- prompts: inspector + auditor, equal token counts --------------
+    insp_prompt = get_prompt("inspector").format(
+        criticality="high", domain="general", user_notes="bench"
+    )
+    audit_prompt = get_prompt("auditor").format(
+        criticality="high", domain="general"
+    )
+    insp_ids = [ord(c) % 255 for c in insp_prompt]
+    audit_ids = [ord(c) % 255 for c in audit_prompt]
+    text_len = max(len(insp_ids), len(audit_ids))
+    insp_ids += [32] * (text_len - len(insp_ids))
+    audit_ids += [32] * (text_len - len(audit_ids))
+
+    n_vision = image.num_tokens
+    vs, ve, im = (
+        config.vision_start_token_id % config.text.vocab_size,
+        config.vision_end_token_id % config.text.vocab_size,
+        config.image_token_id % config.text.vocab_size,
+    )
+    rows = []
+    for text_ids in (insp_ids, audit_ids):
+        rows.append([vs] + [im] * n_vision + [ve] + text_ids)
+    seq_len = len(rows[0])
+    bucket = ((seq_len + 511) // 512) * 512
+    ids = np.zeros((2, bucket), np.int32)
+    for r, row in enumerate(rows):
+        ids[r, : len(row)] = row
+    positions3, next_pos = build_mrope_positions(
+        1, image.grid_h, image.grid_w, text_len + 1
+    )
+    positions = np.zeros((3, 2, bucket), np.int32)
+    positions[:, :, :seq_len] = positions3[:, None, :]
+    positions[:, :, seq_len:] = positions3.max()
+
+    tc = config.text
+    max_cache = bucket + DECODE_TOKENS + 64
+
+    @jax.jit
+    def inspect_step(params, patches, cos, sin, num_patches, ids, positions,
+                     prompt_lengths):
+        """Full dual-VLM device computation: shared vision encode, batched
+        multimodal prefill, fused 448-token greedy decode."""
+        vision = encode_image(config, params, patches, cos, sin, num_patches)
+        embeds = embed_multimodal(config, params, ids, vision[:n_vision])
+        cache = KVCache.create(
+            tc.num_layers, 2, max_cache, tc.num_kv_heads, tc.head_dim_,
+        )
+        logits, cache = prefill(tc, params["text"], embeds, positions, cache,
+                                prompt_lengths)
+        tokens, _, _ = decode_loop(
+            tc, params["text"], logits, jnp.int32(next_pos), cache,
+            DECODE_TOKENS,
+        )
+        return tokens
+
+    args = (
+        params,
+        jnp.asarray(padded_patches.astype(np.float32)),
+        jnp.asarray(cos_p), jnp.asarray(sin_p),
+        jnp.asarray(image.num_patches),
+        jnp.asarray(ids), jnp.asarray(positions),
+        jnp.asarray([seq_len, seq_len]),
+    )
+
+    t0 = time.perf_counter()
+    tokens = inspect_step(*args)
+    tokens.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    print(f"# first call (compile+run): {compile_s:.1f} s", file=sys.stderr)
+
+    # ---- timed runs: preprocess + device + verdict ---------------------
+    context = InspectionContext(image_id="bench", criticality="high",
+                                domain="general")
+    canned = dict(
+        object_identified="component", overall_condition="good", defects=[],
+        overall_confidence="high", analysis_reasoning="bench run",
+    )
+    latencies = []
+    for run in range(RUNS):
+        t0 = time.perf_counter()
+        img = preprocess_image(image_path, max_image_dim=1024)
+        padded, _ = img.padded(patch_bucket)
+        tokens = inspect_step(
+            params,
+            jnp.asarray(padded.astype(np.float32)),
+            jnp.asarray(cos_p), jnp.asarray(sin_p),
+            jnp.asarray(img.num_patches),
+            jnp.asarray(ids), jnp.asarray(positions),
+            jnp.asarray([seq_len, seq_len]),
+        )
+        np.asarray(tokens)  # device -> host sync (the decoded JSON text)
+        # Deterministic layer on the (canned) parsed results: consensus+gates.
+        r1 = VLMAnalysisResult(**canned)
+        r2 = VLMAnalysisResult(**canned)
+        verdict = evaluate_safety(analyze_consensus(r1, r2), context)
+        assert verdict.verdict in ("SAFE", "UNSAFE", "REQUIRES_HUMAN_REVIEW")
+        latencies.append(time.perf_counter() - t0)
+        print(f"# run {run}: {latencies[-1]:.3f} s", file=sys.stderr)
+
+    p50 = float(np.median(latencies))
+    tokens_per_s = 2 * DECODE_TOKENS / p50
+    print(f"# p50 {p50:.3f} s | dual-stream decode {tokens_per_s:.0f} tok/s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "single_image_dual_vlm_inspection_p50_latency",
+        "value": round(p50, 4),
+        "unit": "seconds",
+        "vs_baseline": round(BASELINE_P50_S / p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon TPU plugin takes priority over the JAX_PLATFORMS env var; the
+# config update is the only reliable way to force CPU in-process.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+
 import numpy as np
 import pytest
 from PIL import Image

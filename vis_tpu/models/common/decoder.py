@@ -1,0 +1,309 @@
+"""Generic GQA transformer decoder with KV cache — the text backbone for
+every model family in the framework.
+
+One implementation covers Qwen2 / Qwen2-VL (attention bias, M-RoPE) and
+Llama 3.x (no bias, standard RoPE) via DecoderConfig switches; numerics match
+the HF torch reference implementations (verified by golden tests in
+tests/test_models_qwen2vl.py).  Functional design: params are nested dicts of
+jnp arrays, forward passes are pure and jit/pjit-friendly with static shapes.
+
+Reference mapping (for parity review): the reference system called these
+models remotely (reference: src/agents/vlm_inspector.py:32 HF API,
+vlm_auditor.py:56 Groq); this module is their on-pod replacement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from jax import lax
+import jax.numpy as jnp
+
+from vis_tpu.models.common.layers import (
+    KVCache,
+    apply_rope,
+    attention_scores,
+    causal_mask,
+    embed,
+    length_mask,
+    linear,
+    mrope_cos_sin,
+    repeat_kv,
+    rms_norm,
+    rope_cos_sin,
+    swiglu_mlp,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 16
+    num_heads: int = 16
+    num_kv_heads: int = 2
+    intermediate_size: int = 5504
+    head_dim: Optional[int] = None
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    qkv_bias: bool = True              # Qwen2 style; False for Llama
+    mrope_section: Optional[Tuple[int, int, int]] = None  # Qwen2-VL M-RoPE
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None  # llama3 scheme
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def rope_scaling_dict(self) -> Optional[Dict[str, Any]]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+
+def init_decoder_params(
+    config: DecoderConfig, key: jax.Array, scale: float = 0.02
+) -> Params:
+    """Random-normal initialization (tests / benchmarks use this; production
+    loads converted checkpoints)."""
+    hd = config.head_dim_
+    keys = iter(jax.random.split(key, config.num_layers * 8 + 4))
+
+    def norm(shape):
+        return (scale * jax.random.normal(next(keys), shape)).astype(config.dtype)
+
+    params: Params = {
+        "embed_tokens": norm((config.vocab_size, config.hidden_size)),
+        "final_norm": jnp.ones((config.hidden_size,), config.dtype),
+        "layers": [],
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = norm((config.vocab_size, config.hidden_size))
+    for _ in range(config.num_layers):
+        layer = {
+            "input_norm": jnp.ones((config.hidden_size,), config.dtype),
+            "post_attn_norm": jnp.ones((config.hidden_size,), config.dtype),
+            "q_proj": norm((config.num_heads * hd, config.hidden_size)),
+            "k_proj": norm((config.num_kv_heads * hd, config.hidden_size)),
+            "v_proj": norm((config.num_kv_heads * hd, config.hidden_size)),
+            "o_proj": norm((config.hidden_size, config.num_heads * hd)),
+            "mlp": {
+                "gate_proj": norm((config.intermediate_size, config.hidden_size)),
+                "up_proj": norm((config.intermediate_size, config.hidden_size)),
+                "down_proj": norm((config.hidden_size, config.intermediate_size)),
+            },
+        }
+        if config.qkv_bias:
+            layer["q_bias"] = jnp.zeros((config.num_heads * hd,), config.dtype)
+            layer["k_bias"] = jnp.zeros((config.num_kv_heads * hd,), config.dtype)
+            layer["v_bias"] = jnp.zeros((config.num_kv_heads * hd,), config.dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def _position_tables(
+    config: DecoderConfig, positions: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin for the configured RoPE variant.
+
+    positions: [b, s] for standard RoPE, or [3, b, s] for M-RoPE.
+    Returns tables shaped [b, s, head_dim].
+    """
+    if config.mrope_section is not None:
+        if positions.ndim == 2:  # text-only caller: replicate across streams
+            positions = jnp.broadcast_to(
+                positions[None], (3,) + positions.shape
+            )
+        return mrope_cos_sin(
+            positions, config.head_dim_, config.mrope_section, config.rope_theta
+        )
+    return rope_cos_sin(
+        positions, config.head_dim_, config.rope_theta,
+        config.rope_scaling_dict,
+    )
+
+
+def _attention_block(
+    config: DecoderConfig,
+    layer: Params,
+    layer_idx: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache: Optional[KVCache],
+    mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    b, s, _ = x.shape
+    hd = config.head_dim_
+
+    q = linear(x, layer["q_proj"], layer.get("q_bias"))
+    k = linear(x, layer["k_proj"], layer.get("k_bias"))
+    v = linear(x, layer["v_proj"], layer.get("v_bias"))
+    q = q.reshape(b, s, config.num_heads, hd)
+    k = k.reshape(b, s, config.num_kv_heads, hd)
+    v = v.reshape(b, s, config.num_kv_heads, hd)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        cache = cache.update(layer_idx, k, v)
+        k_all, v_all = cache.layer(layer_idx)  # [b, max_len, kvh, hd]
+    else:
+        k_all, v_all = k, v
+
+    n_rep = config.num_heads // config.num_kv_heads
+    k_all = repeat_kv(k_all, n_rep)
+    v_all = repeat_kv(v_all, n_rep)
+
+    out = attention_scores(q, k_all, v_all, mask)
+    out = out.reshape(b, s, config.num_heads * hd)
+    return linear(out, layer["o_proj"]), cache
+
+
+def decoder_forward(
+    config: DecoderConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: Optional[KVCache] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack over embedded inputs.
+
+    input_embeds: [b, s, hidden]; positions: [b, s] (or [3, b, s] M-RoPE).
+    With a cache, writes K/V at the cache cursor and attends over the full
+    buffer (mask must hide unwritten slots); cursor advances once at the end.
+    Returns (hidden_states [b, s, hidden], updated cache).
+    """
+    x = input_embeds
+    cos, sin = _position_tables(config, positions)
+    for idx, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
+        attn_out, cache = _attention_block(
+            config, layer, idx, h, cos, sin, cache, mask
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attn_norm"], config.rms_norm_eps)
+        x = x + swiglu_mlp(h, layer["mlp"])
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    if cache is not None:
+        cache = cache.advance(jnp.int32(input_embeds.shape[1]))
+    return x, cache
+
+
+def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    table = params["embed_tokens"] if config.tie_word_embeddings else params["lm_head"]
+    return jnp.einsum(
+        "bsh,vh->bsv", hidden, table, preferred_element_type=jnp.float32
+    )
+
+
+def prefill(
+    config: DecoderConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    prompt_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill a (padded) prompt into the cache; returns logits for the final
+    valid position of each sequence and the updated cache.
+
+    input_embeds: [b, s_pad]; prompt_lengths: [b] true lengths (<= s_pad).
+
+    Batching contract: rows must share one true length (the engine runs
+    batch=1 bucketed, or uniform-length batches).  Mixed-length batches need
+    the per-slot caches of the continuous-batching scheduler — with a scalar
+    cursor, a shorter row's padded keys would collide with decode writes.
+    """
+    b, s = input_embeds.shape[:2]
+    # Causal over the cache buffer + hide each row's padded tail keys.
+    mask = causal_mask(s, cache.k.shape[2], offset=0) + length_mask(
+        cache.k.shape[2], prompt_lengths
+    )
+    hidden, cache = decoder_forward(
+        config, params, input_embeds, positions, cache, mask
+    )
+    last_idx = jnp.maximum(prompt_lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
+    )  # [b, 1, h]
+    logits = lm_logits(config, params, last_hidden)[:, 0]
+    # Cursor was advanced by s_pad inside decoder_forward; rewind to the true
+    # max length so decode writes land right after the longest prompt.
+    cache = KVCache(k=cache.k, v=cache.v, length=jnp.max(prompt_lengths).astype(jnp.int32))
+    return logits, cache
+
+
+def decode_step(
+    config: DecoderConfig,
+    params: Params,
+    token_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One-token decode: token_embeds [b, 1]; returns next-token logits [b, v]."""
+    max_len = cache.k.shape[2]
+    kj = jnp.arange(max_len)[None, None, None, :]
+    mask = jnp.where(kj <= cache.length, 0.0, -1e30).astype(jnp.float32)
+    hidden, cache = decoder_forward(
+        config, params, token_embeds, positions, cache, mask
+    )
+    return lm_logits(config, params, hidden)[:, 0], cache
+
+
+def decode_loop(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    cache: KVCache,
+    num_steps: int,
+    eos_id: int = -1,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Greedy-decode `num_steps` tokens in ONE compiled call (lax.fori_loop).
+
+    Avoids per-token host round-trips — critical when the host↔device link
+    has latency (tunneled chips) and the XLA-right way to drive decode.
+    first_logits: [b, v] from prefill (or the previous chunk); start_position:
+    scalar int32 position of the first generated token.  Tokens after an EOS
+    are still computed (static shapes); callers truncate at the first EOS.
+    Returns (tokens [b, num_steps], final_logits [b, v], cache) so chunks
+    chain: feed final_logits back in as the next chunk's first_logits.
+    """
+    b = first_logits.shape[0]
+
+    def body(step, carry):
+        logits, cache, tokens = carry
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b]
+        tokens = lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+        pos_value = start_position + step
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_value, (3, b, 1))
+        else:
+            positions = jnp.broadcast_to(pos_value, (b, 1))
+        embeds = jnp.take(params["embed_tokens"], token[:, None], axis=0)
+        logits, cache = decode_step(config, params, embeds, positions, cache)
+        return logits, cache, tokens
+
+    tokens0 = jnp.zeros((b, num_steps), jnp.int32)
+    logits, cache, tokens = lax.fori_loop(
+        0, num_steps, body, (first_logits, cache, tokens0)
+    )
+    return tokens, logits, cache
+
+
+__all__ = [
+    "DecoderConfig",
+    "init_decoder_params",
+    "decoder_forward",
+    "lm_logits",
+    "prefill",
+    "decode_step",
+    "decode_loop",
+]

@@ -1,0 +1,332 @@
+"""Functional transformer primitives shared by all model families.
+
+Pure functions over parameter pytrees — no module framework — so every model
+composes cleanly with jit / pjit / shard_map and parameters carry explicit
+NamedSharding.  Design rules (TPU-first):
+- weights live in bf16, all reductions/normalizations accumulate in f32,
+- matmuls always pass preferred_element_type=f32 so the MXU accumulates wide,
+- attention is einsum-based here; the TPU hot path swaps in the Pallas flash
+  kernel (vis_tpu.ops.flash_attention) behind the same signature,
+- KV caches are preallocated static-shape buffers updated with
+  lax.dynamic_update_slice (no dynamic shapes under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """RMSNorm with f32 accumulation regardless of input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    variance = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    x32 = x32 * lax.rsqrt(variance + eps)
+    return (x32 * weight.astype(jnp.float32)).astype(dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Linear / embedding
+# ---------------------------------------------------------------------------
+
+def linear(x: jnp.ndarray, weight: jnp.ndarray,
+           bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ W^T (+ b).  Weight layout [out, in] matches HF checkpoints so
+    loading needs no transpose."""
+    out = jnp.einsum(
+        "...i,oi->...o", x, weight, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def embed(token_ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(table, token_ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings
+# ---------------------------------------------------------------------------
+
+def rope_frequencies(
+    head_dim: int,
+    theta: float = 10000.0,
+    rope_scaling: Optional[Dict[str, Any]] = None,
+) -> jnp.ndarray:
+    """Inverse frequencies, shape [head_dim // 2], f32.
+
+    rope_scaling supports the Llama-3 scheme ({"rope_type": "llama3",
+    "factor", "low_freq_factor", "high_freq_factor",
+    "original_max_position_embeddings"}): low-frequency components are
+    divided by `factor`, high-frequency kept, and the band between is
+    smoothly interpolated (HF _compute_llama3_parameters parity).
+    """
+    exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    inv_freq = 1.0 / (theta ** exponent)
+    if rope_scaling and rope_scaling.get("rope_type") == "llama3":
+        factor = rope_scaling["factor"]
+        low = rope_scaling["low_freq_factor"]
+        high = rope_scaling["high_freq_factor"]
+        old_len = rope_scaling["original_max_position_embeddings"]
+        low_wavelen = old_len / low
+        high_wavelen = old_len / high
+        wavelen = 2 * jnp.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (old_len / wavelen - low) / (high - low)
+        interp = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen < high_wavelen,
+            inv_freq,
+            jnp.where(wavelen > low_wavelen, scaled, interp),
+        )
+    return inv_freq
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray,
+    head_dim: int,
+    theta: float = 10000.0,
+    rope_scaling: Optional[Dict[str, Any]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for integer positions [...]; returns [..., head_dim]
+    with the half-split (non-interleaved) layout used by Llama/Qwen."""
+    inv_freq = rope_frequencies(head_dim, theta, rope_scaling)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., hd/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # [..., hd]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply rotary embedding.  x: [..., seq, heads, head_dim];
+    cos/sin: [..., seq, head_dim] (broadcast over the heads axis)."""
+    cos = cos[..., :, None, :]
+    sin = sin[..., :, None, :]
+    x32 = x.astype(jnp.float32)
+    return (x32 * cos + _rotate_half(x32) * sin).astype(x.dtype)
+
+
+def mrope_cos_sin(
+    positions: jnp.ndarray,
+    head_dim: int,
+    mrope_section: Tuple[int, int, int],
+    theta: float = 1000000.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multimodal RoPE (Qwen2-VL): three position streams (temporal, height,
+    width) each own a slice of the frequency spectrum.
+
+    positions: [3, ...seq] integer positions per stream.
+    Returns cos/sin of shape [...seq, head_dim] assembled so that frequency
+    index f takes its angle from stream s where f falls in that stream's
+    mrope_section span (sections are specified in half-dim units and the
+    pattern repeats for the duplicated second half).
+    Reference semantics: HF Qwen2VL apply_multimodal_rotary_pos_emb.
+    """
+    if sum(mrope_section) != head_dim // 2:
+        raise ValueError(
+            f"mrope_section {mrope_section} must sum to head_dim//2 = {head_dim // 2}"
+        )
+    inv_freq = rope_frequencies(head_dim, theta)  # [hd/2]
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [3, ..., hd/2]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+
+    # Sections are static: stream i owns frequencies [start_i, start_i + s_i).
+    def select(table: jnp.ndarray) -> jnp.ndarray:
+        chunks = []
+        start = 0
+        for stream, span in enumerate(mrope_section):
+            chunks.append(table[stream, ..., start : start + span])
+            start += span
+        return jnp.concatenate(chunks, axis=-1)
+
+    cos_half = select(cos)
+    sin_half = select(sin)
+    cos_full = jnp.concatenate([cos_half, cos_half], axis=-1)
+    sin_full = jnp.concatenate([sin_half, sin_half], axis=-1)
+    return cos_full, sin_full
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """Expand KV heads for grouped-query attention.
+    x: [batch, seq, kv_heads, head_dim] -> [batch, seq, kv_heads*n_rep, hd]."""
+    if n_rep == 1:
+        return x
+    b, s, kvh, hd = x.shape
+    return jnp.broadcast_to(
+        x[:, :, :, None, :], (b, s, kvh, n_rep, hd)
+    ).reshape(b, s, kvh * n_rep, hd)
+
+
+def attention_scores(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference (XLA) scaled-dot-product attention.
+
+    q: [b, sq, h, d], k/v: [b, skv, h, d]; mask broadcastable to
+    [b, h, sq, skv] (additive, -inf for disallowed).  Softmax in f32.
+    """
+    head_dim = q.shape[-1]
+    scale = scale if scale is not None else head_dim ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def causal_mask(sq: int, skv: int, offset: int = 0) -> jnp.ndarray:
+    """Additive causal mask [1, 1, sq, skv]: query i attends keys <= i+offset."""
+    qi = jnp.arange(sq)[:, None] + offset
+    kj = jnp.arange(skv)[None, :]
+    allowed = kj <= qi
+    return jnp.where(allowed, 0.0, -1e30)[None, None, :, :].astype(jnp.float32)
+
+
+def length_mask(skv: int, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Additive padding mask [b, 1, 1, skv] hiding keys >= length."""
+    kj = jnp.arange(skv)[None, :]
+    allowed = kj < lengths[:, None]
+    return jnp.where(allowed, 0.0, -1e30)[:, None, None, :].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape per-layer KV buffers plus the write cursor.
+
+    k/v: [n_layers, batch, max_len, kv_heads, head_dim]; `length` is a scalar
+    int32 tracking how many positions are valid (same for the whole batch in
+    the single-request engine; the continuous-batching scheduler keeps a
+    per-slot variant).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(
+        cls, n_layers: int, batch: int, max_len: int, kv_heads: int,
+        head_dim: int, dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (n_layers, batch, max_len, kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    def update(
+        self, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray
+    ) -> "KVCache":
+        """Write k/v for `layer` at the current cursor.  k_new: [b, s, kvh, d].
+        The cursor only advances via advance() so all layers write at the
+        same offset within a step."""
+        start = (layer, 0, self.length, 0, 0)
+        return KVCache(
+            k=lax.dynamic_update_slice(self.k, k_new[None].astype(self.k.dtype), start),
+            v=lax.dynamic_update_slice(self.v, v_new[None].astype(self.v.dtype), start),
+            length=self.length,
+        )
+
+    def advance(self, n: jnp.ndarray) -> "KVCache":
+        return KVCache(k=self.k, v=self.v, length=self.length + n)
+
+    def layer(self, layer: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.k[layer], self.v[layer]
+
+
+# ---------------------------------------------------------------------------
+# MLP blocks
+# ---------------------------------------------------------------------------
+
+def swiglu_mlp(x: jnp.ndarray, params: Params) -> jnp.ndarray:
+    """SwiGLU feed-forward: down(silu(gate(x)) * up(x))."""
+    gate = linear(x, params["gate_proj"])
+    up = linear(x, params["up_proj"])
+    return linear(jax.nn.silu(gate) * up, params["down_proj"])
+
+
+def gelu_mlp(x: jnp.ndarray, params: Params, quick: bool = False) -> jnp.ndarray:
+    """Two-layer GELU MLP (ViT style), with optional quick-GELU (x*sigmoid(1.702x))."""
+    h = linear(x, params["fc1"], params.get("fc1_bias"))
+    if quick:
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    return linear(h, params["fc2"], params.get("fc2_bias"))
+
+
+__all__ = [
+    "Params",
+    "rms_norm",
+    "layer_norm",
+    "linear",
+    "embed",
+    "rope_frequencies",
+    "rope_cos_sin",
+    "apply_rope",
+    "mrope_cos_sin",
+    "repeat_kv",
+    "attention_scores",
+    "causal_mask",
+    "length_mask",
+    "KVCache",
+    "swiglu_mlp",
+    "gelu_mlp",
+]

@@ -1,0 +1,55 @@
+"""Device mesh construction and axis conventions.
+
+Axis layout (SURVEY.md §5.8 TPU plan): a 2-D mesh ("data", "model") —
+"data" carries batch/data parallelism (and request-level parallelism in
+serving), "model" carries tensor parallelism over attention heads and MLP
+hidden.  Sequence parallelism for high-resolution vision prefill reuses the
+"model" axis (Ulysses-style head scatter; see ops.flash_attention).
+
+Shapes come from config.mesh_shape ("2x4" = data=2, model=4); `auto` uses
+(1, n_devices).  The same code runs on one real chip (1x1), a v5e-8 slice,
+or 8 virtual CPU devices in tests (xla_force_host_platform_device_count).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
+    """Build the ("data", "model") mesh over the available devices."""
+    devices = jax.devices()
+    if shape is None:
+        from vis_tpu.utils.config import get_config
+
+        cfg_shape = get_config().mesh_shape_tuple
+        if len(cfg_shape) == 1:
+            cfg_shape = (1, cfg_shape[0])
+        shape = cfg_shape
+        if int(np.prod(shape)) != len(devices):
+            shape = (1, len(devices))
+    total = int(np.prod(shape))
+    if total > len(devices):
+        raise ValueError(
+            f"mesh shape {shape} needs {total} devices, have {len(devices)}"
+        )
+    grid = np.array(devices[:total]).reshape(shape)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+__all__ = ["create_mesh", "named", "replicated", "DATA_AXIS", "MODEL_AXIS", "P"]

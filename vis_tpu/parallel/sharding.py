@@ -1,0 +1,125 @@
+"""Parameter and cache sharding rules (tensor parallelism over the mesh).
+
+Megatron-style TP layout expressed as NamedSharding over the ("data",
+"model") mesh — XLA inserts the all-reduce after o_proj / down_proj
+(SURVEY.md §5.8: jax.sharding + pjit replaces the reference's absent
+distributed backend):
+
+  decoder  q/k/v_proj  [heads*hd, hidden]   -> P("model", None)   column
+           o_proj      [hidden, heads*hd]   -> P(None, "model")   row
+           gate/up     [inter, hidden]      -> P("model", None)
+           down        [hidden, inter]      -> P(None, "model")
+           embed/lm_head [vocab, hidden]    -> P("model", None)   vocab shard
+           norms                            -> replicated
+  vision   qkv [3d, d] -> P("model", None); proj row-sharded; MLP likewise
+  KV cache [layers, b, len, kv_heads, hd]   -> P(None, "data", None, "model")
+           when kv_heads divides the model axis; else replicated heads.
+
+Apply with shard_params(); jit then runs SPMD with no code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vis_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _put(x, mesh: Mesh, spec: P):
+    """device_put with a sharding, falling back to replication when the
+    dimension does not divide the mesh axis."""
+    try:
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    except ValueError:
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
+    return dim % mesh.shape[axis] == 0
+
+
+def shard_decoder_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    out["embed_tokens"] = _put(params["embed_tokens"], mesh, P(MODEL_AXIS, None))
+    out["final_norm"] = _put(params["final_norm"], mesh, P())
+    if "lm_head" in params:
+        out["lm_head"] = _put(params["lm_head"], mesh, P(MODEL_AXIS, None))
+    out["layers"] = []
+    for layer in params["layers"]:
+        sharded = {
+            "input_norm": _put(layer["input_norm"], mesh, P()),
+            "post_attn_norm": _put(layer["post_attn_norm"], mesh, P()),
+            "q_proj": _put(layer["q_proj"], mesh, P(MODEL_AXIS, None)),
+            "k_proj": _put(layer["k_proj"], mesh, P(MODEL_AXIS, None)),
+            "v_proj": _put(layer["v_proj"], mesh, P(MODEL_AXIS, None)),
+            "o_proj": _put(layer["o_proj"], mesh, P(None, MODEL_AXIS)),
+            "mlp": {
+                "gate_proj": _put(layer["mlp"]["gate_proj"], mesh, P(MODEL_AXIS, None)),
+                "up_proj": _put(layer["mlp"]["up_proj"], mesh, P(MODEL_AXIS, None)),
+                "down_proj": _put(layer["mlp"]["down_proj"], mesh, P(None, MODEL_AXIS)),
+            },
+        }
+        for bias in ("q_bias", "k_bias", "v_bias"):
+            if bias in layer:
+                sharded[bias] = _put(layer[bias], mesh, P(MODEL_AXIS))
+        out["layers"].append(sharded)
+    return out
+
+
+def shard_vision_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    out: Dict[str, Any] = {
+        "patch_embed": _put(params["patch_embed"], mesh, P(MODEL_AXIS, None)),
+        "merger": {
+            "ln_q": _put(params["merger"]["ln_q"], mesh, P()),
+            "ln_q_bias": _put(params["merger"]["ln_q_bias"], mesh, P()),
+            "fc1": _put(params["merger"]["fc1"], mesh, P(MODEL_AXIS, None)),
+            "fc1_bias": _put(params["merger"]["fc1_bias"], mesh, P(MODEL_AXIS)),
+            "fc2": _put(params["merger"]["fc2"], mesh, P(None, MODEL_AXIS)),
+            "fc2_bias": _put(params["merger"]["fc2_bias"], mesh, P()),
+        },
+        "blocks": [],
+    }
+    for block in params["blocks"]:
+        out["blocks"].append({
+            "norm1": _put(block["norm1"], mesh, P()),
+            "norm1_bias": _put(block["norm1_bias"], mesh, P()),
+            "norm2": _put(block["norm2"], mesh, P()),
+            "norm2_bias": _put(block["norm2_bias"], mesh, P()),
+            "qkv": _put(block["qkv"], mesh, P(MODEL_AXIS, None)),
+            "qkv_bias": _put(block["qkv_bias"], mesh, P(MODEL_AXIS)),
+            "proj": _put(block["proj"], mesh, P(None, MODEL_AXIS)),
+            "proj_bias": _put(block["proj_bias"], mesh, P()),
+            "mlp": {
+                "fc1": _put(block["mlp"]["fc1"], mesh, P(MODEL_AXIS, None)),
+                "fc1_bias": _put(block["mlp"]["fc1_bias"], mesh, P(MODEL_AXIS)),
+                "fc2": _put(block["mlp"]["fc2"], mesh, P(None, MODEL_AXIS)),
+                "fc2_bias": _put(block["mlp"]["fc2_bias"], mesh, P()),
+            },
+        })
+    return out
+
+
+def shard_qwen2vl_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    return {
+        "vision": shard_vision_params(params["vision"], mesh),
+        "text": shard_decoder_params(params["text"], mesh),
+    }
+
+
+def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
+    """[layers, batch, len, kv_heads, head_dim] — heads over "model" when
+    divisible, batch over "data"."""
+    if _divisible(kv_heads, mesh, MODEL_AXIS):
+        return NamedSharding(mesh, P(None, "data", None, MODEL_AXIS, None))
+    return NamedSharding(mesh, P(None, "data", None, None, None))
+
+
+__all__ = [
+    "shard_decoder_params",
+    "shard_vision_params",
+    "shard_qwen2vl_params",
+    "kv_cache_sharding",
+]

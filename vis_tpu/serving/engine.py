@@ -1,0 +1,419 @@
+"""On-pod inference engine: tokenize -> (vision encode) -> prefill -> decode.
+
+This is the transport that replaces the reference's HTTPS clients
+(reference: src/agents/vlm_inspector.py:105 HF InferenceClient,
+vlm_auditor.py:117 Groq, explainer.py:87): agents call
+EngineBackend.generate()/generate_stream() with the same signature they used
+for remote APIs, and the request executes as device computation.
+
+TPU-first structure:
+- every device function is jit-compiled once per (bucket, batch) shape:
+  vision encode per patch bucket, prefill per token bucket, decode step once;
+- prompts pad up to config.prefill_bucket_list buckets; patch grids pad up to
+  ops.preprocess.PATCH_BUCKETS — a handful of compiled shapes total;
+- KV cache is a preallocated bf16 buffer (config.kv_cache_max_tokens);
+- decode runs greedy by default (deterministic verdicts), streaming tokens
+  to the caller as they materialize;
+- with a multi-chip mesh, params are sharded by vis_tpu.parallel and the
+  same jit functions run SPMD (collectives inserted by XLA).
+
+Model registry: role -> config builder; weights load from
+config.checkpoint_dir/<model>/ safetensors when present, else random init at
+a reduced "dev profile" size so the full pipeline runs (and benchmarks
+measure real compute) without shipped checkpoints.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vis_tpu.models.common.decoder import (
+    DecoderConfig,
+    decode_loop,
+    decode_step,
+    init_decoder_params,
+    prefill,
+)
+from vis_tpu.models.common.layers import KVCache
+from vis_tpu.models.llama import config as llama_configs
+from vis_tpu.models.llama import model as llama_model
+from vis_tpu.models.loader import find_checkpoint, read_safetensors_dir
+from vis_tpu.models.qwen2_vl import model as qwen_model
+from vis_tpu.models.qwen2_vl.config import Qwen2VLConfig
+from vis_tpu.models.qwen2_vl.vision import vision_rotary_tables
+from vis_tpu.ops.preprocess import (
+    ImagePatches,
+    build_mrope_positions,
+    preprocess_image,
+)
+from vis_tpu.serving.sampling import sample_token
+from vis_tpu.serving.tokenizer import ByteTokenizer, Tokenizer, load_tokenizer
+from vis_tpu.utils.config import config as app_config
+from vis_tpu.utils.logger import setup_logger, span
+
+logger = setup_logger(__name__, level="INFO", component="ENGINE")
+
+
+def _bucket_for(n: int, buckets: List[int]) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return ((n + 127) // 128) * 128
+
+
+class Engine:
+    """Single-model inference engine with bucketed jit compilation."""
+
+    def __init__(
+        self,
+        name: str,
+        text_config: DecoderConfig,
+        text_params: Any,
+        tokenizer: Tokenizer,
+        vlm_config: Optional[Qwen2VLConfig] = None,
+        vlm_params: Optional[Any] = None,
+        max_cache_tokens: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.name = name
+        self.text_config = text_config
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.vlm_config = vlm_config
+        self.vlm_params = vlm_params
+        self.max_cache_tokens = max_cache_tokens or app_config.kv_cache_max_tokens
+        self.mesh = mesh
+        self._lock = threading.Lock()
+
+        self._prefill_jit = jax.jit(partial(prefill, text_config))
+        self._decode_jit = jax.jit(partial(decode_step, text_config))
+        # Fused greedy decode: one device dispatch per chunk instead of per
+        # token (lax.fori_loop inside jit) — host only checks EOS per chunk.
+        self.decode_chunk = 64
+        self._decode_loop_jit = jax.jit(
+            partial(decode_loop, text_config), static_argnames=("num_steps",)
+        )
+        self._encode_image_jit = jax.jit(
+            partial(qwen_model.encode_image, vlm_config)
+        ) if vlm_config is not None else None
+        self._embed_jit = jax.jit(
+            lambda table, ids: jnp.take(table, ids, axis=0)
+        )
+
+    # -- prompt assembly ------------------------------------------------
+    def _build_prompt_ids(
+        self, prompt: str, image: Optional[ImagePatches]
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
+        """Token ids, mrope positions (or None), and next decode position."""
+        tok = self.tokenizer
+        if image is None:
+            ids = tok.encode(prompt)
+            return np.array([ids]), None, len(ids)
+
+        n_vision = image.num_tokens
+        # Chat-standard layout: the vision block precedes the instruction
+        # text — [vision_start][image * n][vision_end][prompt tokens].
+        text_ids = tok.encode(prompt)
+        ids = (
+            [tok.vision_start_id]
+            + [tok.image_token_id] * n_vision
+            + [tok.vision_end_id]
+            + text_ids
+        )
+        positions, next_pos = build_mrope_positions(
+            1, image.grid_h, image.grid_w, len(text_ids) + 1
+        )
+        return np.array([ids]), positions, next_pos
+
+    # -- generation -----------------------------------------------------
+    def generate_stream(
+        self,
+        prompt: str,
+        image_path: Optional[Path] = None,
+        *,
+        max_tokens: int = 1024,
+        temperature: float = 0.0,
+        max_image_dim: int = 2048,
+    ) -> Iterator[str]:
+        with self._lock:  # one request at a time per engine (round-1 serving)
+            yield from self._generate_locked(
+                prompt, image_path, max_tokens=max_tokens,
+                temperature=temperature, max_image_dim=max_image_dim,
+            )
+
+    def _generate_locked(
+        self, prompt, image_path, *, max_tokens, temperature, max_image_dim
+    ) -> Iterator[str]:
+        tc = self.text_config
+        image = None
+        vision_embeds = None
+
+        if image_path is not None and self.vlm_config is not None:
+            with span("engine.preprocess", logger):
+                image = preprocess_image(image_path, max_image_dim=max_image_dim)
+            padded, bucket = image.padded()
+            cos, sin = vision_rotary_tables(
+                self.vlm_config.vision, image.grid_h, image.grid_w
+            )
+            cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
+            sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
+            cos_p[: cos.shape[0]] = cos
+            sin_p[: sin.shape[0]] = sin
+            with span("engine.vision_encode", logger):
+                vision_embeds = self._encode_image_jit(
+                    self.vlm_params,
+                    jnp.asarray(padded),
+                    jnp.asarray(cos_p),
+                    jnp.asarray(sin_p),
+                    jnp.asarray(image.num_patches),
+                )
+                vision_embeds = vision_embeds[: image.num_tokens]
+
+        ids, mrope_positions, next_pos = self._build_prompt_ids(prompt, image)
+        seq_len = ids.shape[1]
+        bucket = _bucket_for(seq_len, app_config.prefill_bucket_list)
+        bucket = min(bucket, self.max_cache_tokens - max_tokens)
+        if seq_len > bucket:
+            # Prompt exceeds KV budget: truncate the middle, keep head+tail.
+            keep_head = bucket // 2
+            keep_tail = bucket - keep_head
+            ids = np.concatenate([ids[:, :keep_head], ids[:, -keep_tail:]], axis=1)
+            seq_len = bucket
+            mrope_positions = None  # fall back to linear positions
+            next_pos = seq_len
+            logger.warning(f"Prompt truncated to {bucket} tokens")
+
+        padded_ids = np.zeros((1, bucket), dtype=np.int32)
+        padded_ids[0, :seq_len] = ids[0]
+
+        params = self.text_params if self.vlm_config is None else self.vlm_params["text"]
+        if image is not None:
+            embeds = qwen_model.embed_multimodal(
+                self.vlm_config, self.vlm_params, jnp.asarray(padded_ids),
+                vision_embeds,
+            )
+        else:
+            embeds = self._embed_jit(params["embed_tokens"], jnp.asarray(padded_ids))
+
+        if mrope_positions is not None:
+            positions = np.zeros((3, 1, bucket), dtype=np.int32)
+            positions[:, 0, :seq_len] = mrope_positions
+            positions[:, 0, seq_len:] = mrope_positions.max()
+        else:
+            positions = np.arange(bucket, dtype=np.int32)[None]
+            next_pos = seq_len
+
+        cache = KVCache.create(
+            tc.num_layers, 1, self.max_cache_tokens, tc.num_kv_heads,
+            tc.head_dim_, dtype=tc.dtype,
+        )
+        with span("engine.prefill", logger):
+            logits, cache = self._prefill_jit(
+                params, embeds, jnp.asarray(positions), cache,
+                jnp.asarray([seq_len]),
+            )
+
+        key = jax.random.PRNGKey(0)
+        emitted = ""
+        generated: List[int] = []
+
+        def emit_progress() -> Iterator[str]:
+            nonlocal emitted
+            text = self.tokenizer.decode(generated)
+            if len(text) > len(emitted) and not text.endswith("�"):
+                chunk_text = text[len(emitted):]
+                emitted = text
+                yield chunk_text
+
+        with span("engine.decode", logger):
+            if temperature <= 0.0:
+                # Greedy: fused multi-token decode (one dispatch per chunk),
+                # EOS checked host-side between chunks; chunks chain via the
+                # final logits returned by decode_loop.
+                remaining = max_tokens
+                step0 = 0
+                done = False
+                while remaining > 0 and not done:
+                    steps = min(self.decode_chunk, remaining)
+                    tokens, logits, cache = self._decode_loop_jit(
+                        params, logits, jnp.int32(next_pos + step0), cache,
+                        num_steps=steps,
+                    )
+                    for token_id in np.asarray(tokens)[0].tolist():
+                        if token_id == self.tokenizer.eos_id:
+                            done = True
+                            break
+                        generated.append(token_id)
+                    yield from emit_progress()
+                    remaining -= steps
+                    step0 += steps
+            else:
+                for step in range(max_tokens):
+                    key, sub = jax.random.split(key)
+                    token = sample_token(logits, sub, temperature=temperature)
+                    token_id = int(token[0])
+                    if token_id == self.tokenizer.eos_id:
+                        break
+                    generated.append(token_id)
+                    yield from emit_progress()
+                    pos_value = next_pos + step
+                    if tc.mrope_section is not None:
+                        step_positions = jnp.full((3, 1, 1), pos_value, jnp.int32)
+                    else:
+                        step_positions = jnp.full((1, 1), pos_value, jnp.int32)
+                    emb = self._embed_jit(
+                        params["embed_tokens"], jnp.asarray([[token_id]])
+                    )
+                    logits, cache = self._decode_jit(
+                        params, emb, step_positions, cache
+                    )
+
+        final = self.tokenizer.decode(generated)
+        if len(final) > len(emitted):
+            yield final[len(emitted):]
+
+    def generate(self, prompt, image_path=None, **kwargs) -> str:
+        return "".join(self.generate_stream(prompt, image_path, **kwargs))
+
+    def health_check(self) -> bool:
+        try:
+            out = self.generate("OK?", None, max_tokens=2)
+            return out is not None
+        except Exception as exc:
+            logger.error(f"Engine health check failed: {exc}")
+            return False
+
+
+class EngineBackend:
+    """InferenceBackend adapter over an Engine (what agents talk to)."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.name = f"tpu:{engine.name}"
+
+    def generate(self, prompt, image_path=None, *, max_tokens=1024,
+                 temperature=0.0, max_image_dim=2048) -> str:
+        return self.engine.generate(
+            prompt, image_path, max_tokens=max_tokens,
+            temperature=temperature, max_image_dim=max_image_dim,
+        )
+
+    def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
+                        temperature=0.0, max_image_dim=2048):
+        yield from self.engine.generate_stream(
+            prompt, image_path, max_tokens=max_tokens,
+            temperature=temperature, max_image_dim=max_image_dim,
+        )
+
+    def health_check(self) -> bool:
+        return self.engine.health_check()
+
+
+# ---------------------------------------------------------------------------
+# Engine construction / registry
+# ---------------------------------------------------------------------------
+
+_engines: Dict[str, Engine] = {}
+_engine_lock = threading.Lock()
+
+
+def _dev_vlm_config() -> Qwen2VLConfig:
+    """Reduced-size Qwen2-VL for weightless operation: real compute path,
+    random weights, byte-level tokenizer."""
+    return Qwen2VLConfig(
+        vision=__import__(
+            "vis_tpu.models.qwen2_vl.config", fromlist=["VisionConfig"]
+        ).VisionConfig(
+            depth=8, embed_dim=640, num_heads=8, mlp_ratio=4, hidden_size=1024,
+        ),
+        text=DecoderConfig(
+            vocab_size=1024, hidden_size=1024, num_layers=8, num_heads=8,
+            num_kv_heads=2, intermediate_size=2816, rope_theta=1_000_000.0,
+            qkv_bias=True, mrope_section=(16, 24, 24), tie_word_embeddings=True,
+        ),
+        image_token_id=261, vision_start_token_id=259, vision_end_token_id=260,
+        eos_token_id=256,
+    )
+
+
+def _dev_text_config() -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=1024, hidden_size=1024, num_layers=8, num_heads=8,
+        num_kv_heads=2, intermediate_size=2816, rope_theta=500000.0,
+        qkv_bias=False, tie_word_embeddings=True,
+    )
+
+
+def build_engine(role: str, model_name: str) -> Engine:
+    """Create an engine for a role, loading real weights when available."""
+    ckpt_root = app_config.get_checkpoint_dir()
+    ckpt_dir = find_checkpoint(model_name, ckpt_root)
+    is_vlm = role in ("inspector", "auditor")
+
+    if ckpt_dir is not None:
+        tokenizer = load_tokenizer(ckpt_dir)
+        state = read_safetensors_dir(ckpt_dir)
+        if is_vlm:
+            lname = model_name.lower()
+            cfg = (
+                Qwen2VLConfig.qwen2_vl_2b() if "2b" in lname
+                else Qwen2VLConfig.qwen2_vl_7b()
+            )
+            params = qwen_model.convert_hf_state_dict(state, cfg)
+            logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
+            return Engine(
+                model_name, cfg.text, None, tokenizer,
+                vlm_config=cfg, vlm_params=params,
+            )
+        cfg = (
+            llama_configs.llama31_8b() if "8b" in model_name.lower()
+            else llama_configs.llama32_3b()
+        )
+        params = llama_model.convert_hf_state_dict(state, cfg)
+        logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
+        return Engine(model_name, cfg, params, tokenizer)
+
+    # Weightless dev profile: random params, byte tokenizer.
+    logger.warning(
+        f"{role}: no checkpoint for {model_name} under {ckpt_root}; "
+        "running dev-profile random weights (outputs are not meaningful text; "
+        "use USE_MOCK_RESPONSES=true for deterministic pipeline behavior)"
+    )
+    key = jax.random.PRNGKey(hash(role) % (2**31))
+    if is_vlm:
+        cfg = _dev_vlm_config()
+        params = qwen_model.init_params(cfg, key)
+        tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
+        return Engine(
+            f"dev-{role}", cfg.text, None, tokenizer,
+            vlm_config=cfg, vlm_params=params,
+        )
+    cfg = _dev_text_config()
+    params = init_decoder_params(cfg, key)
+    tokenizer = ByteTokenizer(vocab_size=cfg.vocab_size)
+    return Engine(f"dev-{role}", cfg, params, tokenizer)
+
+
+def get_engine_backend(role: str, model_name: str) -> EngineBackend:
+    with _engine_lock:
+        key = f"{role}:{model_name}"
+        if key not in _engines:
+            _engines[key] = build_engine(role, model_name)
+        return EngineBackend(_engines[key])
+
+
+def reset_engines() -> None:
+    with _engine_lock:
+        _engines.clear()
+
+
+__all__ = ["Engine", "EngineBackend", "build_engine", "get_engine_backend",
+           "reset_engines"]

@@ -1,0 +1,133 @@
+"""Fine-tuning support: sharded next-token training step for the decoder.
+
+The reference system had no training capability (SURVEY.md §2: inference
+only, remote APIs); this module adds domain fine-tuning of the on-pod
+inspection models as a first-class framework feature — and doubles as the
+multi-chip SPMD validation path (__graft_entry__.dryrun_multichip):
+
+- parameters are laid out by vis_tpu.parallel.sharding (TP over "model"),
+- the batch is sharded over "data",
+- the step is one jit: forward (with jax.checkpoint on each layer to trade
+  recompute for HBM), token-CE loss, grads, optax adamw update — XLA inserts
+  the TP all-reduces and DP gradient psums from the shardings alone.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vis_tpu.models.common.decoder import DecoderConfig, lm_logits
+from vis_tpu.models.common.layers import (
+    causal_mask,
+    rms_norm,
+    swiglu_mlp,
+)
+from vis_tpu.models.common import decoder as dec
+from vis_tpu.parallel.mesh import DATA_AXIS
+
+Params = Dict[str, Any]
+
+
+def _forward_remat(
+    config: DecoderConfig, params: Params, embeds: jnp.ndarray,
+    positions: jnp.ndarray, mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Decoder forward with per-layer rematerialization (jax.checkpoint)."""
+    cos, sin = dec._position_tables(config, positions)
+
+    def layer_fn(x, layer):
+        h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
+        attn, _ = dec._attention_block(config, layer, 0, h, cos, sin, None, mask)
+        x = x + attn
+        h = rms_norm(x, layer["post_attn_norm"], config.rms_norm_eps)
+        return x + swiglu_mlp(h, layer["mlp"])
+
+    layer_fn = jax.checkpoint(layer_fn)
+    x = embeds
+    for layer in params["layers"]:
+        x = layer_fn(x, layer)
+    return rms_norm(x, params["final_norm"], config.rms_norm_eps)
+
+
+def token_ce_loss(
+    config: DecoderConfig, params: Params, batch: Dict[str, jnp.ndarray]
+) -> jnp.ndarray:
+    """Mean next-token cross-entropy over non-padding targets.
+
+    batch: {"input_ids": [b, s], "targets": [b, s], "loss_mask": [b, s]}.
+    """
+    ids = batch["input_ids"]
+    b, s = ids.shape
+    embeds = jnp.take(params["embed_tokens"], ids, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    hidden = _forward_remat(config, params, embeds, positions, causal_mask(s, s))
+    logits = lm_logits(config, params, hidden)  # f32 [b, s, v]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    target_logp = jnp.take_along_axis(
+        logp, batch["targets"][..., None], axis=-1
+    )[..., 0]
+    mask = batch["loss_mask"].astype(jnp.float32)
+    return -(target_logp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-5, weight_decay: float = 0.01,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(learning_rate, b1=0.9, b2=0.95, weight_decay=weight_decay),
+    )
+
+
+class Trainer:
+    """Holds sharded params + optimizer state and a compiled train step."""
+
+    def __init__(
+        self,
+        config: DecoderConfig,
+        params: Params,
+        mesh: Optional[Mesh] = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.optimizer = optimizer or make_optimizer()
+        if mesh is not None:
+            from vis_tpu.parallel.sharding import shard_decoder_params
+
+            params = shard_decoder_params(params, mesh)
+        self.params = params
+        self.opt_state = self.optimizer.init(self.params)
+
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                partial(token_ce_loss, config)
+            )(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def shard_batch(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.mesh is None:
+            return batch
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    def train_step(self, batch: Dict[str, jnp.ndarray]) -> float:
+        batch = self.shard_batch(batch)
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, batch
+        )
+        return float(loss)
+
+
+__all__ = ["Trainer", "token_ce_loss", "make_optimizer"]
