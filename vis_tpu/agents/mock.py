@@ -226,7 +226,7 @@ class MockVLMBackend:
             return json.dumps(_DECISION_SUPPORT)
         if "Rewritten Standalone Question" in prompt:
             return prompt.rsplit("Latest Question:", 1)[-1].split("\n")[0].strip()
-        if "EXECUTIVE SUMMARY" in prompt and "{findings}" not in prompt and image_path is None:
+        if "STRUCTURED FINDINGS" in prompt and image_path is None:
             findings = ""
             marker = "STRUCTURED FINDINGS"
             if marker in prompt:

@@ -1,0 +1,358 @@
+"""Web application server: upload -> live progress -> results -> chat.
+
+Replaces the reference's Streamlit UI (reference: app/ui.py:589-941 and
+app/components/*) with a dependency-free stdlib HTTP server + single-page
+app (vis_tpu/app/ui.html).  Feature parity: upload & configure, LIVE
+per-node progress (wired to the real pipeline event stream — the reference's
+progress bar was static, SURVEY.md §2 dormant components), verdict banner,
+confidence/gate displays, 3-panel visual evidence, defect & decision-support
+tables, sectioned explanation, PDF download, streaming chat with SQLite
+memory, analytics dashboard, history, and health status.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+from vis_tpu.app.state import create_job, get_job, list_jobs
+from vis_tpu.utils.config import config
+from vis_tpu.utils.logger import setup_logger
+from vis_tpu.utils.validators import sanitize_filename
+
+logger = setup_logger(__name__, level="INFO", component="WEBAPP")
+
+_UI_HTML = (Path(__file__).parent / "ui.html").read_bytes()
+
+
+def _start_inspection(image_path: str, criticality: str, domain: Optional[str],
+                      user_notes: Optional[str]) -> str:
+    from vis_tpu.orchestration import run_inspection
+
+    job = create_job(image_path)
+
+    def worker() -> None:
+        try:
+            state = run_inspection(
+                image_path, criticality=criticality, domain=domain,
+                user_notes=user_notes, request_id=job.request_id,
+                on_event=lambda ev: job.events.append(
+                    {k: v for k, v in ev.items() if k != "state"}
+                ),
+            )
+            job.state = state
+        except Exception as exc:  # surfaced through /api/progress
+            logger.error(f"Inspection {job.request_id} failed: {exc}",
+                         exc_info=True)
+            job.error = str(exc)
+        finally:
+            import time
+
+            job.finished_at = time.time()
+
+    threading.Thread(target=worker, daemon=True).start()
+    return job.request_id
+
+
+def _chat_context(state: Dict[str, Any]) -> str:
+    """Build the chat context block from inspection results
+    (reference: app/components/chat_widget.py:90-131)."""
+    verdict = state.get("safety_verdict") or {}
+    consensus = state.get("consensus") or {}
+    defects = consensus.get("combined_defects", [])
+    ds = state.get("decision_support") or {}
+    lines = [
+        "INSPECTION RESULTS:",
+        f"Verdict: {verdict.get('verdict')} "
+        f"(confidence: {verdict.get('confidence_level')})",
+        f"Reason: {verdict.get('reason')}",
+        f"Agreement score: {consensus.get('agreement_score')}",
+        f"Defects found: {len(defects)}",
+    ]
+    for i, d in enumerate(defects, 1):
+        lines.append(
+            f"  {i}. {d.get('type')} at {d.get('location')} "
+            f"[{d.get('safety_impact')}, confidence {d.get('confidence')}]: "
+            f"{d.get('reasoning')}"
+        )
+    if ds.get("recommendation"):
+        lines.append(
+            f"Decision support: {ds['recommendation']} "
+            f"(repair {ds.get('repair_cost')}, replace {ds.get('replace_cost')})"
+        )
+    explanation = state.get("explanation") or ""
+    if explanation:
+        lines.append(f"Report excerpt: {explanation[:1000]}")
+    return "\n".join(lines)
+
+
+def _json_safe(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items() if not k.startswith("_")}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if hasattr(obj, "isoformat"):
+        return obj.isoformat()
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
+
+
+class AppHandler(BaseHTTPRequestHandler):
+    server_version = "vis-tpu/0.1"
+
+    # -- helpers ---------------------------------------------------------
+    def _send(self, code: int, body: bytes, content_type: str = "application/json",
+              headers: Optional[Dict[str, str]] = None) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        for key, value in (headers or {}).items():
+            self.send_header(key, value)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, payload: Any, code: int = 200) -> None:
+        self._send(code, json.dumps(_json_safe(payload)).encode())
+
+    def log_message(self, fmt: str, *args: Any) -> None:
+        logger.debug(f"{self.address_string()} {fmt % args}")
+
+    def _parse_multipart(self) -> Dict[str, Any]:
+        """Minimal multipart/form-data parser (stdlib cgi is removed in 3.13;
+        we only need file + small text fields)."""
+        content_type = self.headers.get("Content-Type", "")
+        match = re.search(r"boundary=([^;]+)", content_type)
+        if not match:
+            raise ValueError("missing multipart boundary")
+        boundary = match.group(1).strip('"').encode()
+        length = int(self.headers.get("Content-Length", 0))
+        if length > (config.max_file_size_mb + 2) * 1024 * 1024:
+            raise ValueError("payload too large")
+        body = self.rfile.read(length)
+        fields: Dict[str, Any] = {}
+        for part in body.split(b"--" + boundary):
+            part = part.strip(b"\r\n")
+            if not part or part == b"--":
+                continue
+            header_blob, _, content = part.partition(b"\r\n\r\n")
+            headers = header_blob.decode("utf-8", "replace")
+            name_match = re.search(r'name="([^"]+)"', headers)
+            if not name_match:
+                continue
+            name = name_match.group(1)
+            file_match = re.search(r'filename="([^"]*)"', headers)
+            if file_match and file_match.group(1):
+                fields[name] = {
+                    "filename": file_match.group(1),
+                    "data": content,
+                }
+            else:
+                fields[name] = content.decode("utf-8", "replace")
+        return fields
+
+    # -- routes ----------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802
+        try:
+            path = self.path.split("?")[0]
+            if path in ("/", "/index.html"):
+                self._send(200, _UI_HTML, "text/html; charset=utf-8")
+            elif path.startswith("/api/progress/"):
+                self._progress(path.rsplit("/", 1)[1])
+            elif path.startswith("/api/result/"):
+                self._result(path.rsplit("/", 1)[1])
+            elif path.startswith("/api/image/"):
+                _, _, _, request_id, kind = path.split("/")
+                self._image(request_id, kind)
+            elif path.startswith("/api/report/"):
+                self._report(path.rsplit("/", 1)[1])
+            elif path == "/api/analytics":
+                self._analytics()
+            elif path == "/api/history":
+                self._history()
+            elif path == "/api/health":
+                self._health()
+            else:
+                self._json({"error": "not found"}, 404)
+        except Exception as exc:
+            logger.error(f"GET {self.path} failed: {exc}", exc_info=True)
+            self._json({"error": str(exc)}, 500)
+
+    def do_POST(self) -> None:  # noqa: N802
+        try:
+            path = self.path.split("?")[0]
+            if path == "/api/inspect":
+                self._inspect()
+            elif path == "/api/chat":
+                self._chat()
+            else:
+                self._json({"error": "not found"}, 404)
+        except Exception as exc:
+            logger.error(f"POST {self.path} failed: {exc}", exc_info=True)
+            self._json({"error": str(exc)}, 500)
+
+    # -- endpoint implementations ---------------------------------------
+    def _inspect(self) -> None:
+        fields = self._parse_multipart()
+        image = fields.get("image")
+        if not isinstance(image, dict) or not image.get("data"):
+            self._json({"error": "no image uploaded"}, 400)
+            return
+        filename = sanitize_filename(image["filename"] or "upload.jpg")
+        upload_dir = config.get_upload_dir()
+        import hashlib
+        import time as _time
+
+        digest = hashlib.md5(image["data"]).hexdigest()[:8]
+        stamp = _time.strftime("%Y%m%d_%H%M%S")
+        dest = upload_dir / f"{stamp}_{digest}_{filename}"
+        dest.write_bytes(image["data"])
+
+        from vis_tpu.utils.image_utils import validate_image
+
+        ok, err = validate_image(dest)
+        if not ok:
+            dest.unlink(missing_ok=True)
+            self._json({"error": err}, 400)
+            return
+
+        request_id = _start_inspection(
+            str(dest),
+            criticality=fields.get("criticality", config.default_criticality),
+            domain=fields.get("domain") or None,
+            user_notes=fields.get("user_notes") or None,
+        )
+        self._json({"request_id": request_id})
+
+    def _progress(self, request_id: str) -> None:
+        job = get_job(request_id)
+        if job is None:
+            self._json({"error": "unknown request"}, 404)
+            return
+        self._json(job.snapshot())
+
+    def _result(self, request_id: str) -> None:
+        job = get_job(request_id)
+        if job is None or job.state is None:
+            self._json({"error": "result not ready"}, 404)
+            return
+        state = dict(job.state)
+        self._json(state)
+
+    def _image(self, request_id: str, kind: str) -> None:
+        job = get_job(request_id)
+        if job is None:
+            self._json({"error": "unknown request"}, 404)
+            return
+        from vis_tpu.utils.image_utils import (
+            create_heatmap_overlay,
+            draw_bounding_boxes,
+            load_image,
+        )
+
+        defects = []
+        if job.state:
+            defects = (job.state.get("consensus") or {}).get("combined_defects", [])
+        if kind == "original":
+            img = load_image(job.image_path)
+        elif kind == "heatmap":
+            img = create_heatmap_overlay(job.image_path, defects)
+        elif kind == "annotated":
+            img = draw_bounding_boxes(job.image_path, defects)
+        else:
+            self._json({"error": "unknown image kind"}, 404)
+            return
+        buf = io.BytesIO()
+        img.convert("RGB").save(buf, format="JPEG", quality=88)
+        self._send(200, buf.getvalue(), "image/jpeg")
+
+    def _report(self, request_id: str) -> None:
+        job = get_job(request_id)
+        if job is None or job.state is None:
+            self._json({"error": "report not ready"}, 404)
+            return
+        report_path = job.state.get("report_path")
+        if not report_path or not Path(report_path).exists():
+            from vis_tpu.reporting import generate_report
+
+            report_path = str(generate_report(job.state))
+            job.state["report_path"] = report_path
+        self._send(
+            200, Path(report_path).read_bytes(), "application/pdf",
+            {"Content-Disposition":
+             f'inline; filename="inspection_{request_id}.pdf"'},
+        )
+
+    def _analytics(self) -> None:
+        from vis_tpu.database import InspectionRepository
+
+        self._json(InspectionRepository().get_defect_statistics())
+
+    def _history(self) -> None:
+        from vis_tpu.database import InspectionRepository
+
+        rows = [r.to_dict() for r in InspectionRepository().list_inspections(limit=100)]
+        self._json(rows)
+
+    def _health(self) -> None:
+        from vis_tpu.app.main import run_health_checks
+
+        self._json({name: ok for name, (ok, _) in run_health_checks().items()})
+
+    def _chat(self) -> None:
+        length = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(length))
+        request_id = payload.get("request_id", "")
+        question = str(payload.get("question", ""))[:2000]
+        job = get_job(request_id)
+        if job is None or job.state is None:
+            self._json({"error": "no completed inspection for chat"}, 404)
+            return
+
+        from vis_tpu.agents import get_explainer
+        from vis_tpu.chat_memory import get_session_history, rewrite_query_with_history
+
+        session_id = f"chat-{request_id}"
+        history = get_session_history(session_id)
+        explainer = get_explainer()
+        standalone = rewrite_query_with_history(question, history.messages)
+        context_block = _chat_context(job.state)
+
+        # Chunked streaming response: tokens flush as they decode.
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Accel-Buffering", "no")
+        self.end_headers()
+
+        answer_parts = []
+        try:
+            for chunk in explainer.chat_stream(context_block, standalone):
+                answer_parts.append(chunk)
+                data = chunk.encode()
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+        except Exception as exc:
+            logger.error(f"Chat streaming failed: {exc}")
+        self.wfile.write(b"0\r\n\r\n")
+        history.add_user_message(question)
+        history.add_ai_message("".join(answer_parts))
+
+
+def serve(host: str = "0.0.0.0", port: int = 8501) -> ThreadingHTTPServer:
+    """Start the web app (non-blocking); returns the server object."""
+    server = ThreadingHTTPServer((host, port), AppHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True,
+                              name="vis-tpu-webapp")
+    thread.start()
+    logger.info(f"Web app listening on http://{host}:{port}")
+    return server
+
+
+__all__ = ["serve", "AppHandler"]

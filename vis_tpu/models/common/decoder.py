@@ -156,10 +156,8 @@ def _attention_block(
     else:
         k_all, v_all = k, v
 
-    n_rep = config.num_heads // config.num_kv_heads
-    k_all = repeat_kv(k_all, n_rep)
-    v_all = repeat_kv(v_all, n_rep)
-
+    # attention_scores groups query heads against the shared KV heads (GQA)
+    # without materializing repeated KV — critical for decode bandwidth.
     out = attention_scores(q, k_all, v_all, mask)
     out = out.reshape(b, s, config.num_heads * hd)
     return linear(out, layer["o_proj"]), cache
@@ -214,12 +212,10 @@ def prefill(
     """Prefill a (padded) prompt into the cache; returns logits for the final
     valid position of each sequence and the updated cache.
 
-    input_embeds: [b, s_pad]; prompt_lengths: [b] true lengths (<= s_pad).
-
-    Batching contract: rows must share one true length (the engine runs
-    batch=1 bucketed, or uniform-length batches).  Mixed-length batches need
-    the per-slot caches of the continuous-batching scheduler — with a scalar
-    cursor, a shorter row's padded keys would collide with decode writes.
+    input_embeds: [b, s_pad]; prompt_lengths: [b] true lengths (<= s_pad) —
+    rows may differ (per-row cache cursors); padded tail keys are masked and
+    later overwritten by decode writes at each row's own cursor.
+    Call on a fresh cache (all cursors zero).
     """
     b, s = input_embeds.shape[:2]
     # Causal over the cache buffer + hide each row's padded tail keys.
@@ -234,9 +230,9 @@ def prefill(
         hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
     )  # [b, 1, h]
     logits = lm_logits(config, params, last_hidden)[:, 0]
-    # Cursor was advanced by s_pad inside decoder_forward; rewind to the true
-    # max length so decode writes land right after the longest prompt.
-    cache = KVCache(k=cache.k, v=cache.v, length=jnp.max(prompt_lengths).astype(jnp.int32))
+    # decoder_forward advanced every cursor by s_pad; reset to true lengths
+    # so decode writes land right after each row's own prompt.
+    cache = KVCache(k=cache.k, v=cache.v, lengths=prompt_lengths.astype(jnp.int32))
     return logits, cache
 
 
@@ -248,11 +244,8 @@ def decode_step(
     cache: KVCache,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token decode: token_embeds [b, 1]; returns next-token logits [b, v]."""
-    max_len = cache.k.shape[2]
-    kj = jnp.arange(max_len)[None, None, None, :]
-    mask = jnp.where(kj <= cache.length, 0.0, -1e30).astype(jnp.float32)
     hidden, cache = decoder_forward(
-        config, params, token_embeds, positions, cache, mask
+        config, params, token_embeds, positions, cache, cache.decode_mask()
     )
     return lm_logits(config, params, hidden)[:, 0], cache
 
@@ -271,22 +264,23 @@ def decode_loop(
     Avoids per-token host round-trips — critical when the host↔device link
     has latency (tunneled chips) and the XLA-right way to drive decode.
     first_logits: [b, v] from prefill (or the previous chunk); start_position:
-    scalar int32 position of the first generated token.  Tokens after an EOS
-    are still computed (static shapes); callers truncate at the first EOS.
-    Returns (tokens [b, num_steps], final_logits [b, v], cache) so chunks
-    chain: feed final_logits back in as the next chunk's first_logits.
+    scalar or [b] int32 position(s) of the first generated token.  Tokens
+    after an EOS are still computed (static shapes); callers truncate at the
+    first EOS.  Returns (tokens [b, num_steps], final_logits [b, v], cache)
+    so chunks chain: feed final_logits back as the next chunk's first_logits.
     """
     b = first_logits.shape[0]
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
 
     def body(step, carry):
         logits, cache, tokens = carry
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b]
         tokens = lax.dynamic_update_slice(tokens, token[:, None], (0, step))
-        pos_value = start_position + step
+        pos_vec = start_vec + step  # [b]
         if config.mrope_section is not None:
-            positions = jnp.broadcast_to(pos_value, (3, b, 1))
+            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
         else:
-            positions = jnp.broadcast_to(pos_value, (b, 1))
+            positions = pos_vec[:, None]
         embeds = jnp.take(params["embed_tokens"], token[:, None], axis=0)
         logits, cache = decode_step(config, params, embeds, positions, cache)
         return logits, cache, tokens

@@ -198,24 +198,36 @@ def attention_scores(
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Reference (XLA) scaled-dot-product attention.
+    """Reference (XLA) scaled-dot-product attention with native GQA.
 
-    q: [b, sq, h, d], k/v: [b, skv, h, d]; mask broadcastable to
-    [b, h, sq, skv] (additive, -inf for disallowed).  Softmax in f32.
+    q: [b, sq, h, d], k/v: [b, skv, kvh, d] with h = kvh * rep; mask
+    broadcastable to [b, h, sq, skv] (additive, -inf for disallowed).
+    Softmax in f32.  Grouped heads contract directly against the shared KV —
+    the KV tensors are never materialized at h width, which matters on the
+    decode path where k/v are the full cache buffers.
     """
-    head_dim = q.shape[-1]
-    scale = scale if scale is not None else head_dim ** -0.5
+    b, sq, h, d = q.shape
+    kvh = k.shape[2]
+    rep = h // kvh
+    scale = scale if scale is not None else d ** -0.5
+    qg = q.reshape(b, sq, kvh, rep, d)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqgrd,bkgd->bgrqk", qg, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
-        logits = logits + mask
+        # Masks are head-agnostic ([b|1, 1, sq, skv]); lift into the grouped
+        # [b, g, r, q, k] layout by inserting the rep axis.
+        if mask.shape[1] != 1:
+            raise ValueError(
+                f"attention mask must be head-agnostic, got head dim {mask.shape[1]}"
+            )
+        logits = logits + mask[:, :, None]
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        "bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.reshape(b, sq, h, d).astype(q.dtype)
 
 
 def causal_mask(sq: int, skv: int, offset: int = 0) -> jnp.ndarray:
@@ -240,20 +252,21 @@ def length_mask(skv: int, lengths: jnp.ndarray) -> jnp.ndarray:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape per-layer KV buffers plus the write cursor.
+    """Static-shape per-layer KV buffers with PER-ROW write cursors.
 
-    k/v: [n_layers, batch, max_len, kv_heads, head_dim]; `length` is a scalar
-    int32 tracking how many positions are valid (same for the whole batch in
-    the single-request engine; the continuous-batching scheduler keeps a
-    per-slot variant).
+    k/v: [n_layers, batch, max_len, kv_heads, head_dim]; `lengths`: [batch]
+    int32 — how many positions are valid in each row.  Per-row cursors let
+    rows at different fill levels share one buffer, which is what the
+    continuous-batching scheduler's decode slots need; uniform batches are
+    the degenerate case.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
-    length: jnp.ndarray  # scalar int32
+    lengths: jnp.ndarray  # [batch] int32
 
     def tree_flatten(self):
-        return (self.k, self.v, self.length), None
+        return (self.k, self.v, self.lengths), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -268,27 +281,48 @@ class KVCache:
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((), jnp.int32),
+            lengths=jnp.zeros((batch,), jnp.int32),
         )
 
     def update(
         self, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray
     ) -> "KVCache":
-        """Write k/v for `layer` at the current cursor.  k_new: [b, s, kvh, d].
-        The cursor only advances via advance() so all layers write at the
-        same offset within a step."""
-        start = (layer, 0, self.length, 0, 0)
+        """Write k/v for `layer` at each row's cursor.  k_new: [b, s, kvh, d].
+        Cursors only advance via advance() so all layers write at the same
+        offsets within a step."""
+
+        def write_row(buf_row, new_row, start):
+            # buf_row: [max_len, kvh, d]; new_row: [s, kvh, d]
+            return lax.dynamic_update_slice(buf_row, new_row, (start, 0, 0))
+
+        k_buf = jax.vmap(write_row)(
+            self.k[layer], k_new.astype(self.k.dtype), self.lengths
+        )
+        v_buf = jax.vmap(write_row)(
+            self.v[layer], v_new.astype(self.v.dtype), self.lengths
+        )
         return KVCache(
-            k=lax.dynamic_update_slice(self.k, k_new[None].astype(self.k.dtype), start),
-            v=lax.dynamic_update_slice(self.v, v_new[None].astype(self.v.dtype), start),
-            length=self.length,
+            k=self.k.at[layer].set(k_buf),
+            v=self.v.at[layer].set(v_buf),
+            lengths=self.lengths,
         )
 
     def advance(self, n: jnp.ndarray) -> "KVCache":
-        return KVCache(k=self.k, v=self.v, length=self.length + n)
+        """Advance cursors by n (scalar or [batch])."""
+        return KVCache(k=self.k, v=self.v, lengths=self.lengths + n)
 
     def layer(self, layer: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.k[layer], self.v[layer]
+
+    def decode_mask(self) -> jnp.ndarray:
+        """Additive mask [b, 1, 1, max_len] for one-token decode: key j of
+        row b is visible iff j <= lengths[b] (the new token writes AT the
+        cursor within the same step)."""
+        max_len = self.k.shape[2]
+        kj = jnp.arange(max_len)[None, None, None, :]
+        return jnp.where(
+            kj <= self.lengths[:, None, None, None], 0.0, -1e30
+        ).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,304 @@
+"""Continuous-batching scheduler: many requests share one model's decode.
+
+The serving tier the reference lacked (SURVEY.md §7 step 6; the reference
+processed requests strictly sequentially over HTTP).  One scheduler thread
+owns a model's device state; concurrency discipline is a queue + the single
+scheduler thread (SURVEY.md §5.2 plan):
+
+- S decode slots share one KVCache with per-row cursors,
+- a new request is prefilled alone (bucketed batch-1 compile) and its KV
+  rows are copied into a free slot,
+- all active slots decode together in one batched device step (decode is
+  HBM-bandwidth-bound, so batching is nearly free),
+- tokens stream to per-request queues; EOS/max-token slots free up and
+  waiting requests take their place (prefill is scheduled between decode
+  steps — decode TTFT is protected by running at most one prefill per loop
+  iteration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+import uuid
+from functools import partial
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vis_tpu.models.common.decoder import DecoderConfig, decode_step, prefill
+from vis_tpu.models.common.layers import KVCache
+from vis_tpu.serving.tokenizer import Tokenizer
+from vis_tpu.utils.config import config as app_config
+from vis_tpu.utils.logger import setup_logger
+
+logger = setup_logger(__name__, level="INFO", component="SCHEDULER")
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str
+    max_tokens: int = 512
+    request_id: str = dataclasses.field(
+        default_factory=lambda: str(uuid.uuid4())[:8]
+    )
+    # Stream of decoded text chunks; a final None marks completion.
+    out: "queue.Queue[Optional[str]]" = dataclasses.field(
+        default_factory=queue.Queue
+    )
+    generated: List[int] = dataclasses.field(default_factory=list)
+    emitted: str = ""
+    error: Optional[str] = None
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    position: int = 0          # next decode position (rope)
+    remaining: int = 0
+
+    @property
+    def active(self) -> bool:
+        return self.request is not None
+
+
+class ContinuousBatchingScheduler:
+    """Text-model scheduler (vision prefill is handled by the engine before
+    submission in the VLM path; this class batches the decode phase)."""
+
+    def __init__(
+        self,
+        text_config: DecoderConfig,
+        params: Any,
+        tokenizer: Tokenizer,
+        num_slots: Optional[int] = None,
+        max_len: Optional[int] = None,
+    ):
+        self.config = text_config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.num_slots = num_slots or app_config.decode_batch_size
+        self.max_len = max_len or app_config.kv_cache_max_tokens
+
+        self.cache = KVCache.create(
+            text_config.num_layers, self.num_slots, self.max_len,
+            text_config.num_kv_heads, text_config.head_dim_,
+            dtype=text_config.dtype,
+        )
+        self.slots = [_Slot() for _ in range(self.num_slots)]
+        self._logits = jnp.zeros(
+            (self.num_slots, text_config.vocab_size), jnp.float32
+        )
+
+        self._pending: "queue.Queue[Request]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        self._prefill_jit = jax.jit(partial(prefill, text_config))
+        self._decode_jit = jax.jit(partial(decode_step, text_config))
+        self._insert_jit = jax.jit(self._insert_rows)
+        self._embed_jit = jax.jit(lambda table, ids: jnp.take(table, ids, axis=0))
+
+    # -- device helpers --------------------------------------------------
+    @staticmethod
+    def _insert_rows(cache: KVCache, src: KVCache, slot: jnp.ndarray,
+                     length: jnp.ndarray, logits_buf: jnp.ndarray,
+                     row_logits: jnp.ndarray):
+        """Copy the batch-1 prefill cache (src) into slot `slot` of the
+        shared cache, set its cursor, and stash its first-token logits."""
+        src_len = src.k.shape[2]
+        k = jax.lax.dynamic_update_slice(
+            cache.k, src.k, (0, slot, 0, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache.v, src.v, (0, slot, 0, 0, 0)
+        )
+        lengths = cache.lengths.at[slot].set(length)
+        logits_buf = jax.lax.dynamic_update_slice(
+            logits_buf, row_logits, (slot, 0)
+        )
+        return KVCache(k=k, v=v, lengths=lengths), logits_buf
+
+    # -- public API ------------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="vis-tpu-scheduler")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._shutdown.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def submit(self, prompt: str, max_tokens: int = 512) -> Request:
+        request = Request(prompt=prompt, max_tokens=max_tokens)
+        self._pending.put(request)
+        return request
+
+    def generate(self, prompt: str, max_tokens: int = 512,
+                 timeout: float = 600.0) -> str:
+        """Blocking helper: submit and drain the stream."""
+        request = self.submit(prompt, max_tokens)
+        chunks = []
+        deadline = time.time() + timeout
+        while True:
+            chunk = request.out.get(timeout=max(0.1, deadline - time.time()))
+            if chunk is None:
+                break
+            chunks.append(chunk)
+        if request.error:
+            raise RuntimeError(request.error)
+        return "".join(chunks)
+
+    def stream(self, prompt: str, max_tokens: int = 512,
+               timeout: float = 600.0) -> Iterator[str]:
+        request = self.submit(prompt, max_tokens)
+        deadline = time.time() + timeout
+        while True:
+            chunk = request.out.get(timeout=max(0.1, deadline - time.time()))
+            if chunk is None:
+                break
+            yield chunk
+
+    @property
+    def active_count(self) -> int:
+        return sum(1 for s in self.slots if s.active)
+
+    # -- scheduler loop --------------------------------------------------
+    def _admit_one(self) -> bool:
+        """Prefill one waiting request into a free slot.  Returns True if a
+        request was admitted."""
+        free = next((i for i, s in enumerate(self.slots) if not s.active), None)
+        if free is None:
+            return False
+        try:
+            request = self._pending.get_nowait()
+        except queue.Empty:
+            return False
+
+        try:
+            ids = self.tokenizer.encode(request.prompt)
+            budget = self.max_len - request.max_tokens - 1
+            if len(ids) > budget:
+                ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
+            seq_len = len(ids)
+            bucket = 128
+            while bucket < seq_len:
+                bucket *= 2
+            bucket = min(bucket, self.max_len)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :seq_len] = ids
+            embeds = self._embed_jit(
+                self.params["embed_tokens"], jnp.asarray(padded)
+            )
+            positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
+            tmp_cache = KVCache.create(
+                self.config.num_layers, 1, self.max_len,
+                self.config.num_kv_heads, self.config.head_dim_,
+                dtype=self.config.dtype,
+            )
+            logits, tmp_cache = self._prefill_jit(
+                self.params, embeds, positions, tmp_cache,
+                jnp.asarray([seq_len]),
+            )
+            self.cache, self._logits = self._insert_jit(
+                self.cache, tmp_cache, jnp.int32(free), jnp.int32(seq_len),
+                self._logits, logits,
+            )
+            slot = self.slots[free]
+            slot.request = request
+            slot.position = seq_len
+            slot.remaining = request.max_tokens
+            logger.info(
+                f"Admitted {request.request_id} into slot {free} "
+                f"(prompt {seq_len} tokens, active {self.active_count})"
+            )
+            return True
+        except Exception as exc:
+            logger.error(f"Prefill failed for {request.request_id}: {exc}",
+                         exc_info=True)
+            request.error = str(exc)
+            request.out.put(None)
+            return False
+
+    def _decode_once(self) -> None:
+        """One batched decode step over all slots (inactive rows compute a
+        dummy token that is discarded)."""
+        tokens = np.zeros((self.num_slots,), np.int32)
+        next_token = np.asarray(jnp.argmax(self._logits, axis=-1))
+        positions_vec = np.zeros((self.num_slots,), np.int32)
+        for i, slot in enumerate(self.slots):
+            if slot.active:
+                tokens[i] = next_token[i]
+                positions_vec[i] = slot.position
+        if self.config.mrope_section is not None:
+            positions = jnp.asarray(
+                np.broadcast_to(positions_vec[None, :, None],
+                                (3, self.num_slots, 1)).copy()
+            )
+        else:
+            positions = jnp.asarray(positions_vec[:, None])
+        embeds = self._embed_jit(
+            self.params["embed_tokens"], jnp.asarray(tokens[:, None])
+        )
+        # Freeze inactive rows: zero their cursors' advancement by restoring
+        # lengths afterwards (their computed KV writes are masked-out slots).
+        prev_lengths = np.asarray(self.cache.lengths)
+        self._logits, self.cache = self._decode_jit(
+            self.params, embeds, positions, self.cache
+        )
+        lengths = np.array(self.cache.lengths)  # writable host copy
+        for i, slot in enumerate(self.slots):
+            if not slot.active:
+                lengths[i] = prev_lengths[i]
+                continue
+            token_id = int(tokens[i])
+            request = slot.request
+            finished = False
+            if token_id == self.tokenizer.eos_id:
+                finished = True
+            else:
+                request.generated.append(token_id)
+                text = self.tokenizer.decode(request.generated)
+                if len(text) > len(request.emitted) and not text.endswith("�"):
+                    request.out.put(text[len(request.emitted):])
+                    request.emitted = text
+                slot.position += 1
+                slot.remaining -= 1
+                if slot.remaining <= 0:
+                    finished = True
+            if finished:
+                request.out.put(None)
+                logger.info(
+                    f"Finished {request.request_id} "
+                    f"({len(request.generated)} tokens)"
+                )
+                slot.request = None
+                lengths[i] = 0
+        self.cache = KVCache(
+            k=self.cache.k, v=self.cache.v, lengths=jnp.asarray(lengths)
+        )
+
+    def _run(self) -> None:
+        logger.info(
+            f"Scheduler started: {self.num_slots} slots, "
+            f"max_len {self.max_len}"
+        )
+        while not self._shutdown.is_set():
+            admitted = self._admit_one()
+            if self.active_count == 0:
+                if not admitted:
+                    time.sleep(0.005)
+                continue
+            self._decode_once()
+        logger.info("Scheduler stopped")
+
+
+__all__ = ["ContinuousBatchingScheduler", "Request"]
