@@ -114,12 +114,12 @@ def main() -> None:
 
     tc = config.text
     max_cache = bucket + DECODE_TOKENS + 64
+    DECODE_CHUNK = 64  # dispatch size: the engine's chunked-decode design
 
     @jax.jit
-    def inspect_step(params, patches, cos, sin, num_patches, ids, positions,
+    def prefill_step(params, patches, cos, sin, num_patches, ids, positions,
                      prompt_lengths):
-        """Full dual-VLM device computation: shared vision encode, batched
-        multimodal prefill, fused 448-token greedy decode."""
+        """Shared vision encode + batched dual-prompt multimodal prefill."""
         vision = encode_image(config, params, patches, cos, sin, num_patches)
         embeds = embed_multimodal(config, params, ids, vision[:n_vision])
         cache = KVCache.create(
@@ -127,11 +127,30 @@ def main() -> None:
         )
         logits, cache = prefill(tc, params["text"], embeds, positions, cache,
                                 prompt_lengths)
-        tokens, _, _ = decode_loop(
-            tc, params["text"], logits, jnp.int32(next_pos), cache,
-            DECODE_TOKENS,
-        )
-        return tokens
+        return logits, cache
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(2,), static_argnames=("steps",))
+    def decode_chunk(params, logits, cache, start, steps):
+        return decode_loop(tc, params["text"], logits, start, cache, steps)
+
+    def inspect_once():
+        """One dual-VLM inspection: prefill dispatch + chunked decode
+        dispatches (matches the serving engine's execution shape)."""
+        logits, cache = prefill_step(*args)
+        all_tokens = []
+        pos = next_pos
+        done = 0
+        while done < DECODE_TOKENS:
+            steps = min(DECODE_CHUNK, DECODE_TOKENS - done)
+            tokens, logits, cache = decode_chunk(
+                params, logits, cache, jnp.int32(pos), steps=steps
+            )
+            all_tokens.append(tokens)
+            pos += steps
+            done += steps
+        return np.concatenate([np.asarray(t) for t in all_tokens], axis=1)
 
     args = (
         params,
@@ -143,8 +162,7 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    tokens = inspect_step(*args)
-    tokens.block_until_ready()
+    tokens = inspect_once()
     compile_s = time.perf_counter() - t0
     print(f"# first call (compile+run): {compile_s:.1f} s", file=sys.stderr)
 
@@ -164,8 +182,7 @@ def main() -> None:
     )
 
     def timed_device_call(out):
-        result = inspect_step(*args)
-        out.append(np.asarray(result))
+        out.append(inspect_once())
 
     latencies = []
     for run in range(RUNS):

@@ -1,0 +1,519 @@
+"""Mllama (Llama-3.2 Vision) in JAX: tiled ViT + cross-attention decoder.
+
+The auditor-role model (SURVEY.md §2 item 9: on-pod replacement for the
+reference's Groq-hosted Llama-3.2-11B-Vision, reference vlm_auditor.py:56).
+Architecture follows the public Mllama design, numerics verified against the
+HF torch implementation (tests/test_models_mllama.py):
+
+Vision: 448x448 tiles -> 14x14 patch conv -> per-tile aspect-ratio embedding
+-> class token -> gated positional embedding -> pre-LN -> 32 local layers
+(intermediates collected at [3,7,15,23,30]) -> post-LN -> post-tile embedding
+-> 8 tanh-gated global layers -> concat(final, intermediates) = 7680-dim
+features per patch.
+
+Text: Llama decoder where layers at `cross_attention_layers` indices are
+replaced by tanh-gated cross-attention blocks (q/k head-RMSNorm, KV from the
+projected vision features).  Self-attention layers carry the KV cache; the
+cross K/V are computed once per request at prefill and reused for decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vis_tpu.models.common.decoder import DecoderConfig, lm_logits
+from vis_tpu.models.common.layers import (
+    KVCache,
+    apply_rope,
+    attention_scores,
+    causal_mask,
+    layer_norm,
+    linear,
+    rms_norm,
+    rope_cos_sin,
+    swiglu_mlp,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MllamaVisionConfig:
+    hidden_size: int = 1280
+    num_layers: int = 32
+    num_global_layers: int = 8
+    attention_heads: int = 16
+    image_size: int = 448
+    patch_size: int = 14
+    max_num_tiles: int = 4
+    intermediate_size: int = 5120
+    intermediate_layers_indices: Tuple[int, ...] = (3, 7, 15, 23, 30)
+    num_aspect_ratios: int = 8   # len(supported_aspect_ratios)
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def patches_per_tile(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + 1  # +1 class token
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.attention_heads
+
+    @property
+    def output_dim(self) -> int:
+        """Concat of final + intermediate layer states."""
+        return self.hidden_size * (1 + len(self.intermediate_layers_indices))
+
+
+@dataclasses.dataclass(frozen=True)
+class MllamaConfig:
+    vision: MllamaVisionConfig
+    text: DecoderConfig
+    cross_attention_layers: Tuple[int, ...] = (3, 8, 13, 18, 23, 28, 33, 38)
+    image_token_id: int = 128256
+    eos_token_id: int = 128009
+
+    @classmethod
+    def tiny(cls) -> "MllamaConfig":
+        return cls(
+            vision=MllamaVisionConfig(
+                hidden_size=64, num_layers=2, num_global_layers=1,
+                attention_heads=4, image_size=56, patch_size=14,
+                max_num_tiles=2, intermediate_size=128,
+                intermediate_layers_indices=(0,), num_aspect_ratios=3,
+                dtype=jnp.float32,
+            ),
+            text=DecoderConfig(
+                vocab_size=256, hidden_size=64, num_layers=4, num_heads=4,
+                num_kv_heads=2, intermediate_size=128, rope_theta=500000.0,
+                rms_norm_eps=1e-5, qkv_bias=False,
+                rope_scaling=(
+                    ("rope_type", "llama3"), ("factor", 8.0),
+                    ("low_freq_factor", 1.0), ("high_freq_factor", 4.0),
+                    ("original_max_position_embeddings", 8192),
+                ),
+                dtype=jnp.float32,
+            ),
+            cross_attention_layers=(1, 3),
+            image_token_id=250, eos_token_id=2,
+        )
+
+    @classmethod
+    def llama32_11b_vision(cls, dtype=jnp.bfloat16) -> "MllamaConfig":
+        return cls(
+            vision=MllamaVisionConfig(dtype=dtype),
+            text=DecoderConfig(
+                vocab_size=128256, hidden_size=4096, num_layers=40,
+                num_heads=32, num_kv_heads=8, intermediate_size=14336,
+                rope_theta=500000.0, rms_norm_eps=1e-5, qkv_bias=False,
+                rope_scaling=(
+                    ("rope_type", "llama3"), ("factor", 8.0),
+                    ("low_freq_factor", 1.0), ("high_freq_factor", 4.0),
+                    ("original_max_position_embeddings", 8192),
+                ),
+                dtype=dtype,
+            ),
+        )
+
+    @property
+    def self_layer_indices(self) -> List[int]:
+        return [
+            i for i in range(self.text.num_layers)
+            if i not in self.cross_attention_layers
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+def _vision_attention(block: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                      heads: int, head_dim: int) -> jnp.ndarray:
+    b, s, _ = x.shape
+    q = linear(x, block["q_proj"]).reshape(b, s, heads, head_dim)
+    k = linear(x, block["k_proj"]).reshape(b, s, heads, head_dim)
+    v = linear(x, block["v_proj"]).reshape(b, s, heads, head_dim)
+    out = attention_scores(q, k, v, mask)
+    return linear(out.reshape(b, s, heads * head_dim), block["o_proj"])
+
+
+def _vision_layer(config: MllamaVisionConfig, block: Params, x: jnp.ndarray,
+                  mask: Optional[jnp.ndarray], gated: bool) -> jnp.ndarray:
+    h = layer_norm(x, block["input_norm"], block["input_norm_bias"],
+                   eps=config.norm_eps)
+    h = _vision_attention(block, h, mask, config.attention_heads, config.head_dim)
+    if gated:
+        h = jnp.tanh(block["gate_attn"].astype(jnp.float32)).astype(h.dtype) * h
+    x = x + h
+    h = layer_norm(x, block["post_attn_norm"], block["post_attn_norm_bias"],
+                   eps=config.norm_eps)
+    h = linear(h, block["fc1"], block["fc1_bias"])
+    h = jax.nn.gelu(h, approximate=False)
+    h = linear(h, block["fc2"], block["fc2_bias"])
+    if gated:
+        h = jnp.tanh(block["gate_ffn"].astype(jnp.float32)).astype(h.dtype) * h
+    return x + h
+
+
+def vision_forward(
+    config: MllamaVisionConfig,
+    params: Params,
+    pixel_tiles: jnp.ndarray,
+    aspect_ratio_id: jnp.ndarray,
+    tile_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Encode one image's tiles.
+
+    pixel_tiles: [num_tiles, C, H, W] normalized pixels;
+    aspect_ratio_id: scalar int; tile_mask: [num_tiles] 1.0 = valid.
+    Returns [num_tiles, patches_per_tile, output_dim] features.
+    """
+    t = pixel_tiles.shape[0]
+    p = config.patch_size
+    grid = config.image_size // p
+    n_patches = grid * grid
+
+    # Patch conv == linear over [C, P, P] blocks in row-major patch order.
+    x = pixel_tiles.reshape(t, 3, grid, p, grid, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(t, n_patches, 3 * p * p)
+    x = linear(x.astype(config.dtype), params["patch_embed"])  # [t, n, d]
+
+    # Pre-tile aspect-ratio embedding (gated).
+    pre_tile = params["pre_tile_emb"][aspect_ratio_id].reshape(
+        config.max_num_tiles, 1, config.hidden_size
+    )[:t]
+    x = x + jnp.tanh(params["pre_tile_gate"].astype(jnp.float32)).astype(x.dtype) * pre_tile
+
+    # Class token.
+    cls = jnp.broadcast_to(
+        params["class_embedding"][None, None, :], (t, 1, config.hidden_size)
+    ).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)  # [t, n+1, d]
+    n_tok = n_patches + 1
+
+    # Gated positional embedding: (1 - tanh g) * pos + tanh g * tile_pos.
+    gate = jnp.tanh(params["pos_gate"].astype(jnp.float32))
+    pos = (1.0 - gate) * params["pos_embedding"].astype(jnp.float32)
+    x = x + pos[None].astype(x.dtype)
+    tile_pos = params["tile_pos_emb"][aspect_ratio_id].reshape(
+        config.max_num_tiles, n_tok, config.hidden_size
+    )[:t]
+    x = x + (gate * tile_pos.astype(jnp.float32)).astype(x.dtype)
+
+    x = layer_norm(x, params["ln_pre"], params["ln_pre_bias"], eps=1e-5)
+
+    # Pad token dim to a multiple of 8 (HF parity).
+    pad = (8 - n_tok % 8) % 8
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    padded_tok = n_tok + pad
+
+    # Attention mask (HF semantics): valid-per-position vector v over the
+    # flattened [t * padded_tok] axis; additive mask = outer(1-v, 1-v) * min.
+    valid = jnp.broadcast_to(tile_mask[:, None], (t, padded_tok)).astype(jnp.float32)
+    if pad:
+        valid = valid.at[:, -pad:].set(0.0)
+    valid_flat = valid.reshape(1, t * padded_tok)
+    inv = 1.0 - valid_flat
+    mask = (inv[:, :, None] * inv[:, None, :]) * (-3.3895e38)
+    mask = mask[:, None]  # [1, 1, S, S]
+
+    seq = x.reshape(1, t * padded_tok, config.hidden_size)
+    intermediates = []
+    for idx, block in enumerate(params["local_layers"]):
+        if idx in config.intermediate_layers_indices:
+            intermediates.append(seq)
+        seq = _vision_layer(config, block, seq, mask, gated=False)
+    # HF collects output.hidden_states[i] == the INPUT to layer i... actually
+    # hidden_states[i] is the state before layer i runs (the encoder stores
+    # pre-layer states then the final); indices select those snapshots.
+    if len(intermediates) < len(config.intermediate_layers_indices):
+        intermediates.append(seq)
+
+    seq = layer_norm(seq, params["ln_post"], params["ln_post_bias"], eps=1e-5)
+
+    post_tile = params["post_tile_emb"][aspect_ratio_id].reshape(
+        config.max_num_tiles, 1, config.hidden_size
+    )[:t]
+    seq = seq.reshape(t, padded_tok, config.hidden_size)
+    seq = seq + jnp.tanh(
+        params["post_tile_gate"].astype(jnp.float32)
+    ).astype(seq.dtype) * post_tile
+    seq = seq.reshape(1, t * padded_tok, config.hidden_size)
+
+    for block in params["global_layers"]:
+        seq = _vision_layer(config, block, seq, mask, gated=True)
+
+    final = seq.reshape(t, padded_tok, config.hidden_size)[:, :n_tok]
+    inter = jnp.stack(
+        [s.reshape(t, padded_tok, config.hidden_size)[:, :n_tok]
+         for s in intermediates],
+        axis=-1,
+    )  # [t, n_tok, d, n_inter]
+    inter = inter.reshape(t, n_tok, -1)
+    return jnp.concatenate([final, inter], axis=-1)  # [t, n_tok, output_dim]
+
+
+# ---------------------------------------------------------------------------
+# Text model with cross-attention
+# ---------------------------------------------------------------------------
+
+def compute_cross_kv(
+    config: MllamaConfig, params: Params, vision_features: jnp.ndarray
+) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Project vision features and precompute each cross layer's K/V.
+
+    vision_features: [num_tiles, n_tok, vision_output_dim].
+    Returns per-cross-layer (k, v) of shape [1, S, kv_heads, head_dim].
+    """
+    tc = config.text
+    projected = linear(
+        vision_features.astype(tc.dtype), params["projector"],
+        params["projector_bias"],
+    )  # [t, n_tok, hidden]
+    states = projected.reshape(1, -1, tc.hidden_size)
+    out = []
+    for layer_idx in config.cross_attention_layers:
+        layer = params["text"]["layers"][layer_idx]
+        s = states.shape[1]
+        k = linear(states, layer["k_proj"]).reshape(
+            1, s, tc.num_kv_heads, tc.head_dim_
+        )
+        k = rms_norm(k, layer["k_norm"], tc.rms_norm_eps)
+        v = linear(states, layer["v_proj"]).reshape(
+            1, s, tc.num_kv_heads, tc.head_dim_
+        )
+        out.append((k, v))
+    return out
+
+
+def _cross_attn_layer(
+    tc: DecoderConfig, layer: Params, x: jnp.ndarray,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+) -> jnp.ndarray:
+    b, s, _ = x.shape
+    h = rms_norm(x, layer["input_norm"], tc.rms_norm_eps)
+    q = linear(h, layer["q_proj"]).reshape(b, s, tc.num_heads, tc.head_dim_)
+    q = rms_norm(q, layer["q_norm"], tc.rms_norm_eps)
+    k, v = cross_kv
+    k = jnp.broadcast_to(k, (b,) + k.shape[1:])
+    v = jnp.broadcast_to(v, (b,) + v.shape[1:])
+    out = attention_scores(q, k, v, None)
+    out = linear(out.reshape(b, s, tc.num_heads * tc.head_dim_), layer["o_proj"])
+    x = x + jnp.tanh(layer["gate_attn"].astype(jnp.float32)).astype(x.dtype) * out
+    h = rms_norm(x, layer["post_attn_norm"], tc.rms_norm_eps)
+    h = swiglu_mlp(h, layer["mlp"])
+    return x + jnp.tanh(layer["gate_mlp"].astype(jnp.float32)).astype(x.dtype) * h
+
+
+def _self_attn_layer(
+    tc: DecoderConfig, layer: Params, self_idx: int, x: jnp.ndarray,
+    cos: jnp.ndarray, sin: jnp.ndarray, cache: Optional[KVCache],
+    mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    b, s, _ = x.shape
+    h = rms_norm(x, layer["input_norm"], tc.rms_norm_eps)
+    q = linear(h, layer["q_proj"]).reshape(b, s, tc.num_heads, tc.head_dim_)
+    k = linear(h, layer["k_proj"]).reshape(b, s, tc.num_kv_heads, tc.head_dim_)
+    v = linear(h, layer["v_proj"]).reshape(b, s, tc.num_kv_heads, tc.head_dim_)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if cache is not None:
+        cache = cache.update(self_idx, k, v)
+        k, v = cache.layer(self_idx)
+    out = attention_scores(q, k, v, mask)
+    out = linear(out.reshape(b, s, tc.num_heads * tc.head_dim_), layer["o_proj"])
+    x = x + out
+    h = rms_norm(x, layer["post_attn_norm"], tc.rms_norm_eps)
+    return x + swiglu_mlp(h, layer["mlp"]), cache
+
+
+def text_forward(
+    config: MllamaConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cross_kv: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]],
+    cache: Optional[KVCache] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Decoder over embedded inputs.  `cache` indexes SELF layers only
+    (layer i in cache = i-th self-attention layer).  With cross_kv None the
+    cross layers are skipped entirely (text-only mode; matches HF, which
+    skips cross layers when no image is present)."""
+    tc = config.text
+    cos, sin = rope_cos_sin(
+        positions, tc.head_dim_, tc.rope_theta, tc.rope_scaling_dict
+    )
+    x = input_embeds
+    self_idx = 0
+    for layer_idx, layer in enumerate(params["text"]["layers"]):
+        if layer_idx in config.cross_attention_layers:
+            if cross_kv is not None:
+                pos_in_cross = config.cross_attention_layers.index(layer_idx)
+                x = _cross_attn_layer(tc, layer, x, cross_kv[pos_in_cross])
+            continue
+        x, cache = _self_attn_layer(tc, layer, self_idx, x, cos, sin, cache, mask)
+        self_idx += 1
+    x = rms_norm(x, params["text"]["final_norm"], tc.rms_norm_eps)
+    if cache is not None:
+        cache = cache.advance(jnp.int32(input_embeds.shape[1]))
+    return x, cache
+
+
+def mllama_logits(config: MllamaConfig, params: Params,
+                  hidden: jnp.ndarray) -> jnp.ndarray:
+    return lm_logits(config.text, params["text"], hidden)
+
+
+# ---------------------------------------------------------------------------
+# HF conversion
+# ---------------------------------------------------------------------------
+
+def _np(tensor) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        return tensor.detach().to("cpu").float().numpy()
+    return np.asarray(tensor)
+
+
+def convert_hf_state_dict(state_dict: Mapping[str, Any],
+                          config: MllamaConfig) -> Params:
+    """Map an HF MllamaForConditionalGeneration state dict onto our pytree."""
+    vd = config.vision.dtype
+    td = config.text.dtype
+    flat = { }
+    for name, tensor in state_dict.items():
+        key = name
+        for prefix in ("model.",):
+            if key.startswith(prefix):
+                key = key[len(prefix):]
+        flat[key] = tensor
+
+    def get(key: str, dtype) -> jnp.ndarray:
+        return jnp.asarray(_np(flat[key]), dtype)
+
+    vc = config.vision
+    patch_w = _np(flat["vision_model.patch_embedding.weight"])  # [d, C, P, P]
+    params: Params = {
+        "patch_embed": jnp.asarray(patch_w.reshape(vc.hidden_size, -1), vd),
+        "class_embedding": get("vision_model.class_embedding", vd),
+        "pos_gate": get("vision_model.gated_positional_embedding.gate", vd),
+        "pos_embedding": get("vision_model.gated_positional_embedding.embedding", vd),
+        "tile_pos_emb": get(
+            "vision_model.gated_positional_embedding.tile_embedding.weight", vd
+        ),
+        "pre_tile_emb": get(
+            "vision_model.pre_tile_positional_embedding.embedding.weight", vd
+        ),
+        "pre_tile_gate": get(
+            "vision_model.pre_tile_positional_embedding.gate", vd
+        ),
+        "post_tile_emb": get(
+            "vision_model.post_tile_positional_embedding.embedding.weight", vd
+        ),
+        "post_tile_gate": get(
+            "vision_model.post_tile_positional_embedding.gate", vd
+        ),
+        "ln_pre": get("vision_model.layernorm_pre.weight", vd),
+        "ln_pre_bias": get("vision_model.layernorm_pre.bias", vd),
+        "ln_post": get("vision_model.layernorm_post.weight", vd),
+        "ln_post_bias": get("vision_model.layernorm_post.bias", vd),
+        "local_layers": [],
+        "global_layers": [],
+        "projector": get("multi_modal_projector.weight", td),
+        "projector_bias": get("multi_modal_projector.bias", td),
+    }
+
+    def vision_block(prefix: str, gated: bool) -> Params:
+        block = {
+            "input_norm": get(prefix + "input_layernorm.weight", vd),
+            "input_norm_bias": get(prefix + "input_layernorm.bias", vd),
+            "post_attn_norm": get(prefix + "post_attention_layernorm.weight", vd),
+            "post_attn_norm_bias": get(prefix + "post_attention_layernorm.bias", vd),
+            "q_proj": get(prefix + "self_attn.q_proj.weight", vd),
+            "k_proj": get(prefix + "self_attn.k_proj.weight", vd),
+            "v_proj": get(prefix + "self_attn.v_proj.weight", vd),
+            "o_proj": get(prefix + "self_attn.o_proj.weight", vd),
+            "fc1": get(prefix + "mlp.fc1.weight", vd),
+            "fc1_bias": get(prefix + "mlp.fc1.bias", vd),
+            "fc2": get(prefix + "mlp.fc2.weight", vd),
+            "fc2_bias": get(prefix + "mlp.fc2.bias", vd),
+        }
+        if gated:
+            block["gate_attn"] = get(prefix + "gate_attn", vd)
+            block["gate_ffn"] = get(prefix + "gate_ffn", vd)
+        return block
+
+    for i in range(vc.num_layers):
+        params["local_layers"].append(
+            vision_block(f"vision_model.transformer.layers.{i}.", gated=False)
+        )
+    for i in range(vc.num_global_layers):
+        params["global_layers"].append(
+            vision_block(f"vision_model.global_transformer.layers.{i}.", gated=True)
+        )
+
+    tc = config.text
+    text: Params = {
+        "embed_tokens": get("language_model.embed_tokens.weight", td),
+        "final_norm": get("language_model.norm.weight", td),
+        "layers": [],
+    }
+    if not tc.tie_word_embeddings:
+        lm_key = "lm_head.weight"
+        text["lm_head"] = get(
+            lm_key if lm_key in flat else "language_model.embed_tokens.weight", td
+        )
+    for i in range(tc.num_layers):
+        prefix = f"language_model.layers.{i}."
+        if i in config.cross_attention_layers:
+            text["layers"].append({
+                "input_norm": get(prefix + "input_layernorm.weight", td),
+                "post_attn_norm": get(prefix + "post_attention_layernorm.weight", td),
+                "q_proj": get(prefix + "cross_attn.q_proj.weight", td),
+                "k_proj": get(prefix + "cross_attn.k_proj.weight", td),
+                "v_proj": get(prefix + "cross_attn.v_proj.weight", td),
+                "o_proj": get(prefix + "cross_attn.o_proj.weight", td),
+                "q_norm": get(prefix + "cross_attn.q_norm.weight", td),
+                "k_norm": get(prefix + "cross_attn.k_norm.weight", td),
+                "gate_attn": get(prefix + "cross_attn_attn_gate", td),
+                "gate_mlp": get(prefix + "cross_attn_mlp_gate", td),
+                "mlp": {
+                    "gate_proj": get(prefix + "mlp.gate_proj.weight", td),
+                    "up_proj": get(prefix + "mlp.up_proj.weight", td),
+                    "down_proj": get(prefix + "mlp.down_proj.weight", td),
+                },
+            })
+        else:
+            text["layers"].append({
+                "input_norm": get(prefix + "input_layernorm.weight", td),
+                "post_attn_norm": get(prefix + "post_attention_layernorm.weight", td),
+                "q_proj": get(prefix + "self_attn.q_proj.weight", td),
+                "k_proj": get(prefix + "self_attn.k_proj.weight", td),
+                "v_proj": get(prefix + "self_attn.v_proj.weight", td),
+                "o_proj": get(prefix + "self_attn.o_proj.weight", td),
+                "mlp": {
+                    "gate_proj": get(prefix + "mlp.gate_proj.weight", td),
+                    "up_proj": get(prefix + "mlp.up_proj.weight", td),
+                    "down_proj": get(prefix + "mlp.down_proj.weight", td),
+                },
+            })
+    params["text"] = text
+    return params
+
+
+__all__ = [
+    "MllamaVisionConfig",
+    "MllamaConfig",
+    "vision_forward",
+    "compute_cross_kv",
+    "text_forward",
+    "mllama_logits",
+    "convert_hf_state_dict",
+]
