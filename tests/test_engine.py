@@ -96,7 +96,7 @@ class TestPreprocess:
         import subprocess, sys, tempfile, json
         from pathlib import Path
 
-        ours = preprocess_image(image_file)
+        ours = preprocess_image(image_file, use_native=False)
         script = f"""
 import os
 os.environ["USE_TF"] = "0"
@@ -117,6 +117,22 @@ np.save(r"{image_file}.grid.npy", out["image_grid_thw"])
         grid = np.load(f"{image_file}.grid.npy")
         assert tuple(grid[0]) == (ours.grid_t, ours.grid_h, ours.grid_w)
         np.testing.assert_allclose(ours.patches, ref, atol=2e-3, rtol=1e-3)
+
+
+class TestNativePreprocess:
+    def test_native_matches_python_path(self, image_file):
+        from vis_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native extension not built")
+        native = preprocess_image(image_file, use_native=True)
+        python = preprocess_image(image_file, use_native=False)
+        assert native.patches.shape == python.patches.shape
+        assert (native.grid_h, native.grid_w) == (python.grid_h, python.grid_w)
+        # Support-scaled bicubic parity within ~1 u8 level RMS.
+        diff = np.abs(native.patches - python.patches)
+        assert float(diff.mean()) < 0.02
+        assert float(diff.max()) < 0.5
 
 
 class TestTextEngine:

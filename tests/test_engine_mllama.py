@@ -1,0 +1,101 @@
+"""Mllama serving-engine tests (CPU, tiny dev-profile model)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vis_tpu.models.common.decoder import DecoderConfig
+from vis_tpu.models.llama.mllama import MllamaConfig, MllamaVisionConfig, init_params
+from vis_tpu.ops.preprocess_mllama import (
+    SUPPORTED_ASPECT_RATIOS,
+    preprocess_image_mllama,
+    select_aspect_ratio,
+)
+from vis_tpu.serving.engine_mllama import MllamaEngine
+from vis_tpu.serving.tokenizer import ByteTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    config = MllamaConfig(
+        vision=MllamaVisionConfig(
+            hidden_size=64, num_layers=2, num_global_layers=1,
+            attention_heads=4, image_size=448, patch_size=14, max_num_tiles=4,
+            intermediate_size=128, intermediate_layers_indices=(0,),
+            num_aspect_ratios=8, dtype=jnp.float32,
+        ),
+        text=DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            rms_norm_eps=1e-5, tie_word_embeddings=True, dtype=jnp.float32,
+        ),
+        cross_attention_layers=(1, 3),
+        image_token_id=261, eos_token_id=256,
+    )
+    params = init_params(config, jax.random.PRNGKey(11))
+    tok = ByteTokenizer(vocab_size=config.text.vocab_size)
+    return MllamaEngine("tiny-mllama", config, params, tok,
+                        max_cache_tokens=512)
+
+
+@pytest.fixture
+def image_file(tmp_path):
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, size=(300, 500, 3), dtype=np.uint8)
+    path = tmp_path / "part.jpg"
+    Image.fromarray(arr).save(path)
+    return path
+
+
+class TestTiling:
+    def test_aspect_ratio_selection(self):
+        assert select_aspect_ratio(448, 448) == (1, 1)
+        assert select_aspect_ratio(1600, 400) in ((1, 4), (1, 3))
+        assert select_aspect_ratio(400, 1600) in ((4, 1), (3, 1))
+
+    def test_tiles_shape_and_id(self, image_file):
+        out = preprocess_image_mllama(image_file)
+        assert out.tiles.shape[1:] == (3, 448, 448)
+        assert out.tiles.shape[0] == out.num_tiles
+        assert 1 <= out.aspect_ratio_id <= len(SUPPORTED_ASPECT_RATIOS)
+
+    def test_tile_values_normalized(self, image_file):
+        out = preprocess_image_mllama(image_file)
+        assert np.isfinite(out.tiles).all()
+        assert out.tiles.std() > 0.1  # normalized pixel data, not zeros
+
+
+class TestMllamaEngine:
+    def test_text_only_generate(self, engine):
+        a = engine.generate("audit this", max_tokens=6)
+        b = engine.generate("audit this", max_tokens=6)
+        assert a == b
+
+    def test_multimodal_generate(self, engine, image_file):
+        out = engine.generate("Audit the image.", image_file, max_tokens=6)
+        assert isinstance(out, str)
+
+    def test_image_reaches_cross_attention(self, engine, image_file, tmp_path):
+        """Different images must change the cross-KV (vision path live)."""
+        rng = np.random.default_rng(5)
+        other = tmp_path / "other.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, size=(300, 500, 3), dtype=np.uint8)
+        ).save(other)
+        kvs = []
+        for path in (image_file, other):
+            tiles = preprocess_image_mllama(path)
+            feats = engine._vision_jit(
+                engine.params, jnp.asarray(tiles.tiles),
+                jnp.asarray(tiles.aspect_ratio_id),
+                jnp.asarray(tiles.tile_mask),
+            )
+            kvs.append(engine._cross_kv_jit(engine.params, feats))
+        diff = float(jnp.abs(kvs[0][0][0] - kvs[1][0][0]).max())
+        assert diff > 1e-3
+
+    def test_health_check(self, engine):
+        assert engine.health_check() is True

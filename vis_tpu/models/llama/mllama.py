@@ -227,14 +227,11 @@ def vision_forward(
     seq = x.reshape(1, t * padded_tok, config.hidden_size)
     intermediates = []
     for idx, block in enumerate(params["local_layers"]):
+        seq = _vision_layer(config, block, seq, mask, gated=False)
+        # HF's vision encoder records hidden_states AFTER each layer;
+        # intermediate_layers_indices select those post-layer snapshots.
         if idx in config.intermediate_layers_indices:
             intermediates.append(seq)
-        seq = _vision_layer(config, block, seq, mask, gated=False)
-    # HF collects output.hidden_states[i] == the INPUT to layer i... actually
-    # hidden_states[i] is the state before layer i runs (the encoder stores
-    # pre-layer states then the final); indices select those snapshots.
-    if len(intermediates) < len(config.intermediate_layers_indices):
-        intermediates.append(seq)
 
     seq = layer_norm(seq, params["ln_post"], params["ln_post_bias"], eps=1e-5)
 
@@ -370,6 +367,99 @@ def text_forward(
 def mllama_logits(config: MllamaConfig, params: Params,
                   hidden: jnp.ndarray) -> jnp.ndarray:
     return lm_logits(config.text, params["text"], hidden)
+
+
+
+
+def init_params(config: MllamaConfig, key: jax.Array, scale: float = 0.02) -> Params:
+    """Random init of the full Mllama pytree (dev profiles / tests)."""
+    vc, tc = config.vision, config.text
+    keys = iter(jax.random.split(key, 4096))
+
+    def norm(shape, dtype):
+        return (scale * jax.random.normal(next(keys), shape)).astype(dtype)
+
+    def zeros(shape, dtype):
+        return jnp.zeros(shape, dtype)
+
+    def ones(shape, dtype):
+        return jnp.ones(shape, dtype)
+
+    n_tok = vc.patches_per_tile
+    max_ar = vc.num_aspect_ratios  # ids are 1..num_aspect_ratios; row 0 = pad
+
+    def vision_block(gated: bool) -> Params:
+        block = {
+            "input_norm": ones((vc.hidden_size,), vc.dtype),
+            "input_norm_bias": zeros((vc.hidden_size,), vc.dtype),
+            "post_attn_norm": ones((vc.hidden_size,), vc.dtype),
+            "post_attn_norm_bias": zeros((vc.hidden_size,), vc.dtype),
+            "q_proj": norm((vc.hidden_size, vc.hidden_size), vc.dtype),
+            "k_proj": norm((vc.hidden_size, vc.hidden_size), vc.dtype),
+            "v_proj": norm((vc.hidden_size, vc.hidden_size), vc.dtype),
+            "o_proj": norm((vc.hidden_size, vc.hidden_size), vc.dtype),
+            "fc1": norm((vc.intermediate_size, vc.hidden_size), vc.dtype),
+            "fc1_bias": zeros((vc.intermediate_size,), vc.dtype),
+            "fc2": norm((vc.hidden_size, vc.intermediate_size), vc.dtype),
+            "fc2_bias": zeros((vc.hidden_size,), vc.dtype),
+        }
+        if gated:
+            block["gate_attn"] = zeros((1,), vc.dtype) + 0.785
+            block["gate_ffn"] = zeros((1,), vc.dtype) + 0.785
+        return block
+
+    params: Params = {
+        "patch_embed": norm((vc.hidden_size, 3 * vc.patch_size ** 2), vc.dtype),
+        "class_embedding": norm((vc.hidden_size,), vc.dtype),
+        "pos_gate": zeros((1,), vc.dtype),
+        "pos_embedding": norm((n_tok, vc.hidden_size), vc.dtype),
+        "tile_pos_emb": norm((max_ar + 1, vc.max_num_tiles * n_tok * vc.hidden_size), vc.dtype),
+        "pre_tile_emb": norm((max_ar + 1, vc.max_num_tiles * vc.hidden_size), vc.dtype),
+        "pre_tile_gate": zeros((1,), vc.dtype),
+        "post_tile_emb": norm((max_ar + 1, vc.max_num_tiles * vc.hidden_size), vc.dtype),
+        "post_tile_gate": zeros((1,), vc.dtype),
+        "ln_pre": ones((vc.hidden_size,), vc.dtype),
+        "ln_pre_bias": zeros((vc.hidden_size,), vc.dtype),
+        "ln_post": ones((vc.hidden_size,), vc.dtype),
+        "ln_post_bias": zeros((vc.hidden_size,), vc.dtype),
+        "local_layers": [vision_block(False) for _ in range(vc.num_layers)],
+        "global_layers": [vision_block(True) for _ in range(vc.num_global_layers)],
+        "projector": norm((tc.hidden_size, vc.output_dim), tc.dtype),
+        "projector_bias": zeros((tc.hidden_size,), tc.dtype),
+    }
+
+    hd = tc.head_dim_
+    text: Params = {
+        "embed_tokens": norm((tc.vocab_size + 8, tc.hidden_size), tc.dtype),
+        "final_norm": ones((tc.hidden_size,), tc.dtype),
+        "layers": [],
+    }
+    if not tc.tie_word_embeddings:
+        text["lm_head"] = norm((tc.vocab_size, tc.hidden_size), tc.dtype)
+    for i in range(tc.num_layers):
+        common = {
+            "input_norm": ones((tc.hidden_size,), tc.dtype),
+            "post_attn_norm": ones((tc.hidden_size,), tc.dtype),
+            "q_proj": norm((tc.num_heads * hd, tc.hidden_size), tc.dtype),
+            "k_proj": norm((tc.num_kv_heads * hd, tc.hidden_size), tc.dtype),
+            "v_proj": norm((tc.num_kv_heads * hd, tc.hidden_size), tc.dtype),
+            "o_proj": norm((tc.hidden_size, tc.num_heads * hd), tc.dtype),
+            "mlp": {
+                "gate_proj": norm((tc.intermediate_size, tc.hidden_size), tc.dtype),
+                "up_proj": norm((tc.intermediate_size, tc.hidden_size), tc.dtype),
+                "down_proj": norm((tc.hidden_size, tc.intermediate_size), tc.dtype),
+            },
+        }
+        if i in config.cross_attention_layers:
+            common.update(
+                q_norm=ones((hd,), tc.dtype),
+                k_norm=ones((hd,), tc.dtype),
+                gate_attn=zeros((1,), tc.dtype),
+                gate_mlp=zeros((1,), tc.dtype),
+            )
+        text["layers"].append(common)
+    params["text"] = text
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +599,7 @@ def convert_hf_state_dict(state_dict: Mapping[str, Any],
 
 
 __all__ = [
+    "init_params",
     "MllamaVisionConfig",
     "MllamaConfig",
     "vision_forward",

@@ -123,11 +123,17 @@ def preprocess_image(
     max_image_dim: Optional[int] = None,
     min_pixels: int = DEFAULT_MIN_PIXELS,
     max_pixels: int = DEFAULT_MAX_PIXELS,
+    use_native: bool = True,
 ) -> ImagePatches:
     """Host-path preprocessing of one image file.
 
     `max_image_dim` maps the reference's per-agent resolution caps
     (2048 inspector / 1024 auditor) onto the pixel budget.
+
+    When the native extension is built (python -m vis_tpu.native.build) and
+    `use_native` is true, resize+normalize+patchify run as one fused C pass
+    (PIL-parity support-scaled bicubic, within ~1 u8 level); otherwise the
+    PIL/numpy path runs (bit-exact with the HF Qwen2-VL processor).
     """
     with Image.open(image_path) as im:
         image = im.convert("RGB")
@@ -137,13 +143,27 @@ def preprocess_image(
     h_bar, w_bar = smart_resize(
         image.height, image.width, FACTOR, min_pixels, max_pixels
     )
+    grid_h, grid_w = h_bar // PATCH_SIZE, w_bar // PATCH_SIZE
+
+    if use_native:
+        from vis_tpu.native import fused_preprocess
+
+        patches = fused_preprocess(
+            np.asarray(image, dtype=np.uint8), h_bar, w_bar,
+            tuple(CLIP_MEAN), tuple(CLIP_STD),
+            TEMPORAL_PATCH_SIZE, PATCH_SIZE, MERGE_SIZE,
+        )
+        if patches is not None:
+            return ImagePatches(
+                patches=patches, grid_t=1, grid_h=grid_h, grid_w=grid_w
+            )
+
     resized = image.resize((w_bar, h_bar), Image.BICUBIC)
     arr = np.asarray(resized, dtype=np.float32) / 255.0  # [H, W, C]
     arr = (arr - CLIP_MEAN) / CLIP_STD
     arr = arr.transpose(2, 0, 1)  # [C, H, W]
     # Single image: replicate along time to fill the temporal patch.
     frames = np.stack([arr] * TEMPORAL_PATCH_SIZE, axis=0)  # [T, C, H, W]
-    grid_h, grid_w = h_bar // PATCH_SIZE, w_bar // PATCH_SIZE
     patches = patchify(frames, grid_h, grid_w)
     return ImagePatches(patches=patches, grid_t=1, grid_h=grid_h, grid_w=grid_w)
 

@@ -352,7 +352,12 @@ def _dev_text_config() -> DecoderConfig:
     )
 
 
-def build_engine(role: str, model_name: str) -> Engine:
+def _is_mllama(model_name: str) -> bool:
+    lname = model_name.lower()
+    return "llama" in lname and "vision" in lname
+
+
+def build_engine(role: str, model_name: str):
     """Create an engine for a role, loading real weights when available."""
     ckpt_root = app_config.get_checkpoint_dir()
     ckpt_dir = find_checkpoint(model_name, ckpt_root)
@@ -361,6 +366,17 @@ def build_engine(role: str, model_name: str) -> Engine:
     if ckpt_dir is not None:
         tokenizer = load_tokenizer(ckpt_dir)
         state = read_safetensors_dir(ckpt_dir)
+        if is_vlm and _is_mllama(model_name):
+            from vis_tpu.models.llama.mllama import (
+                MllamaConfig,
+                convert_hf_state_dict as convert_mllama,
+            )
+            from vis_tpu.serving.engine_mllama import MllamaEngine
+
+            cfg = MllamaConfig.llama32_11b_vision()
+            params = convert_mllama(state, cfg)
+            logger.info(f"{role}: loaded Mllama {model_name} from {ckpt_dir}")
+            return MllamaEngine(model_name, cfg, params, tokenizer)
         if is_vlm:
             lname = model_name.lower()
             cfg = (
@@ -388,6 +404,29 @@ def build_engine(role: str, model_name: str) -> Engine:
         "use USE_MOCK_RESPONSES=true for deterministic pipeline behavior)"
     )
     key = jax.random.PRNGKey(hash(role) % (2**31))
+    if is_vlm and _is_mllama(model_name):
+        from vis_tpu.models.llama.mllama import MllamaConfig, MllamaVisionConfig
+        from vis_tpu.serving.engine_mllama import MllamaEngine
+
+        cfg = MllamaConfig(
+            vision=MllamaVisionConfig(
+                hidden_size=256, num_layers=4, num_global_layers=2,
+                attention_heads=4, intermediate_size=704,
+                intermediate_layers_indices=(1, 3),
+            ),
+            text=DecoderConfig(
+                vocab_size=1024, hidden_size=1024, num_layers=8, num_heads=8,
+                num_kv_heads=2, intermediate_size=2816, rope_theta=500000.0,
+                qkv_bias=False, tie_word_embeddings=True,
+            ),
+            cross_attention_layers=(1, 5),
+            image_token_id=261, eos_token_id=256,
+        )
+        from vis_tpu.models.llama.mllama import init_params as init_mllama
+
+        params = init_mllama(cfg, key)
+        tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
+        return MllamaEngine(f"dev-{role}-mllama", cfg, params, tokenizer)
     if is_vlm:
         cfg = _dev_vlm_config()
         params = qwen_model.init_params(cfg, key)

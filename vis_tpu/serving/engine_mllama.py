@@ -1,0 +1,226 @@
+"""Mllama serving engine: tiled vision encode + cross-attention decode.
+
+The auditor-role engine (heterogeneous second model, SURVEY.md §7 step 5):
+same InferenceBackend contract as the Qwen2-VL engine, different execution
+shape — cross-attention K/V are computed once from the vision features at
+prefill and stay resident for the whole decode; only self-attention layers
+use the KV cache.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from pathlib import Path
+from typing import Any, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vis_tpu.models.common.layers import KVCache, causal_mask, length_mask
+from vis_tpu.models.llama.mllama import (
+    MllamaConfig,
+    compute_cross_kv,
+    mllama_logits,
+    text_forward,
+    vision_forward,
+)
+from vis_tpu.ops.preprocess_mllama import preprocess_image_mllama
+from vis_tpu.serving.tokenizer import Tokenizer
+from vis_tpu.utils.config import config as app_config
+from vis_tpu.utils.logger import setup_logger, span
+
+logger = setup_logger(__name__, level="INFO", component="ENGINE_MLLAMA")
+
+
+class MllamaEngine:
+    """Single-request Mllama engine with chunked greedy decode."""
+
+    def __init__(
+        self,
+        name: str,
+        config: MllamaConfig,
+        params: Any,
+        tokenizer: Tokenizer,
+        max_cache_tokens: Optional[int] = None,
+    ):
+        self.name = name
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_cache_tokens = max_cache_tokens or app_config.kv_cache_max_tokens
+        self.decode_chunk = 64
+        self._lock = threading.Lock()
+
+        self._vision_jit = jax.jit(partial(vision_forward, config.vision))
+        self._cross_kv_jit = jax.jit(partial(compute_cross_kv, config))
+        self._prefill_jit = jax.jit(self._prefill_impl)
+        self._decode_chunk_jit = jax.jit(
+            self._decode_chunk_impl, static_argnames=("steps",)
+        )
+
+    # -- jitted impls ----------------------------------------------------
+    def _prefill_impl(self, params, embeds, positions, cross_kv, cache,
+                      prompt_lengths):
+        s = embeds.shape[1]
+        mask = causal_mask(s, cache.k.shape[2]) + length_mask(
+            cache.k.shape[2], prompt_lengths
+        )
+        hidden, cache = text_forward(
+            self.config, params, embeds, positions, cross_kv, cache, mask
+        )
+        last = jnp.maximum(prompt_lengths - 1, 0)
+        last_hidden = jnp.take_along_axis(
+            hidden, last[:, None, None].astype(jnp.int32), axis=1
+        )
+        logits = mllama_logits(self.config, params, last_hidden)[:, 0]
+        cache = KVCache(k=cache.k, v=cache.v,
+                        lengths=prompt_lengths.astype(jnp.int32))
+        return logits, cache
+
+    def _decode_chunk_impl(self, params, logits, cross_kv, cache, start, steps):
+        b = logits.shape[0]
+
+        def body(step, carry):
+            logits, cache, tokens = carry
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+            positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
+            embeds = jnp.take(
+                params["text"]["embed_tokens"], token[:, None], axis=0
+            )
+            hidden, new_cache = text_forward(
+                self.config, params, embeds, positions, cross_kv, cache,
+                cache.decode_mask(),
+            )
+            logits = mllama_logits(self.config, params, hidden)[:, 0]
+            return logits, new_cache, tokens
+
+        tokens0 = jnp.zeros((b, steps), jnp.int32)
+        logits, cache, tokens = jax.lax.fori_loop(
+            0, steps, body, (logits, cache, tokens0)
+        )
+        return tokens, logits, cache
+
+    # -- public API ------------------------------------------------------
+    def generate_stream(
+        self,
+        prompt: str,
+        image_path: Optional[Path] = None,
+        *,
+        max_tokens: int = 1024,
+        temperature: float = 0.0,
+        max_image_dim: int = 1024,
+    ) -> Iterator[str]:
+        with self._lock:
+            yield from self._generate(prompt, image_path, max_tokens)
+
+    def _generate(self, prompt, image_path, max_tokens) -> Iterator[str]:
+        tc = self.config.text
+        cross_kv = None
+        if image_path is not None:
+            with span("mllama.preprocess", logger):
+                tiles = preprocess_image_mllama(image_path)
+            with span("mllama.vision", logger):
+                features = self._vision_jit(
+                    self.params,
+                    jnp.asarray(tiles.tiles),
+                    jnp.asarray(tiles.aspect_ratio_id),
+                    jnp.asarray(tiles.tile_mask),
+                )
+                cross_kv = self._cross_kv_jit(self.params, features)
+
+        ids: List[int] = []
+        if image_path is not None:
+            ids.append(self.tokenizer.image_token_id)
+        ids.extend(self.tokenizer.encode(prompt))
+        budget = self.max_cache_tokens - max_tokens - 1
+        if len(ids) > budget:
+            ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
+        seq_len = len(ids)
+        bucket = 128
+        while bucket < seq_len:
+            bucket *= 2
+        bucket = min(bucket, self.max_cache_tokens)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :seq_len] = ids
+
+        embeds = jnp.take(
+            self.params["text"]["embed_tokens"], jnp.asarray(padded), axis=0
+        )
+        positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
+        n_self = len(self.config.self_layer_indices)
+        cache = KVCache.create(
+            n_self, 1, self.max_cache_tokens, tc.num_kv_heads, tc.head_dim_,
+            dtype=tc.dtype,
+        )
+        with span("mllama.prefill", logger):
+            logits, cache = self._prefill_jit(
+                self.params, embeds, positions, cross_kv, cache,
+                jnp.asarray([seq_len]),
+            )
+
+        generated: List[int] = []
+        emitted = ""
+        remaining = max_tokens
+        pos = seq_len
+        done = False
+        with span("mllama.decode", logger):
+            while remaining > 0 and not done:
+                steps = min(self.decode_chunk, remaining)
+                tokens, logits, cache = self._decode_chunk_jit(
+                    self.params, logits, cross_kv, cache, jnp.int32(pos),
+                    steps=steps,
+                )
+                for token_id in np.asarray(tokens)[0].tolist():
+                    if token_id == self.tokenizer.eos_id:
+                        done = True
+                        break
+                    generated.append(token_id)
+                text = self.tokenizer.decode(generated)
+                if len(text) > len(emitted) and not text.endswith("�"):
+                    yield text[len(emitted):]
+                    emitted = text
+                remaining -= steps
+                pos += steps
+        final = self.tokenizer.decode(generated)
+        if len(final) > len(emitted):
+            yield final[len(emitted):]
+
+    def generate(self, prompt, image_path=None, **kwargs) -> str:
+        return "".join(self.generate_stream(prompt, image_path, **kwargs))
+
+    def health_check(self) -> bool:
+        try:
+            self.generate("OK?", None, max_tokens=2)
+            return True
+        except Exception as exc:
+            logger.error(f"Mllama health check failed: {exc}")
+            return False
+
+
+class MllamaEngineBackend:
+    def __init__(self, engine: MllamaEngine):
+        self.engine = engine
+        self.name = f"tpu:{engine.name}"
+
+    def generate(self, prompt, image_path=None, *, max_tokens=1024,
+                 temperature=0.0, max_image_dim=1024) -> str:
+        return self.engine.generate(
+            prompt, image_path, max_tokens=max_tokens,
+            max_image_dim=max_image_dim,
+        )
+
+    def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
+                        temperature=0.0, max_image_dim=1024):
+        yield from self.engine.generate_stream(
+            prompt, image_path, max_tokens=max_tokens,
+            max_image_dim=max_image_dim,
+        )
+
+    def health_check(self) -> bool:
+        return self.engine.health_check()
+
+
+__all__ = ["MllamaEngine", "MllamaEngineBackend"]
