@@ -34,8 +34,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vis_tpu.models.common.decoder import (
-        decode_loop,
-        prefill,
+        decode_loop_scan,
+        prefill_scan,
+        stack_decoder_layers,
     )
     from vis_tpu.models.common.layers import KVCache
     from vis_tpu.models.qwen2_vl.config import Qwen2VLConfig
@@ -58,6 +59,11 @@ def main() -> None:
     # ~400 round-trips over the tunneled device.
     params = jax.jit(lambda k: init_params(config, k))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    # Scan-execution layout: stacked layer params compile 28-layer programs
+    # in seconds and enable the fused-KV-write decode path.
+    stacked = stack_decoder_layers(params["text"])
+    params["text"] = {k: v for k, v in stacked.items() if k != "layers_stacked"}
+    params["text_stacked"] = stacked  # original per-layer list dropped (HBM)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"# model: qwen2-vl-2b shape, {n_params/1e9:.2f}B params bf16",
           file=sys.stderr)
@@ -125,15 +131,16 @@ def main() -> None:
         cache = KVCache.create(
             tc.num_layers, 2, max_cache, tc.num_kv_heads, tc.head_dim_,
         )
-        logits, cache = prefill(tc, params["text"], embeds, positions, cache,
-                                prompt_lengths)
+        logits, cache = prefill_scan(tc, params["text_stacked"], embeds,
+                                     positions, cache, prompt_lengths)
         return logits, cache
 
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(2,), static_argnames=("steps",))
     def decode_chunk(params, logits, cache, start, steps):
-        return decode_loop(tc, params["text"], logits, start, cache, steps)
+        return decode_loop_scan(tc, params["text_stacked"], logits, start,
+                                cache, steps)
 
     def inspect_once():
         """One dual-VLM inspection: prefill dispatch + chunked decode

@@ -292,6 +292,265 @@ def decode_loop(
     return tokens, logits, cache
 
 
+# ---------------------------------------------------------------------------
+# Scan-based execution (production path)
+#
+# The per-layer python loop above is the readable reference; the functions
+# below run the same math restructured for the compiler and the HBM:
+# - layer parameters are STACKED ([L, ...] leaves) and the layer body runs
+#   under lax.scan — one layer traced once, so 28-layer programs compile in
+#   seconds instead of minutes;
+# - prefill attends only over its own (bucketed) chunk, not the whole cache
+#   buffer, and writes all layers' K/V with ONE fused dynamic_update_slice;
+# - decode attends over (cache, new-token) separately — the updated cache
+#   slice is never materialized per layer; new K/V are written once per step.
+# Equality with the loop implementation is pinned by tests.
+# ---------------------------------------------------------------------------
+
+def stack_decoder_layers(params: Params) -> Params:
+    """Stack the per-layer dicts into [L, ...] leaves for scan execution."""
+    layers = params["layers"]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    return out
+
+
+def _layer_body(
+    config: DecoderConfig,
+    x: jnp.ndarray,
+    layer: Params,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    cache_k: Optional[jnp.ndarray],
+    cache_v: Optional[jnp.ndarray],
+    cache_mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder layer; returns (x_out, k_new, v_new).
+
+    Self-attention covers the fresh chunk (causal `mask`) plus, when
+    cache_k/v are given, the previously cached keys (additive `cache_mask`
+    hiding unwritten slots) — softmax is computed jointly over both key sets
+    via a single concatenated logits row, without materializing an updated
+    cache.
+    """
+    b, s, _ = x.shape
+    hd = config.head_dim_
+    h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
+    q = linear(h, layer["q_proj"], layer.get("q_bias")).reshape(
+        b, s, config.num_heads, hd
+    )
+    k = linear(h, layer["k_proj"], layer.get("k_bias")).reshape(
+        b, s, config.num_kv_heads, hd
+    )
+    v = linear(h, layer["v_proj"], layer.get("v_bias")).reshape(
+        b, s, config.num_kv_heads, hd
+    )
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    kvh = config.num_kv_heads
+    rep = config.num_heads // kvh
+    scale = hd ** -0.5
+    qg = q.reshape(b, s, kvh, rep, hd)
+
+    logits_new = jnp.einsum(
+        "bqgrd,bkgd->bgrqk", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits_new = logits_new + mask[:, :, None]
+
+    if cache_k is not None:
+        logits_cache = jnp.einsum(
+            "bqgrd,bkgd->bgrqk", qg, cache_k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits_cache = logits_cache + cache_mask[:, :, None]
+        joint = jnp.concatenate([logits_cache, logits_new], axis=-1)
+        probs = jax.nn.softmax(joint, axis=-1)
+        n_cache = cache_k.shape[1]
+        probs_cache = probs[..., :n_cache]
+        probs_new = probs[..., n_cache:]
+        out = jnp.einsum(
+            "bgrqk,bkgd->bqgrd", probs_cache.astype(v.dtype),
+            cache_v.astype(v.dtype), preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bgrqk,bkgd->bqgrd", probs_new.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        probs = jax.nn.softmax(logits_new, axis=-1)
+        out = jnp.einsum(
+            "bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    out = out.reshape(b, s, config.num_heads * hd).astype(x.dtype)
+    x = x + linear(out, layer["o_proj"])
+    h = rms_norm(x, layer["post_attn_norm"], config.rms_norm_eps)
+    x = x + swiglu_mlp(h, layer["mlp"])
+    return x, k, v
+
+
+def prefill_scan(
+    config: DecoderConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    prompt_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Scan-based prefill into a FRESH cache (cursors zero).
+
+    Attention runs over the padded chunk only (causal + per-row length
+    mask); all layers' K/V are written into the cache with one
+    dynamic_update_slice after the scan.
+    """
+    b, s = input_embeds.shape[:2]
+    cos, sin = _position_tables(config, positions)
+    mask = causal_mask(s, s) + length_mask(s, prompt_lengths)
+
+    def body(x, layer):
+        x, k, v = _layer_body(config, x, layer, cos, sin, mask, None, None, None)
+        return x, (k, v)
+
+    x, (k_all, v_all) = lax.scan(body, input_embeds, params["layers_stacked"])
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+
+    # k_all: [L, b, s, kvh, hd] -> write at position 0 of every row.
+    new_k = lax.dynamic_update_slice(
+        cache.k, k_all.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+    )
+    new_v = lax.dynamic_update_slice(
+        cache.v, v_all.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+    )
+    cache = KVCache(k=new_k, v=new_v, lengths=prompt_lengths.astype(jnp.int32))
+
+    last_idx = jnp.maximum(prompt_lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(
+        x, last_idx[:, None, None].astype(jnp.int32), axis=1
+    )
+    logits = lm_logits(config, params, last_hidden)[:, 0]
+    return logits, cache
+
+
+def decode_step_scan(
+    config: DecoderConfig,
+    params: Params,
+    token_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Scan-based one-token decode (sampling path): token_embeds [b, 1]."""
+    b = token_embeds.shape[0]
+    cos, sin = _position_tables(config, positions)
+    max_len = cache.k.shape[2]
+    kj = jnp.arange(max_len)[None, None, None, :]
+    cache_mask = jnp.where(
+        kj < cache.lengths[:, None, None, None], 0.0, -1e30
+    ).astype(jnp.float32)
+
+    def body(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        x, k, v = _layer_body(
+            config, x, layer, cos, sin, None, ck, cv, cache_mask
+        )
+        return x, (k, v)
+
+    x, (k_new, v_new) = lax.scan(
+        body, token_embeds, (params["layers_stacked"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = lm_logits(config, params, x)[:, 0]
+
+    def write_row(kb_row, vb_row, k_row, v_row, start):
+        kb = lax.dynamic_update_slice(
+            kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
+        )
+        vb = lax.dynamic_update_slice(
+            vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
+        )
+        return kb, vb
+
+    k_buf, v_buf = jax.vmap(
+        write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
+    )(cache.k, cache.v, k_new, v_new, cache.lengths)
+    return logits, KVCache(k=k_buf, v=v_buf, lengths=cache.lengths + 1)
+
+
+def decode_loop_scan(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    cache: KVCache,
+    num_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """Scan-based fused greedy decode of `num_steps` tokens.
+
+    Per step: scan over layers reading the cache (read-only xs) with the new
+    token's K/V handled out-of-cache, then ONE fused write of all layers'
+    new K/V at the per-row cursors.
+    """
+    b = first_logits.shape[0]
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
+    max_len = cache.k.shape[2]
+
+    def step(carry, step_idx):
+        logits, k_buf, v_buf, lengths = carry
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos_vec = start_vec + step_idx
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
+        else:
+            positions = pos_vec[:, None]
+        cos, sin = _position_tables(config, positions)
+        x = jnp.take(params["embed_tokens"], token[:, None], axis=0)
+
+        kj = jnp.arange(max_len)[None, None, None, :]
+        cache_mask = jnp.where(
+            kj < lengths[:, None, None, None], 0.0, -1e30
+        ).astype(jnp.float32)
+
+        def body(x, layer_and_cache):
+            layer, ck, cv = layer_and_cache
+            x, k, v = _layer_body(
+                config, x, layer, cos, sin, None, ck, cv, cache_mask
+            )
+            return x, (k, v)
+
+        x, (k_new, v_new) = lax.scan(
+            body, x, (params["layers_stacked"], k_buf, v_buf)
+        )
+        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+        logits = lm_logits(config, params, x)[:, 0]
+
+        # Fused per-row write of all layers' new K/V at the cursors.
+        def write_row(kb_row, vb_row, k_row, v_row, start):
+            # kb_row: [L, max_len, kvh, hd]; k_row: [L, 1, kvh, hd]
+            kb = lax.dynamic_update_slice(
+                kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
+            )
+            vb = lax.dynamic_update_slice(
+                vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
+            )
+            return kb, vb
+
+        # vmap over the batch axis (axis 1 of the [L, b, ...] buffers) in
+        # place — no physical transposes of the cache.
+        k_buf, v_buf = jax.vmap(
+            write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
+        )(k_buf, v_buf, k_new, v_new, lengths)
+        return (logits, k_buf, v_buf, lengths + 1), token
+
+    (logits, k_buf, v_buf, lengths), tokens = lax.scan(
+        step, (first_logits, cache.k, cache.v, cache.lengths),
+        jnp.arange(num_steps),
+    )
+    cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+    return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
+
+
 __all__ = [
     "DecoderConfig",
     "init_decoder_params",
@@ -300,4 +559,8 @@ __all__ = [
     "prefill",
     "decode_step",
     "decode_loop",
+    "stack_decoder_layers",
+    "prefill_scan",
+    "decode_step_scan",
+    "decode_loop_scan",
 ]

@@ -37,10 +37,11 @@ import numpy as np
 
 from vis_tpu.models.common.decoder import (
     DecoderConfig,
-    decode_loop,
-    decode_step,
+    decode_loop_scan,
+    decode_step_scan,
     init_decoder_params,
-    prefill,
+    prefill_scan,
+    stack_decoder_layers,
 )
 from vis_tpu.models.common.layers import KVCache
 from vis_tpu.models.llama import config as llama_configs
@@ -85,21 +86,31 @@ class Engine:
     ):
         self.name = name
         self.text_config = text_config
-        self.text_params = text_params
         self.tokenizer = tokenizer
         self.vlm_config = vlm_config
-        self.vlm_params = vlm_params
         self.max_cache_tokens = max_cache_tokens or app_config.kv_cache_max_tokens
         self.mesh = mesh
         self._lock = threading.Lock()
 
-        self._prefill_jit = jax.jit(partial(prefill, text_config))
-        self._decode_jit = jax.jit(partial(decode_step, text_config))
+        # Scan-execution layout: stack decoder layers once at init (the
+        # original per-layer list is dropped so weights aren't held twice).
+        if vlm_params is not None:
+            vlm_params = dict(vlm_params)
+            vlm_params["text"] = stack_decoder_layers(vlm_params["text"])
+            self.vlm_params = vlm_params
+            self.text_params = None
+        else:
+            self.vlm_params = None
+            self.text_params = stack_decoder_layers(text_params)
+
+        self._prefill_jit = jax.jit(partial(prefill_scan, text_config))
+        self._decode_jit = jax.jit(partial(decode_step_scan, text_config))
         # Fused greedy decode: one device dispatch per chunk instead of per
-        # token (lax.fori_loop inside jit) — host only checks EOS per chunk.
+        # token (lax.scan inside jit) — host only checks EOS between chunks.
         self.decode_chunk = 64
         self._decode_loop_jit = jax.jit(
-            partial(decode_loop, text_config), static_argnames=("num_steps",)
+            partial(decode_loop_scan, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3,),
         )
         self._encode_image_jit = jax.jit(
             partial(qwen_model.encode_image, vlm_config)
