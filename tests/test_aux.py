@@ -1,0 +1,107 @@
+"""Auxiliary subsystem tests: device preprocessing, Orbax checkpointing,
+profiling spans, counterfactual generation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vis_tpu.agents import MockVLMBackend, get_explainer
+from vis_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, patchify
+from vis_tpu.ops.preprocess_device import (
+    patchify_device,
+    preprocess_batch_device,
+    preprocess_frame_device,
+)
+
+
+class TestDevicePreprocess:
+    def test_patchify_device_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        frames = rng.standard_normal((2, 3, 56, 84)).astype(np.float32)
+        ref = patchify(frames, 4, 6)
+        dev = np.asarray(patchify_device(jnp.asarray(frames), 4, 6))
+        np.testing.assert_allclose(dev, ref, atol=0, rtol=0)
+
+    def test_frame_device_shapes_and_normalization(self):
+        rng = np.random.default_rng(1)
+        rgb = rng.integers(0, 255, (100, 150, 3), dtype=np.uint8)
+        out = np.asarray(preprocess_frame_device(jnp.asarray(rgb), 56, 84))
+        assert out.shape == ((56 // 14) * (84 // 14), 3 * 2 * 14 * 14)
+        # Normalized data: roughly zero-centered under CLIP stats.
+        assert abs(out.mean()) < 2.0
+        assert np.isfinite(out).all()
+
+    def test_batch_device(self):
+        rng = np.random.default_rng(2)
+        batch = rng.integers(0, 255, (3, 100, 150, 3), dtype=np.uint8)
+        out = np.asarray(preprocess_batch_device(jnp.asarray(batch), 56, 84))
+        assert out.shape[0] == 3
+        single = np.asarray(
+            preprocess_frame_device(jnp.asarray(batch[1]), 56, 84)
+        )
+        np.testing.assert_allclose(out[1], single, atol=1e-6)
+
+
+class TestOrbaxCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from vis_tpu.models.common.decoder import DecoderConfig, init_decoder_params
+        from vis_tpu.models.loader import load_orbax, save_orbax
+
+        config = DecoderConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(0))
+        path = tmp_path / "ckpt"
+        save_orbax(params, path)
+        like = jax.tree.map(np.zeros_like, params)
+        restored = load_orbax(path, like)
+        np.testing.assert_allclose(
+            np.asarray(params["layers"][0]["q_proj"]),
+            np.asarray(restored["layers"][0]["q_proj"]),
+        )
+
+
+class TestProfiling:
+    def test_device_trace_span_only(self):
+        from vis_tpu.utils.logger import get_timings
+        from vis_tpu.utils.profiling import device_trace, profiling_enabled
+
+        assert profiling_enabled() is False  # PROFILE_DIR unset in tests
+        with device_trace("unit-phase"):
+            _ = jnp.ones(4).sum()
+        assert "unit-phase" in get_timings(reset=True)
+
+    def test_device_trace_with_profile_dir(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PROFILE_DIR", str(tmp_path / "traces"))
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        from vis_tpu.utils.profiling import device_trace
+
+        with device_trace("profiled-phase"):
+            _ = jnp.ones(8).sum()
+        trace_root = tmp_path / "traces"
+        assert trace_root.exists()
+        assert any(trace_root.rglob("*"))
+        monkeypatch.delenv("PROFILE_DIR")
+        get_config(reload=True)
+
+
+class TestCounterfactual:
+    def test_counterfactual_from_defects(self, result_factory, defect_factory):
+        explainer = get_explainer(MockVLMBackend())
+        result = result_factory(
+            condition="damaged", defects=[defect_factory()]
+        )
+        text = explainer.generate_counterfactual(result, {"verdict": "UNSAFE"})
+        assert isinstance(text, str)
+
+    def test_counterfactual_clean(self, result_factory):
+        explainer = get_explainer(MockVLMBackend())
+        text = explainer.generate_counterfactual(
+            result_factory(), {"verdict": "SAFE"}
+        )
+        assert isinstance(text, str)

@@ -190,6 +190,39 @@ class ExplainerAgent(BaseVLMAgent):
                 "reasoning": "Could not generate estimates.",
             }
 
+    def generate_counterfactual(
+        self,
+        inspector_result: VLMAnalysisResult,
+        safety_verdict: Dict[str, Any],
+    ) -> str:
+        """What-if analysis: how would the verdict change if key findings
+        were different?  (The reference defined this but never wired it in —
+        reference explainer.py:97; here it feeds the report's COUNTERFACTUAL
+        section.)"""
+        defects = inspector_result.defects
+        verdict = safety_verdict.get("verdict", "UNKNOWN")
+        if not defects:
+            prompt = (
+                "In 2-3 sentences, explain what kinds of defects, had they "
+                f"been present on this {inspector_result.object_identified}, "
+                "would have changed the verdict from "
+                f"{verdict} to UNSAFE, and why."
+            )
+        else:
+            listed = "; ".join(
+                f"{d.type} ({d.safety_impact}) at {d.location}" for d in defects[:3]
+            )
+            prompt = (
+                "COUNTERFACTUAL ANALYSIS: In 2-3 sentences, explain how the "
+                f"verdict ({verdict}) would change if these defects were "
+                f"absent or less severe: {listed}."
+            )
+        try:
+            return self._call_llm(prompt).strip()
+        except Exception as exc:
+            self.logger.warning(f"Counterfactual generation failed: {exc}")
+            return ""
+
     def chat(self, system_context: str, question: str) -> str:
         """Single-turn contextual answer for the chat widget."""
         prompt = f"{get_prompt('chat_system')}\n\n{system_context}\n\nUser: {question}\nAssistant:"

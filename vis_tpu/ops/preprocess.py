@@ -11,8 +11,9 @@ dynamic-resolution patch grid:
 Two paths share one layout contract:
 - host path (numpy/PIL): bit-matches the HF Qwen2VLImageProcessor
   (bicubic resize, same reshape/transpose), used for correctness and tests;
-- device path (jnp + Pallas): batched resize/normalize/patchify on-chip for
-  serving throughput (vis_tpu.ops.patchify_pallas holds the fused kernel).
+- device path (vis_tpu.ops.preprocess_device): batched resize/normalize/
+  patchify fused on-chip for serving throughput;
+- native path (vis_tpu.native): fused C host pass at PIL-parity numerics.
 
 Grids are bucketed: each (grid_h, grid_w) pads up to a small set of patch
 counts so XLA compiles a handful of vision-encoder shapes instead of one per

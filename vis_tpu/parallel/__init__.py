@@ -2,6 +2,7 @@ from vis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, create_mesh
 from vis_tpu.parallel.sharding import (
     kv_cache_sharding,
     shard_decoder_params,
+    shard_stacked_decoder_params,
     shard_qwen2vl_params,
     shard_vision_params,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "shard_decoder_params",
+    "shard_stacked_decoder_params",
     "shard_vision_params",
     "shard_qwen2vl_params",
     "kv_cache_sharding",

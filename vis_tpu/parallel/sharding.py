@@ -109,6 +109,40 @@ def shard_qwen2vl_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     }
 
 
+def shard_stacked_decoder_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """TP-shard a scan-layout decoder pytree (layers stacked on a leading
+    [L, ...] axis — the layer axis is never partitioned)."""
+    out: Dict[str, Any] = {
+        "embed_tokens": _put(params["embed_tokens"], mesh, P(MODEL_AXIS, None)),
+        "final_norm": _put(params["final_norm"], mesh, P()),
+    }
+    if "lm_head" in params:
+        out["lm_head"] = _put(params["lm_head"], mesh, P(MODEL_AXIS, None))
+
+    stacked = params["layers_stacked"]
+    sharded = {
+        "input_norm": _put(stacked["input_norm"], mesh, P()),
+        "post_attn_norm": _put(stacked["post_attn_norm"], mesh, P()),
+        "q_proj": _put(stacked["q_proj"], mesh, P(None, MODEL_AXIS, None)),
+        "k_proj": _put(stacked["k_proj"], mesh, P(None, MODEL_AXIS, None)),
+        "v_proj": _put(stacked["v_proj"], mesh, P(None, MODEL_AXIS, None)),
+        "o_proj": _put(stacked["o_proj"], mesh, P(None, None, MODEL_AXIS)),
+        "mlp": {
+            "gate_proj": _put(stacked["mlp"]["gate_proj"], mesh,
+                              P(None, MODEL_AXIS, None)),
+            "up_proj": _put(stacked["mlp"]["up_proj"], mesh,
+                            P(None, MODEL_AXIS, None)),
+            "down_proj": _put(stacked["mlp"]["down_proj"], mesh,
+                              P(None, None, MODEL_AXIS)),
+        },
+    }
+    for bias in ("q_bias", "k_bias", "v_bias"):
+        if bias in stacked:
+            sharded[bias] = _put(stacked[bias], mesh, P(None, MODEL_AXIS))
+    out["layers_stacked"] = sharded
+    return out
+
+
 def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
     """[layers, batch, len, kv_heads, head_dim] — heads over "model" when
     divisible, batch over "data"."""
@@ -119,6 +153,7 @@ def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
 
 __all__ = [
     "shard_decoder_params",
+    "shard_stacked_decoder_params",
     "shard_vision_params",
     "shard_qwen2vl_params",
     "kv_cache_sharding",

@@ -94,14 +94,29 @@ class Engine:
 
         # Scan-execution layout: stack decoder layers once at init (the
         # original per-layer list is dropped so weights aren't held twice).
+        # With a mesh, parameters get tensor-parallel NamedShardings and the
+        # same jit functions run SPMD (XLA inserts the collectives).
+        def _finish(stacked):
+            if mesh is None:
+                return stacked
+            from vis_tpu.parallel.sharding import shard_stacked_decoder_params
+
+            return shard_stacked_decoder_params(stacked, mesh)
+
         if vlm_params is not None:
             vlm_params = dict(vlm_params)
-            vlm_params["text"] = stack_decoder_layers(vlm_params["text"])
+            vlm_params["text"] = _finish(stack_decoder_layers(vlm_params["text"]))
+            if mesh is not None:
+                from vis_tpu.parallel.sharding import shard_vision_params
+
+                vlm_params["vision"] = shard_vision_params(
+                    vlm_params["vision"], mesh
+                )
             self.vlm_params = vlm_params
             self.text_params = None
         else:
             self.vlm_params = None
-            self.text_params = stack_decoder_layers(text_params)
+            self.text_params = _finish(stack_decoder_layers(text_params))
 
         self._prefill_jit = jax.jit(partial(prefill_scan, text_config))
         self._decode_jit = jax.jit(partial(decode_step_scan, text_config))

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vis_tpu.models.common.decoder import DecoderConfig, decode_step, prefill
+from vis_tpu.models.common.decoder import (
+    DecoderConfig,
+    decode_step_scan,
+    prefill_scan,
+    stack_decoder_layers,
+)
 from vis_tpu.models.common.layers import KVCache
 from vis_tpu.serving.tokenizer import Tokenizer
 from vis_tpu.utils.config import config as app_config
@@ -79,7 +84,10 @@ class ContinuousBatchingScheduler:
         max_len: Optional[int] = None,
     ):
         self.config = text_config
-        self.params = params
+        # Scan-execution layout (stacked layer params).
+        self.params = (
+            params if "layers_stacked" in params else stack_decoder_layers(params)
+        )
         self.tokenizer = tokenizer
         self.num_slots = num_slots or app_config.decode_batch_size
         self.max_len = max_len or app_config.kv_cache_max_tokens
@@ -98,8 +106,8 @@ class ContinuousBatchingScheduler:
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
-        self._prefill_jit = jax.jit(partial(prefill, text_config))
-        self._decode_jit = jax.jit(partial(decode_step, text_config))
+        self._prefill_jit = jax.jit(partial(prefill_scan, text_config))
+        self._decode_jit = jax.jit(partial(decode_step_scan, text_config))
         self._insert_jit = jax.jit(self._insert_rows)
         self._embed_jit = jax.jit(lambda table, ids: jnp.take(table, ids, axis=0))
 
