@@ -1,0 +1,133 @@
+"""Int8 weight-only quantization tests: accuracy, linear dispatch, Pallas
+kernel vs fallback, and quantized scan-decode sanity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from vis_tpu.models.common.decoder import (
+    DecoderConfig,
+    decode_loop_scan,
+    init_decoder_params,
+    prefill_scan,
+    quantize_stacked_params,
+    stack_decoder_layers,
+)
+from vis_tpu.models.common.layers import KVCache, linear
+from vis_tpu.ops.quantized import (
+    QuantizedWeight,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+class TestQuantizeWeight:
+    def test_roundtrip_error_small(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+        qw = quantize_weight(w)
+        deq = qw.dequantize(jnp.float32)
+        rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+        assert rel < 0.01  # <=1/254 per-channel quantization step
+
+    def test_linear_dispatch(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((3, 128)).astype(np.float32))
+        exact = linear(x, w)
+        approx = linear(x, quantize_weight(w))
+        rel = float(jnp.abs(exact - approx).max() / jnp.abs(exact).max())
+        assert rel < 0.05
+
+    def test_pallas_kernel_matches_fallback(self):
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+        qw = quantize_weight(w)
+        fallback = quantized_matmul(x, qw)  # CPU path (default backend cpu)
+        with pltpu.force_tpu_interpret_mode():
+            # Force the kernel branch through interpret mode.
+            import vis_tpu.ops.quantized as qmod
+
+            orig = jax.default_backend
+            try:
+                jax.default_backend = lambda: "tpu"
+                kernel_out = quantized_matmul(x, qw)
+            finally:
+                jax.default_backend = orig
+        np.testing.assert_allclose(
+            np.asarray(kernel_out), np.asarray(fallback), atol=0.5, rtol=2e-2
+        )
+
+
+class TestQuantizedDecode:
+    def test_quantized_scan_decode_runs_and_tracks_bf16(self):
+        config = DecoderConfig(
+            vocab_size=256, hidden_size=128, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=256, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(5))
+        stacked = stack_decoder_layers(params)
+        quantized = quantize_stacked_params(stacked)
+
+        rng = np.random.default_rng(3)
+        ids = rng.integers(5, 250, size=(1, 12))
+        embeds = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+        positions = jnp.asarray(np.arange(12)[None])
+
+        outs = {}
+        for name, p in (("bf16", stacked), ("int8", quantized)):
+            cache = KVCache.create(
+                config.num_layers, 1, 64, config.num_kv_heads,
+                config.head_dim_, dtype=jnp.float32,
+            )
+            logits, cache = prefill_scan(
+                config, p, embeds, positions, cache, jnp.asarray([12])
+            )
+            tokens, _, _ = decode_loop_scan(
+                config, p, logits, jnp.int32(12), cache, 6
+            )
+            outs[name] = (np.asarray(logits), np.asarray(tokens))
+
+        # Logits track closely; greedy tokens may occasionally differ on
+        # near-ties, but for this seed they should match.
+        l_bf, t_bf = outs["bf16"]
+        l_q, t_q = outs["int8"]
+        rel = np.abs(l_bf - l_q).max() / (np.abs(l_bf).max() + 1e-9)
+        assert rel < 0.1
+        assert np.isfinite(l_q).all()
+
+
+class TestQuantizedEngine:
+    def test_engine_with_int8_quantization(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("QUANTIZATION", "int8")
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            from vis_tpu.serving.engine import Engine
+            from vis_tpu.serving.tokenizer import ByteTokenizer
+
+            config = DecoderConfig(
+                vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+                tie_word_embeddings=True, dtype=jnp.float32,
+            )
+            params = init_decoder_params(config, jax.random.PRNGKey(9))
+            tok = ByteTokenizer(vocab_size=config.vocab_size)
+            engine = Engine("q8", config, params, tok, max_cache_tokens=256)
+            from vis_tpu.ops.quantized import QuantizedWeight
+
+            assert isinstance(
+                engine.text_params["layers_stacked"]["q_proj"], QuantizedWeight
+            )
+            out_a = engine.generate("check the casting", max_tokens=6)
+            out_b = engine.generate("check the casting", max_tokens=6)
+            assert out_a == out_b
+        finally:
+            monkeypatch.delenv("QUANTIZATION")
+            get_config(reload=True)

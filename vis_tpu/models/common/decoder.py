@@ -307,6 +307,38 @@ def decode_loop(
 # Equality with the loop implementation is pinned by tests.
 # ---------------------------------------------------------------------------
 
+_QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj")
+_QUANT_MLP_TARGETS = ("gate_proj", "up_proj", "down_proj")
+
+
+def quantize_stacked_params(stacked: Params) -> Params:
+    """Weight-only int8 quantization of a scan-layout decoder pytree.
+
+    Attention and MLP projection weights ([L, O, I]) become QuantizedWeight
+    (per-row int8 + f32 scales, vmapped over layers); norms, biases, and
+    embeddings stay bf16.  lax.scan slices QuantizedWeight leaves per layer,
+    so the scan execution path is unchanged — linear() dispatches to the
+    Pallas dequantizing matmul.
+    """
+    from vis_tpu.ops.quantized import QuantizedWeight, quantize_weight
+
+    def quantize_stack(w):
+        qw = jax.vmap(quantize_weight)(w)  # leaves stacked over L
+        return QuantizedWeight(q=qw.q, scale=qw.scale)
+
+    out = {k: v for k, v in stacked.items() if k != "layers_stacked"}
+    layers = dict(stacked["layers_stacked"])
+    for name in _QUANT_TARGETS:
+        if name in layers:
+            layers[name] = quantize_stack(layers[name])
+    mlp = dict(layers["mlp"])
+    for name in _QUANT_MLP_TARGETS:
+        mlp[name] = quantize_stack(mlp[name])
+    layers["mlp"] = mlp
+    out["layers_stacked"] = layers
+    return out
+
+
 def stack_decoder_layers(params: Params) -> Params:
     """Stack the per-layer dicts into [L, ...] leaves for scan execution."""
     layers = params["layers"]
@@ -560,6 +592,7 @@ __all__ = [
     "decode_step",
     "decode_loop",
     "stack_decoder_layers",
+    "quantize_stacked_params",
     "prefill_scan",
     "decode_step_scan",
     "decode_loop_scan",

@@ -51,10 +51,15 @@ def layer_norm(
 # Linear / embedding
 # ---------------------------------------------------------------------------
 
-def linear(x: jnp.ndarray, weight: jnp.ndarray,
+def linear(x: jnp.ndarray, weight: Any,
            bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x @ W^T (+ b).  Weight layout [out, in] matches HF checkpoints so
-    loading needs no transpose."""
+    loading needs no transpose.  Accepts an int8 QuantizedWeight, routed
+    through the Pallas dequantizing matmul (vis_tpu.ops.quantized)."""
+    from vis_tpu.ops.quantized import QuantizedWeight, quantized_linear
+
+    if isinstance(weight, QuantizedWeight):
+        return quantized_linear(x, weight, bias)
     out = jnp.einsum(
         "...i,oi->...o", x, weight, preferred_element_type=jnp.float32
     )

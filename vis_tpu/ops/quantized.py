@@ -1,0 +1,136 @@
+"""Weight-only int8 quantization with a Pallas dequantizing matmul.
+
+Serving-memory/bandwidth optimization for the decode path (decode is
+HBM-bound: every step reads all decoder weights).  Weights are stored as
+per-output-channel symmetric int8 (+f32 scales, half the bytes of bf16);
+the Pallas kernel streams int8 tiles into VMEM, dequantizes on the VPU, and
+feeds the MXU — XLA alone materializes the dequantized weights in HBM and
+only reaches ~1.3x, the fused kernel approaches the full 2x bandwidth win.
+
+QuantizedWeight is a pytree, so it flows through jit/scan/sharding like a
+plain array; vis_tpu.models.common.layers.linear dispatches on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedWeight:
+    """Per-output-channel symmetric int8 weight: w ≈ q * scale[:, None].
+
+    q: [out, in] int8; scale: [out] f32.  Layout matches the framework's
+    [out, in] linear convention, so it drops in anywhere a weight array goes.
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.q.shape
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        return (self.q.astype(jnp.float32) * self.scale[:, None]).astype(dtype)
+
+
+def quantize_weight(w: jnp.ndarray) -> QuantizedWeight:
+    """Symmetric per-row (output channel) int8 quantization."""
+    w32 = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale[:, None]), -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q=q, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Pallas dequantizing matmul
+# ---------------------------------------------------------------------------
+
+def _q8_matmul_kernel(x_ref, q_ref, scale_ref, o_ref, *, block_o: int):
+    """y_tile = (x @ dequant(q_tile)^T) * scale_tile.
+
+    x_ref: [B, I] bf16 (whole activation in VMEM — decode B is tiny);
+    q_ref: [block_o, I] int8 tile; scale_ref: [1, block_o] f32;
+    o_ref: [B, block_o] f32.
+    """
+    x = x_ref[...]
+    w = q_ref[...].astype(jnp.bfloat16)  # VPU int8 -> bf16, stays in VMEM
+    y = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, block_o]
+    o_ref[...] = y * scale_ref[0, :][None, :]
+
+
+def quantized_matmul(
+    x: jnp.ndarray, qw: QuantizedWeight, *, block_o: int = 256
+) -> jnp.ndarray:
+    """x [B, I] @ qw^T -> [B, O] f32, streaming int8 weights.
+
+    Requirements: O % block_o == 0 and I a multiple of 128 (pad upstream);
+    falls back to dequantize+einsum otherwise or off-TPU.
+    """
+    out_dim, in_dim = qw.q.shape
+    batch = x.shape[0]
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and out_dim % block_o == 0
+        and in_dim % 128 == 0
+    )
+    if not use_kernel:
+        return jnp.einsum(
+            "bi,oi->bo", x.astype(jnp.bfloat16), qw.dequantize(),
+            preferred_element_type=jnp.float32,
+        )
+
+    kernel = functools.partial(_q8_matmul_kernel, block_o=block_o)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, out_dim), jnp.float32),
+        grid=(out_dim // block_o,),
+        in_specs=[
+            pl.BlockSpec((batch, in_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, in_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, block_o), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(x.astype(jnp.bfloat16), qw.q, qw.scale.reshape(1, -1))
+
+
+def quantized_linear(
+    x: jnp.ndarray, qw: QuantizedWeight, bias: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """linear() semantics over a QuantizedWeight: [..., I] -> [..., O]."""
+    lead_shape = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    y = quantized_matmul(flat, qw)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.reshape(*lead_shape, qw.q.shape[0]).astype(x.dtype)
+
+
+__all__ = [
+    "QuantizedWeight",
+    "quantize_weight",
+    "quantized_matmul",
+    "quantized_linear",
+]

@@ -97,6 +97,11 @@ class Engine:
         # With a mesh, parameters get tensor-parallel NamedShardings and the
         # same jit functions run SPMD (XLA inserts the collectives).
         def _finish(stacked):
+            if app_config.quantization == "int8":
+                from vis_tpu.models.common.decoder import quantize_stacked_params
+
+                stacked = quantize_stacked_params(stacked)
+                logger.info(f"{name}: int8 weight-only quantization applied")
             if mesh is None:
                 return stacked
             from vis_tpu.parallel.sharding import shard_stacked_decoder_params

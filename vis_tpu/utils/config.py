@@ -128,6 +128,7 @@ class Config(BaseModel):
     kv_page_size: int = 128           # paged-KV block size (tokens)
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
+    quantization: str = "none"        # "none" | "int8" weight-only decoder quant
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
@@ -162,6 +163,14 @@ class Config(BaseModel):
         lower = v.lower()
         if lower not in _VALID_ENVIRONMENTS:
             raise ValueError(f"invalid environment {v!r}; expected one of {sorted(_VALID_ENVIRONMENTS)}")
+        return lower
+
+    @field_validator("quantization")
+    @classmethod
+    def _check_quantization(cls, v: str) -> str:
+        lower = v.lower()
+        if lower not in ("none", "int8"):
+            raise ValueError(f"quantization must be 'none' or 'int8', got {v!r}")
         return lower
 
     @field_validator("mesh_shape")
