@@ -1,9 +1,8 @@
-"""On-pod serving tier: engine, scheduler, sampling.
+"""On-pod serving tier: engines, continuous batching, tokenizers, sampling.
 
 `get_engine_backend(role, model_name)` returns an InferenceBackend whose
-generate() runs JAX prefill+decode on the local device(s).  Populated by
-vis_tpu.serving.engine; this indirection keeps agent imports cheap when the
-mock backend is in use.
+generate() runs JAX prefill+decode on the local device(s); this indirection
+keeps agent imports cheap when the mock backend is in use.
 """
 
 from __future__ import annotations
@@ -15,4 +14,10 @@ def get_engine_backend(role: str, model_name: str):
     return _impl(role, model_name)
 
 
-__all__ = ["get_engine_backend"]
+def get_scheduler(*args, **kwargs):
+    from vis_tpu.serving.scheduler import ContinuousBatchingScheduler
+
+    return ContinuousBatchingScheduler(*args, **kwargs)
+
+
+__all__ = ["get_engine_backend", "get_scheduler"]
