@@ -60,3 +60,44 @@ def test_rejects_unaligned_shapes():
     q, k, v = _random_qkv(sq=100, skv=100)
     with pytest.raises(ValueError):
         flash_attention(q, k, v)
+
+
+def test_vision_encoder_flash_matches_einsum():
+    """vision_forward with the flash backend must match the einsum backend
+    on a padded bucket (valid rows only)."""
+    import jax
+    from vis_tpu.models.qwen2_vl.config import VisionConfig
+    from vis_tpu.models.qwen2_vl.vision import (
+        init_vision_params,
+        vision_forward,
+        vision_rotary_tables,
+    )
+
+    config = VisionConfig(
+        depth=2, embed_dim=64, num_heads=4, hidden_size=64, dtype=jnp.float32
+    )
+    params = init_vision_params(config, jax.random.PRNGKey(0))
+    grid_h, grid_w = 8, 16  # 128 patches = one flash block
+    n = grid_h * grid_w
+    rng = np.random.default_rng(5)
+    pad_n = 256
+    patches = np.zeros((pad_n, config.patch_input_dim), np.float32)
+    patches[:n] = rng.standard_normal((n, config.patch_input_dim))
+    cos, sin = vision_rotary_tables(config, grid_h, grid_w)
+    cos_p = np.zeros((pad_n, cos.shape[1]), np.float32)
+    sin_p = np.zeros((pad_n, sin.shape[1]), np.float32)
+    cos_p[:n], sin_p[:n] = cos, sin
+
+    ref = np.asarray(vision_forward(
+        config, params, jnp.asarray(patches), jnp.asarray(cos_p),
+        jnp.asarray(sin_p), num_patches=jnp.asarray(n), use_flash=False,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        flash = np.asarray(vision_forward(
+            config, params, jnp.asarray(patches), jnp.asarray(cos_p),
+            jnp.asarray(sin_p), num_patches=jnp.asarray(n), use_flash=True,
+        ))
+    valid_tokens = n // 4
+    np.testing.assert_allclose(
+        flash[:valid_tokens], ref[:valid_tokens], atol=5e-4, rtol=1e-3
+    )

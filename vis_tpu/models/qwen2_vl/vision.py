@@ -118,6 +118,7 @@ def vision_forward(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     num_patches: Optional[jnp.ndarray] = None,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Encode one image's patch sequence.
 
@@ -125,14 +126,27 @@ def vision_forward(
     (padded to the bucket length); cos/sin: [seq, head_dim] rotary tables;
     num_patches: scalar count of valid patches (None = all valid).
     Returns [seq / merge_unit, hidden_size] merged vision embeddings.
+
+    Attention backend: the XLA einsum path materializes [heads, seq, seq]
+    scores — fine up to a few thousand patches; for high-resolution grids
+    the Pallas flash-attention kernel (O(seq) memory) is used instead.
+    `use_flash=None` auto-selects: flash on TPU when seq is block-aligned
+    and large enough to matter.
     """
     seq = patches.shape[0]
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu" and seq % 128 == 0 and seq >= 1024
+        )
+
     x = linear(patches.astype(config.dtype), params["patch_embed"])  # [seq, d]
 
     if num_patches is not None:
+        valid_count = num_patches
         valid = jnp.arange(seq) < num_patches
         attn_bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[None, None, :]
     else:
+        valid_count = jnp.int32(seq)
         attn_bias = None
 
     scale = config.head_dim ** -0.5
@@ -143,17 +157,26 @@ def vision_forward(
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
         q = _apply_vision_rope(q, cos, sin)
         k = _apply_vision_rope(k, cos, sin)
-        logits = jnp.einsum(
-            "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if attn_bias is not None:
-            logits = logits + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "hqk,khd->qhd", probs.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        out = out.reshape(seq, config.embed_dim)
+        if use_flash:
+            from vis_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(
+                q[None], k[None], v[None],
+                lengths=valid_count[None],
+                causal=False, sm_scale=scale,
+            )[0]
+        else:
+            logits = jnp.einsum(
+                "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if attn_bias is not None:
+                logits = logits + attn_bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "hqk,khd->qhd", probs.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+        out = out.astype(x.dtype).reshape(seq, config.embed_dim)
         x = x + linear(out, block["proj"], block["proj_bias"])
         h = layer_norm(x, block["norm2"], block["norm2_bias"], eps=1e-6)
         x = x + gelu_mlp(h, block["mlp"], quick=(config.hidden_act == "quick_gelu"))

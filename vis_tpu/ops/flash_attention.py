@@ -3,15 +3,18 @@
 Online-softmax tiled attention (never materializes the [sq, skv] score
 matrix in HBM) for the framework's two prefill hot paths:
 - vision-encoder full attention over padded patch buckets (non-causal,
-  per-batch valid-length masking), and
+  per-batch valid-length masking) — required for high-resolution dynamic
+  grids where XLA's einsum path would need O(seq^2) HBM, and
 - decoder prompt prefill (causal, with valid-length masking).
 
 Decode (single-query) stays on the XLA path — its cost is KV bandwidth, not
 scores materialization.
 
-Layout: q/k/v are [batch, seq, heads, head_dim] (the models' native layout;
-BlockSpec index maps slice it directly, no host-side transpose).  Grid is
-(batch, heads, sq/block_q, skv/block_k) with the KV dimension innermost so
+Layout: the public API takes the models' native [batch, seq, heads,
+head_dim]; internally q/k/v fold to [batch*heads, seq, head_dim] so block
+shapes satisfy Mosaic's (8, 128) tiling on the last two dims (head_dim rides
+as a full-array dim, so 80-dim Qwen2-VL vision heads work).  Grid is
+(batch*heads, sq/block_q, skv/block_k) with the KV dimension innermost so
 the m/l/acc scratch accumulators persist across KV tiles of one Q tile.
 Numerics: f32 softmax statistics and accumulation, bf16/f32 inputs.
 
@@ -37,10 +40,10 @@ DEFAULT_BLOCK_K = 128
 
 def _flash_kernel(
     lengths_ref,  # scalar-prefetch: [batch] int32 valid KV lengths
-    q_ref,        # [1, block_q, 1, d]
-    k_ref,        # [1, block_k, 1, d]
-    v_ref,        # [1, block_k, 1, d]
-    o_ref,        # [1, block_q, 1, d]
+    q_ref,        # [1, block_q, d]
+    k_ref,        # [1, block_k, d]
+    v_ref,        # [1, block_k, d]
+    o_ref,        # [1, block_q, d]
     m_scratch,    # [block_q, 128] f32
     l_scratch,    # [block_q, 128] f32
     acc_scratch,  # [block_q, d] f32
@@ -49,12 +52,12 @@ def _flash_kernel(
     sm_scale: float,
     block_q: int,
     block_k: int,
-    kv_len: int,
+    num_heads: int,
 ):
-    b_idx = pl.program_id(0)
-    q_idx = pl.program_id(2)
-    kv_idx = pl.program_id(3)
-    num_kv = pl.num_programs(3)
+    bh_idx = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -62,7 +65,7 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    valid_len = lengths_ref[b_idx]
+    valid_len = lengths_ref[bh_idx // num_heads]
 
     # Causal: skip KV tiles entirely above the diagonal.  Padding: skip KV
     # tiles entirely beyond the batch row's valid length.
@@ -74,9 +77,9 @@ def _flash_kernel(
 
     @pl.when(run)
     def _tile():
-        q = q_ref[0, :, 0, :]  # [block_q, d]
-        k = k_ref[0, :, 0, :]  # [block_k, d]
-        v = v_ref[0, :, 0, :]
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_k, d]
+        v = v_ref[0]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -120,7 +123,7 @@ def _flash_kernel(
     def _store():
         l_final = l_scratch[...][:, :1]  # [block_q, 1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
-        o_ref[0, :, 0, :] = (
+        o_ref[0] = (
             acc_scratch[...] * jnp.broadcast_to(l_inv, acc_scratch.shape)
         ).astype(o_ref.dtype)
 
@@ -155,7 +158,13 @@ def flash_attention(
     if lengths is None:
         lengths = jnp.full((b,), skv, jnp.int32)
 
-    grid = (b, h, sq // block_q, skv // block_k)
+    # Fold heads into the leading grid axis: [b, s, h, d] -> [b*h, s, d].
+    def fold(x, s):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    qf, kf, vf = fold(q, sq), fold(k, skv), fold(v, skv)
+
+    grid = (b * h, sq // block_q, skv // block_k)
 
     kernel = functools.partial(
         _flash_kernel,
@@ -163,28 +172,28 @@ def flash_attention(
         sm_scale=scale,
         block_q=block_q,
         block_k=block_k,
-        kv_len=skv,
+        num_heads=h,
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, block_q, 1, d), lambda b_, h_, q_, kv_, lens: (b_, q_, h_, 0)
+                    (1, block_q, d), lambda bh, q_, kv, lens: (bh, q_, 0)
                 ),
                 pl.BlockSpec(
-                    (1, block_k, 1, d), lambda b_, h_, q_, kv_, lens: (b_, kv_, h_, 0)
+                    (1, block_k, d), lambda bh, q_, kv, lens: (bh, kv, 0)
                 ),
                 pl.BlockSpec(
-                    (1, block_k, 1, d), lambda b_, h_, q_, kv_, lens: (b_, kv_, h_, 0)
+                    (1, block_k, d), lambda bh, q_, kv, lens: (bh, kv, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, block_q, 1, d), lambda b_, h_, q_, kv_, lens: (b_, q_, h_, 0)
+                (1, block_q, d), lambda bh, q_, kv, lens: (bh, q_, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -192,7 +201,8 @@ def flash_attention(
                 pltpu.VMEM((block_q, d), jnp.float32),
             ],
         ),
-    )(lengths.astype(jnp.int32), q, k, v)
+    )(lengths.astype(jnp.int32), qf, kf, vf)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
 def flash_attention_reference(
