@@ -61,7 +61,14 @@ def main() -> None:
     jax.block_until_ready(params)
     # Scan-execution layout: stacked layer params compile 28-layer programs
     # in seconds and enable the fused-KV-write decode path.
+    import os
+
     stacked = stack_decoder_layers(params["text"])
+    if os.environ.get("BENCH_QUANT", "int8") == "int8":
+        from vis_tpu.models.common.decoder import quantize_stacked_params
+
+        stacked = quantize_stacked_params(stacked)
+        print("# int8 weight-only decoder quantization active", file=sys.stderr)
     params["text"] = {k: v for k, v in stacked.items() if k != "layers_stacked"}
     params["text_stacked"] = stacked  # original per-layer list dropped (HBM)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

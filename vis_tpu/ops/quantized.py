@@ -87,8 +87,12 @@ def quantized_matmul(
     """
     out_dim, in_dim = qw.q.shape
     batch = x.shape[0]
+    # The kernel holds the full activation block in VMEM, so it is a
+    # DECODE-path kernel (few rows); prefill-sized activations fall back to
+    # the XLA path, where weight bandwidth is not the bottleneck anyway.
     use_kernel = (
         jax.default_backend() == "tpu"
+        and batch <= 128
         and out_dim % block_o == 0
         and in_dim % 128 == 0
     )
