@@ -164,6 +164,29 @@ class Engine:
         )
         return np.array([ids]), positions, next_pos
 
+    # -- scheduler attachment --------------------------------------------
+    def attach_scheduler(self, num_slots: Optional[int] = None) -> None:
+        """Enable continuous-batched decode: concurrent requests prefill
+        under the engine lock (vision + prompt), then decode TOGETHER in the
+        shared scheduler's slots — many inspections in flight share every
+        decode step's weight reads."""
+        from vis_tpu.serving.scheduler import ContinuousBatchingScheduler
+
+        params = (
+            self.text_params if self.vlm_config is None
+            else self.vlm_params["text"]
+        )
+        self.scheduler = ContinuousBatchingScheduler(
+            self.text_config, params, self.tokenizer,
+            num_slots=num_slots, max_len=self.max_cache_tokens,
+        )
+        self.scheduler.start()
+
+    def detach_scheduler(self) -> None:
+        if getattr(self, "scheduler", None) is not None:
+            self.scheduler.stop()
+            self.scheduler = None
+
     # -- generation -----------------------------------------------------
     def generate_stream(
         self,
@@ -174,11 +197,106 @@ class Engine:
         temperature: float = 0.0,
         max_image_dim: int = 2048,
     ) -> Iterator[str]:
-        with self._lock:  # one request at a time per engine (round-1 serving)
+        scheduler = getattr(self, "scheduler", None)
+        if scheduler is not None and temperature <= 0.0:
+            # Prefill under the lock, decode batched in the scheduler.
+            with self._lock:
+                cache, logits, next_pos = self._prefill_request(
+                    prompt, image_path, max_tokens=max_tokens,
+                    max_image_dim=max_image_dim,
+                )
+            request = scheduler.submit_prefilled(
+                cache, logits, next_pos, max_tokens=max_tokens
+            )
+            while True:
+                chunk = request.out.get()
+                if chunk is None:
+                    break
+                yield chunk
+            if request.error:
+                raise RuntimeError(request.error)
+            return
+        with self._lock:  # unbatched path: one request at a time per engine
             yield from self._generate_locked(
                 prompt, image_path, max_tokens=max_tokens,
                 temperature=temperature, max_image_dim=max_image_dim,
             )
+
+    def _prefill_request(
+        self, prompt, image_path, *, max_tokens, max_image_dim
+    ):
+        """Vision encode + multimodal/text prefill into a fresh batch-1
+        cache; returns (cache, first_logits, next_position)."""
+        tc = self.text_config
+        image = None
+        vision_embeds = None
+        if image_path is not None and self.vlm_config is not None:
+            with span("engine.preprocess", logger):
+                image = preprocess_image(image_path, max_image_dim=max_image_dim)
+            padded, bucket = image.padded()
+            cos, sin = vision_rotary_tables(
+                self.vlm_config.vision, image.grid_h, image.grid_w
+            )
+            cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
+            sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
+            cos_p[: cos.shape[0]] = cos
+            sin_p[: sin.shape[0]] = sin
+            with span("engine.vision_encode", logger):
+                vision_embeds = self._encode_image_jit(
+                    self.vlm_params,
+                    jnp.asarray(padded),
+                    jnp.asarray(cos_p),
+                    jnp.asarray(sin_p),
+                    jnp.asarray(image.num_patches),
+                )
+                vision_embeds = vision_embeds[: image.num_tokens]
+
+        ids, mrope_positions, next_pos = self._build_prompt_ids(prompt, image)
+        seq_len = ids.shape[1]
+        bucket = _bucket_for(seq_len, app_config.prefill_bucket_list)
+        bucket = min(bucket, self.max_cache_tokens - max_tokens)
+        if seq_len > bucket:
+            keep_head = bucket // 2
+            keep_tail = bucket - keep_head
+            ids = np.concatenate([ids[:, :keep_head], ids[:, -keep_tail:]], axis=1)
+            seq_len = bucket
+            mrope_positions = None
+            next_pos = seq_len
+            logger.warning(f"Prompt truncated to {bucket} tokens")
+
+        padded_ids = np.zeros((1, bucket), dtype=np.int32)
+        padded_ids[0, :seq_len] = ids[0]
+
+        params = (
+            self.text_params if self.vlm_config is None
+            else self.vlm_params["text"]
+        )
+        if image is not None:
+            embeds = qwen_model.embed_multimodal(
+                self.vlm_config, self.vlm_params, jnp.asarray(padded_ids),
+                vision_embeds,
+            )
+        else:
+            embeds = self._embed_jit(params["embed_tokens"], jnp.asarray(padded_ids))
+
+        if mrope_positions is not None:
+            positions = np.zeros((3, 1, bucket), dtype=np.int32)
+            positions[:, 0, :seq_len] = mrope_positions
+            positions[:, 0, seq_len:] = mrope_positions.max()
+        else:
+            positions = np.arange(bucket, dtype=np.int32)[None]
+            next_pos = seq_len
+
+        cache = KVCache.create(
+            tc.num_layers, 1, self.max_cache_tokens, tc.num_kv_heads,
+            tc.head_dim_, dtype=tc.dtype,
+        )
+        with span("engine.prefill", logger):
+            logits, cache = self._prefill_jit(
+                params, embeds, jnp.asarray(positions), cache,
+                jnp.asarray([seq_len]),
+            )
+        return cache, logits, next_pos
 
     def _generate_locked(
         self, prompt, image_path, *, max_tokens, temperature, max_image_dim
@@ -476,7 +594,14 @@ def get_engine_backend(role: str, model_name: str) -> EngineBackend:
     with _engine_lock:
         key = f"{role}:{model_name}"
         if key not in _engines:
-            _engines[key] = build_engine(role, model_name)
+            engine = build_engine(role, model_name)
+            # Opt-in serving mode: per-request prefill + shared batched
+            # decode slots (CONTINUOUS_BATCHING=true).  Slot KV memory is
+            # decode_batch_size x kv_cache_max_tokens per model — size the
+            # config accordingly for large models.
+            if app_config.continuous_batching and hasattr(engine, "attach_scheduler"):
+                engine.attach_scheduler()
+            _engines[key] = engine
         return EngineBackend(_engines[key])
 
 

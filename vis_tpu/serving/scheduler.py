@@ -58,6 +58,10 @@ class Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     emitted: str = ""
     error: Optional[str] = None
+    # Prefilled hand-off (engines do their own — possibly multimodal —
+    # prefill and submit the resulting KV rows + first logits for batched
+    # decode): (src_cache KVCache[b=1], logits [1, v], next_position int).
+    prefilled: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -150,6 +154,21 @@ class ContinuousBatchingScheduler:
         self._pending.put(request)
         return request
 
+    def submit_prefilled(
+        self,
+        src_cache: KVCache,
+        first_logits: jnp.ndarray,
+        next_position: int,
+        max_tokens: int = 512,
+    ) -> Request:
+        """Hand off an externally prefilled request (e.g. a VLM engine's
+        vision+multimodal prefill) for batched decode.  src_cache must be a
+        batch-1 cache of this scheduler's max_len with its cursor set."""
+        request = Request(prompt="", max_tokens=max_tokens)
+        request.prefilled = (src_cache, first_logits, int(next_position))
+        self._pending.put(request)
+        return request
+
     def generate(self, prompt: str, max_tokens: int = 512,
                  timeout: float = 600.0) -> str:
         """Blocking helper: submit and drain the stream."""
@@ -192,32 +211,39 @@ class ContinuousBatchingScheduler:
             return False
 
         try:
-            ids = self.tokenizer.encode(request.prompt)
-            budget = self.max_len - request.max_tokens - 1
-            if len(ids) > budget:
-                ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
-            seq_len = len(ids)
-            bucket = 128
-            while bucket < seq_len:
-                bucket *= 2
-            bucket = min(bucket, self.max_len)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, :seq_len] = ids
-            embeds = self._embed_jit(
-                self.params["embed_tokens"], jnp.asarray(padded)
-            )
-            positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
-            tmp_cache = KVCache.create(
-                self.config.num_layers, 1, self.max_len,
-                self.config.num_kv_heads, self.config.head_dim_,
-                dtype=self.config.dtype,
-            )
-            logits, tmp_cache = self._prefill_jit(
-                self.params, embeds, positions, tmp_cache,
-                jnp.asarray([seq_len]),
-            )
+            if request.prefilled is not None:
+                tmp_cache, logits, next_position = request.prefilled
+                request.prefilled = None  # free the reference
+                seq_len = next_position
+                kv_len = int(np.asarray(tmp_cache.lengths)[0])
+            else:
+                ids = self.tokenizer.encode(request.prompt)
+                budget = self.max_len - request.max_tokens - 1
+                if len(ids) > budget:
+                    ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
+                seq_len = len(ids)
+                kv_len = seq_len
+                bucket = 128
+                while bucket < seq_len:
+                    bucket *= 2
+                bucket = min(bucket, self.max_len)
+                padded = np.zeros((1, bucket), np.int32)
+                padded[0, :seq_len] = ids
+                embeds = self._embed_jit(
+                    self.params["embed_tokens"], jnp.asarray(padded)
+                )
+                positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
+                tmp_cache = KVCache.create(
+                    self.config.num_layers, 1, self.max_len,
+                    self.config.num_kv_heads, self.config.head_dim_,
+                    dtype=self.config.dtype,
+                )
+                logits, tmp_cache = self._prefill_jit(
+                    self.params, embeds, positions, tmp_cache,
+                    jnp.asarray([seq_len]),
+                )
             self.cache, self._logits = self._insert_jit(
-                self.cache, tmp_cache, jnp.int32(free), jnp.int32(seq_len),
+                self.cache, tmp_cache, jnp.int32(free), jnp.int32(kv_len),
                 self._logits, logits,
             )
             slot = self.slots[free]

@@ -129,6 +129,7 @@ class Config(BaseModel):
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
     quantization: str = "none"        # "none" | "int8" weight-only decoder quant
+    continuous_batching: bool = False # share batched decode slots across requests
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
