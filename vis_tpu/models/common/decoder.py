@@ -466,6 +466,68 @@ def prefill_scan(
     return logits, cache
 
 
+def extend_scan(
+    config: DecoderConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    new_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Append a (padded) chunk to an EXISTING cache — KV-cached follow-ups.
+
+    Chat turns re-use the conversation's cache instead of re-prefilling the
+    whole history: queries attend jointly over the cached keys (all valid
+    up to each row's cursor) and the causal new chunk.  input_embeds:
+    [b, s_pad]; new_lengths: [b] true chunk lengths.  Batch rows should share
+    one true length (chat sessions run batch-1).  Returns logits for the last
+    valid position and the cache advanced by the true lengths.
+    """
+    b, s = input_embeds.shape[:2]
+    cos, sin = _position_tables(config, positions)
+    max_len = cache.k.shape[2]
+    kj = jnp.arange(max_len)[None, None, None, :]
+    cache_mask = jnp.where(
+        kj < cache.lengths[:, None, None, None], 0.0, -1e30
+    ).astype(jnp.float32)
+    chunk_mask = causal_mask(s, s) + length_mask(s, new_lengths)
+
+    def body(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        x, k, v = _layer_body(
+            config, x, layer, cos, sin, chunk_mask, ck, cv, cache_mask
+        )
+        return x, (k, v)
+
+    x, (k_new, v_new) = lax.scan(
+        body, input_embeds, (params["layers_stacked"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+
+    def write_row(kb_row, vb_row, k_row, v_row, start):
+        kb = lax.dynamic_update_slice(
+            kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
+        )
+        vb = lax.dynamic_update_slice(
+            vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
+        )
+        return kb, vb
+
+    k_buf, v_buf = jax.vmap(
+        write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
+    )(cache.k, cache.v, k_new, v_new, cache.lengths)
+    cache = KVCache(
+        k=k_buf, v=v_buf,
+        lengths=cache.lengths + new_lengths.astype(jnp.int32),
+    )
+    last_idx = jnp.maximum(new_lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(
+        x, last_idx[:, None, None].astype(jnp.int32), axis=1
+    )
+    logits = lm_logits(config, params, last_hidden)[:, 0]
+    return logits, cache
+
+
 def decode_step_scan(
     config: DecoderConfig,
     params: Params,
@@ -594,6 +656,7 @@ __all__ = [
     "stack_decoder_layers",
     "quantize_stacked_params",
     "prefill_scan",
+    "extend_scan",
     "decode_step_scan",
     "decode_loop_scan",
 ]

@@ -39,6 +39,7 @@ from vis_tpu.models.common.decoder import (
     DecoderConfig,
     decode_loop_scan,
     decode_step_scan,
+    extend_scan,
     init_decoder_params,
     prefill_scan,
     stack_decoder_layers,
@@ -68,6 +69,18 @@ def _bucket_for(n: int, buckets: List[int]) -> int:
         if b >= n:
             return b
     return ((n + 127) // 128) * 128
+
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class ChatSession:
+    """Host-side handle for a KV-cached conversation (see Engine.chat_start)."""
+
+    cache: KVCache
+    logits: Any
+    position: int
 
 
 class Engine:
@@ -132,12 +145,101 @@ class Engine:
             partial(decode_loop_scan, text_config),
             static_argnames=("num_steps",), donate_argnums=(3,),
         )
+        self._extend_jit = jax.jit(partial(extend_scan, text_config))
         self._encode_image_jit = jax.jit(
             partial(qwen_model.encode_image, vlm_config)
         ) if vlm_config is not None else None
         self._embed_jit = jax.jit(
             lambda table, ids: jnp.take(table, ids, axis=0)
         )
+
+    @property
+    def _params(self):
+        return (
+            self.text_params if self.vlm_config is None
+            else self.vlm_params["text"]
+        )
+
+    # -- KV-cached chat sessions ------------------------------------------
+    def chat_start(self, system_context: str) -> "ChatSession":
+        """Open a conversation: the system/context prompt prefills ONCE into
+        a session-resident cache; every follow-up turn appends to it instead
+        of re-prefilling the whole history (BASELINE config 4)."""
+        with self._lock:
+            # Reserve nothing at prefill time; per-turn budget checks guard
+            # the cache (chat_start itself decodes no tokens).
+            cache, logits, next_pos = self._prefill_request(
+                system_context, None, max_tokens=1, max_image_dim=0
+            )
+        return ChatSession(cache=cache, logits=logits, position=next_pos)
+
+    def chat_turn(
+        self, session: "ChatSession", question: str, max_tokens: int = 512
+    ) -> Iterator[str]:
+        """One user turn: append the question's tokens to the session cache
+        (extend_scan) then greedy-decode the reply in fused chunks.  The
+        reply's KV stays in the cache, so the next turn continues from the
+        full conversation state."""
+        turn_ids = self.tokenizer.encode(f"\nUser: {question}\nAssistant:")
+        budget = self.max_cache_tokens - max_tokens - 1
+        used = int(np.asarray(session.cache.lengths)[0])
+        if used + len(turn_ids) > budget:
+            raise RuntimeError(
+                f"chat session KV budget exhausted ({used} used of {budget})"
+            )
+        seq_len = len(turn_ids)
+        bucket = 128
+        while bucket < seq_len:
+            bucket *= 2
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :seq_len] = turn_ids
+        positions = np.arange(bucket, dtype=np.int32)[None] + session.position
+
+        with self._lock:
+            params = self._params
+            embeds = self._embed_jit(params["embed_tokens"], jnp.asarray(padded))
+            logits, cache = self._extend_jit(
+                params, embeds, jnp.asarray(positions), session.cache,
+                jnp.asarray([seq_len]),
+            )
+            session.position += seq_len
+            generated: List[int] = []
+            emitted = ""
+            remaining = max_tokens
+            done = False
+            while remaining > 0 and not done:
+                steps = min(self.decode_chunk, remaining)
+                chunk_start = int(np.asarray(cache.lengths)[0])
+                tokens, logits, cache = self._decode_loop_jit(
+                    params, logits, jnp.int32(session.position), cache,
+                    num_steps=steps,
+                )
+                token_list = np.asarray(tokens)[0].tolist()
+                kept = 0
+                for token_id in token_list:
+                    if token_id == self.tokenizer.eos_id:
+                        done = True
+                        break
+                    generated.append(token_id)
+                    kept += 1
+                if done:
+                    # Rewind the cursor past the EOS + post-EOS garbage so the
+                    # next extend overwrites them.
+                    cache = KVCache(
+                        k=cache.k, v=cache.v,
+                        lengths=jnp.asarray([chunk_start + kept], jnp.int32),
+                    )
+                session.position += kept
+                remaining -= steps
+                text = self.tokenizer.decode(generated)
+                if len(text) > len(emitted) and not text.endswith("�"):
+                    yield text[len(emitted):]
+                    emitted = text
+            session.cache = cache
+            session.logits = logits
+        final = self.tokenizer.decode(generated)
+        if len(final) > len(emitted):
+            yield final[len(emitted):]
 
     # -- prompt assembly ------------------------------------------------
     def _build_prompt_ids(

@@ -32,6 +32,7 @@ import numpy as np
 
 from vis_tpu.models.common.decoder import (
     DecoderConfig,
+    decode_loop_scan,
     decode_step_scan,
     prefill_scan,
     stack_decoder_layers,
@@ -112,6 +113,14 @@ class ContinuousBatchingScheduler:
 
         self._prefill_jit = jax.jit(partial(prefill_scan, text_config))
         self._decode_jit = jax.jit(partial(decode_step_scan, text_config))
+        # Chunked batched decode: all slots advance `decode_chunk` tokens in
+        # ONE device dispatch (host round-trips amortize; a slot finishing
+        # mid-chunk wastes its tail, and admissions wait at most one chunk).
+        self.decode_chunk = 16
+        self._decode_loop_jit = jax.jit(
+            partial(decode_loop_scan, text_config),
+            static_argnames=("num_steps",),
+        )
         self._insert_jit = jax.jit(self._insert_rows)
         self._embed_jit = jax.jit(lambda table, ids: jnp.take(table, ids, axis=0))
 
@@ -263,51 +272,55 @@ class ContinuousBatchingScheduler:
             return False
 
     def _decode_once(self) -> None:
-        """One batched decode step over all slots (inactive rows compute a
-        dummy token that is discarded)."""
-        tokens = np.zeros((self.num_slots,), np.int32)
-        next_token = np.asarray(jnp.argmax(self._logits, axis=-1))
+        """One CHUNK of batched decode over all slots: `decode_chunk` tokens
+        per active slot in a single device dispatch.
+
+        Inactive rows compute garbage at their (zeroed) cursors — harmless,
+        their rows are fully overwritten at admission.  A slot that hits EOS
+        or its token budget mid-chunk has its cursor rewound to the last
+        kept token so the garbage tail is overwritten by later writes.
+        """
+        # Constant chunk size: a varying `steps` would recompile the fused
+        # decode per distinct value.  Tokens beyond a slot's budget are
+        # computed and discarded (bounded waste, zero recompiles).
+        steps = self.decode_chunk
         positions_vec = np.zeros((self.num_slots,), np.int32)
         for i, slot in enumerate(self.slots):
             if slot.active:
-                tokens[i] = next_token[i]
                 positions_vec[i] = slot.position
-        if self.config.mrope_section is not None:
-            positions = jnp.asarray(
-                np.broadcast_to(positions_vec[None, :, None],
-                                (3, self.num_slots, 1)).copy()
-            )
-        else:
-            positions = jnp.asarray(positions_vec[:, None])
-        embeds = self._embed_jit(
-            self.params["embed_tokens"], jnp.asarray(tokens[:, None])
+        prev_lengths = np.array(self.cache.lengths)
+
+        tokens, self._logits, self.cache = self._decode_loop_jit(
+            self.params, self._logits, jnp.asarray(positions_vec), self.cache,
+            num_steps=steps,
         )
-        # Freeze inactive rows: zero their cursors' advancement by restoring
-        # lengths afterwards (their computed KV writes are masked-out slots).
-        prev_lengths = np.asarray(self.cache.lengths)
-        self._logits, self.cache = self._decode_jit(
-            self.params, embeds, positions, self.cache
-        )
+        token_matrix = np.asarray(tokens)  # [slots, steps]
+
         lengths = np.array(self.cache.lengths)  # writable host copy
         for i, slot in enumerate(self.slots):
             if not slot.active:
                 lengths[i] = prev_lengths[i]
                 continue
-            token_id = int(tokens[i])
             request = slot.request
+            kept = 0
             finished = False
-            if token_id == self.tokenizer.eos_id:
-                finished = True
-            else:
-                request.generated.append(token_id)
-                text = self.tokenizer.decode(request.generated)
-                if len(text) > len(request.emitted) and not text.endswith("�"):
-                    request.out.put(text[len(request.emitted):])
-                    request.emitted = text
-                slot.position += 1
-                slot.remaining -= 1
-                if slot.remaining <= 0:
+            for token_id in token_matrix[i].tolist():
+                if kept >= slot.remaining:
                     finished = True
+                    break
+                if token_id == self.tokenizer.eos_id:
+                    finished = True
+                    break
+                request.generated.append(token_id)
+                kept += 1
+            slot.position += kept
+            slot.remaining -= kept
+            if slot.remaining <= 0:
+                finished = True
+            text = self.tokenizer.decode(request.generated)
+            if len(text) > len(request.emitted) and not text.endswith("�"):
+                request.out.put(text[len(request.emitted):])
+                request.emitted = text
             if finished:
                 request.out.put(None)
                 logger.info(
@@ -316,6 +329,9 @@ class ContinuousBatchingScheduler:
                 )
                 slot.request = None
                 lengths[i] = 0
+            else:
+                # Keep only the tokens actually consumed this chunk.
+                lengths[i] = prev_lengths[i] + kept
         self.cache = KVCache(
             k=self.cache.k, v=self.cache.v, lengths=jnp.asarray(lengths)
         )
