@@ -235,6 +235,35 @@ class ExplainerAgent(BaseVLMAgent):
             prompt, None, max_tokens=self.max_tokens, temperature=self.temperature
         )
 
+    def chat_session_stream(
+        self, session_key: str, system_context: str, question: str
+    ) -> Iterator[str]:
+        """KV-cached multi-turn chat: the conversation's context prefills once
+        per session and follow-up turns append to the session cache
+        (Engine.chat_start/chat_turn).  Falls back to stateless chat_stream
+        for backends without session support (e.g. the mock)."""
+        engine = getattr(self.backend, "engine", None)
+        if engine is None or not hasattr(engine, "chat_start"):
+            yield from self.chat_stream(system_context, question)
+            return
+        if not hasattr(self, "_chat_sessions"):
+            self._chat_sessions = {}
+        session = self._chat_sessions.get(session_key)
+        if session is None:
+            session = engine.chat_start(
+                f"{get_prompt('chat_system')}\n\n{system_context}"
+            )
+            self._chat_sessions[session_key] = session
+        try:
+            yield from engine.chat_turn(
+                session, question, max_tokens=self.max_tokens
+            )
+        except RuntimeError as exc:
+            # Session budget exhausted: drop the cache and restart fresh.
+            self.logger.warning(f"Chat session {session_key} reset: {exc}")
+            self._chat_sessions.pop(session_key, None)
+            yield from self.chat_stream(system_context, question)
+
     def rewrite_query(self, question: str, history: List[Any]) -> str:
         """History-aware standalone-question rewriting via this agent's LLM."""
         from vis_tpu.chat_memory import rewrite_query_with_history

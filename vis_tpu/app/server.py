@@ -333,7 +333,9 @@ class AppHandler(BaseHTTPRequestHandler):
 
         answer_parts = []
         try:
-            for chunk in explainer.chat_stream(context_block, standalone):
+            for chunk in explainer.chat_session_stream(
+                session_id, context_block, standalone
+            ):
                 answer_parts.append(chunk)
                 data = chunk.encode()
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
