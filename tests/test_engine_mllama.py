@@ -99,3 +99,60 @@ class TestMllamaEngine:
 
     def test_health_check(self, engine):
         assert engine.health_check() is True
+
+
+class TestTilingHFParity:
+    # Shapes hitting distinct code paths: wide landscape (no-resize +
+    # horizontal pad), already-fits square, tiny upscale-to-tile, huge
+    # downscale, and a tall portrait arrangement.
+    SHAPES = [(300, 500), (448, 448), (100, 160), (2000, 3000), (900, 400)]
+
+    def test_tiles_match_hf_processor(self, tmp_path):
+        """Tile pixel values, aspect-ratio id, and tile count must match the
+        HF Mllama image processor exactly (subprocess — torch+JAX deadlock
+        in-process here).  The processor is configured like the real
+        Llama-3.2-Vision checkpoint: bilinear resample, CLIP mean/std."""
+        import subprocess, sys
+
+        rng = np.random.default_rng(4)
+        paths = []
+        for h, w in self.SHAPES:
+            arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            p = tmp_path / f"part_{h}x{w}.png"  # lossless: exact pixels
+            Image.fromarray(arr).save(p)
+            paths.append(p)
+
+        script = f"""
+import os
+os.environ["USE_TF"] = "0"
+import numpy as np
+from transformers.models.mllama.image_processing_mllama import MllamaImageProcessor
+from PIL import Image
+proc = MllamaImageProcessor(
+    size={{"height": 448, "width": 448}}, max_image_tiles=4,
+    image_mean=[0.48145466, 0.4578275, 0.40821073],
+    image_std=[0.26862954, 0.26130258, 0.27577711],
+)
+for path in {[str(p) for p in paths]!r}:
+    out = proc(images=Image.open(path), return_tensors="np")
+    np.save(path + ".tiles.npy", out["pixel_values"])
+    np.save(path + ".ar.npy", out["aspect_ratio_ids"])
+    np.save(path + ".mask.npy", out["aspect_ratio_mask"])
+"""
+        result = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert result.returncode == 0, result.stderr[-1500:]
+
+        for path in paths:
+            ref_tiles = np.load(f"{path}.tiles.npy")[0, 0]
+            ref_ar = int(np.load(f"{path}.ar.npy")[0, 0])
+            ref_mask = np.load(f"{path}.mask.npy")[0, 0]
+
+            ours = preprocess_image_mllama(path)
+            assert ours.aspect_ratio_id == ref_ar, path.name
+            n = int(ref_mask.sum())
+            assert ours.num_tiles == n, path.name
+            diff = np.abs(ours.tiles - ref_tiles[:n])
+            assert float(diff.max()) < 1e-4, (path.name, float(diff.max()))
