@@ -67,8 +67,8 @@ def main() -> None:
     if os.environ.get("BENCH_QUANT", "int8") == "int8":
         from vis_tpu.models.common.decoder import quantize_stacked_params
 
-        stacked = quantize_stacked_params(stacked)
-        print("# int8 weight-only decoder quantization active", file=sys.stderr)
+        stacked = quantize_stacked_params(stacked, quantize_embeddings=True)
+        print("# int8 weight-only decoder+vocab quantization active", file=sys.stderr)
     params["text"] = {k: v for k, v in stacked.items() if k != "layers_stacked"}
     params["text_stacked"] = stacked  # original per-layer list dropped (HBM)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

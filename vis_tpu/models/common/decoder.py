@@ -195,7 +195,16 @@ def decoder_forward(
 
 
 def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    from vis_tpu.ops.quantized import QuantizedWeight, quantized_matmul
+
     table = params["embed_tokens"] if config.tie_word_embeddings else params["lm_head"]
+    if isinstance(table, QuantizedWeight):
+        # f32 logits via the dequantizing matmul kernel (argmax ties must not
+        # be decided in bf16).
+        flat = hidden.reshape(-1, hidden.shape[-1])
+        return quantized_matmul(flat, table).reshape(
+            *hidden.shape[:-1], table.q.shape[0]
+        )
     return jnp.einsum(
         "bsh,vh->bsv", hidden, table, preferred_element_type=jnp.float32
     )
@@ -281,7 +290,7 @@ def decode_loop(
             positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
         else:
             positions = pos_vec[:, None]
-        embeds = jnp.take(params["embed_tokens"], token[:, None], axis=0)
+        embeds = embed(token[:, None], params["embed_tokens"])
         logits, cache = decode_step(config, params, embeds, positions, cache)
         return logits, cache, tokens
 
@@ -311,14 +320,21 @@ _QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj")
 _QUANT_MLP_TARGETS = ("gate_proj", "up_proj", "down_proj")
 
 
-def quantize_stacked_params(stacked: Params) -> Params:
+def quantize_stacked_params(
+    stacked: Params, quantize_embeddings: bool = False
+) -> Params:
     """Weight-only int8 quantization of a scan-layout decoder pytree.
 
     Attention and MLP projection weights ([L, O, I]) become QuantizedWeight
-    (per-row int8 + f32 scales, vmapped over layers); norms, biases, and
-    embeddings stay bf16.  lax.scan slices QuantizedWeight leaves per layer,
-    so the scan execution path is unchanged — linear() dispatches to the
-    Pallas dequantizing matmul.
+    (per-row int8 + f32 scales, vmapped over layers); norms and biases stay
+    bf16.  lax.scan slices QuantizedWeight leaves per layer, so the scan
+    execution path is unchanged — linear() dispatches to the Pallas
+    dequantizing matmul.
+
+    quantize_embeddings additionally quantizes the vocab projection
+    (embed_tokens / lm_head).  At 2B scale the bf16 lm head is ~470 MB read
+    per decode step, ~0.6 ms of pure HBM time; embed() and lm_logits()
+    dequantize on the fly (gathered rows / the Pallas kernel).
     """
     from vis_tpu.ops.quantized import QuantizedWeight, quantize_weight
 
@@ -327,6 +343,10 @@ def quantize_stacked_params(stacked: Params) -> Params:
         return QuantizedWeight(q=qw.q, scale=qw.scale)
 
     out = {k: v for k, v in stacked.items() if k != "layers_stacked"}
+    if quantize_embeddings:
+        for name in ("embed_tokens", "lm_head"):
+            if name in out:
+                out[name] = quantize_weight(out[name])
     layers = dict(stacked["layers_stacked"])
     for name in _QUANT_TARGETS:
         if name in layers:
@@ -528,6 +548,38 @@ def extend_scan(
     return logits, cache
 
 
+def _write_new_kv(
+    k_buf: jnp.ndarray,
+    v_buf: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write ONE new token's K/V per row at that row's cursor.
+
+    k_buf/v_buf: [L, b, max_len, kvh, hd]; k_new/v_new: [L, b, 1, kvh, hd];
+    lengths: [b] cursors.  The lowering matters a lot on TPU: a vmap'd
+    per-row dynamic_update_slice doubles the whole decode step at b=4
+    (measured 9.95 vs 5.30 ms/step on v5e, 2B-class — the batched-index DUS
+    lowers to a serialized scatter loop).  So: b == 1 keeps the single fused
+    dynamic_update_slice (fastest, 5.10 ms/step) and b > 1 uses a flat
+    advanced-index scatter over (row, cursor) pairs (5.30 ms/step at b=4,
+    within noise of skipping the write entirely).
+    """
+    b = k_buf.shape[1]
+    k_new = k_new.astype(k_buf.dtype)
+    v_new = v_new.astype(v_buf.dtype)
+    if b == 1:
+        start = lengths[0]
+        k_buf = lax.dynamic_update_slice(k_buf, k_new, (0, 0, start, 0, 0))
+        v_buf = lax.dynamic_update_slice(v_buf, v_new, (0, 0, start, 0, 0))
+        return k_buf, v_buf
+    rows = jnp.arange(b)
+    k_buf = k_buf.at[:, rows, lengths].set(k_new[:, :, 0])
+    v_buf = v_buf.at[:, rows, lengths].set(v_new[:, :, 0])
+    return k_buf, v_buf
+
+
 def decode_step_scan(
     config: DecoderConfig,
     params: Params,
@@ -557,18 +609,7 @@ def decode_step_scan(
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = lm_logits(config, params, x)[:, 0]
 
-    def write_row(kb_row, vb_row, k_row, v_row, start):
-        kb = lax.dynamic_update_slice(
-            kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
-        )
-        vb = lax.dynamic_update_slice(
-            vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
-        )
-        return kb, vb
-
-    k_buf, v_buf = jax.vmap(
-        write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
-    )(cache.k, cache.v, k_new, v_new, cache.lengths)
+    k_buf, v_buf = _write_new_kv(cache.k, cache.v, k_new, v_new, cache.lengths)
     return logits, KVCache(k=k_buf, v=v_buf, lengths=cache.lengths + 1)
 
 
@@ -599,7 +640,7 @@ def decode_loop_scan(
         else:
             positions = pos_vec[:, None]
         cos, sin = _position_tables(config, positions)
-        x = jnp.take(params["embed_tokens"], token[:, None], axis=0)
+        x = embed(token[:, None], params["embed_tokens"])
 
         kj = jnp.arange(max_len)[None, None, None, :]
         cache_mask = jnp.where(
@@ -619,22 +660,8 @@ def decode_loop_scan(
         x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
         logits = lm_logits(config, params, x)[:, 0]
 
-        # Fused per-row write of all layers' new K/V at the cursors.
-        def write_row(kb_row, vb_row, k_row, v_row, start):
-            # kb_row: [L, max_len, kvh, hd]; k_row: [L, 1, kvh, hd]
-            kb = lax.dynamic_update_slice(
-                kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
-            )
-            vb = lax.dynamic_update_slice(
-                vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
-            )
-            return kb, vb
-
-        # vmap over the batch axis (axis 1 of the [L, b, ...] buffers) in
-        # place — no physical transposes of the cache.
-        k_buf, v_buf = jax.vmap(
-            write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
-        )(k_buf, v_buf, k_new, v_new, lengths)
+        # Fused write of all layers' new K/V at the per-row cursors.
+        k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
         return (logits, k_buf, v_buf, lengths + 1), token
 
     (logits, k_buf, v_buf, lengths), tokens = lax.scan(

@@ -68,7 +68,16 @@ def linear(x: jnp.ndarray, weight: Any,
     return out.astype(x.dtype)
 
 
-def embed(token_ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+def embed(token_ids: jnp.ndarray, table: Any) -> jnp.ndarray:
+    """Embedding lookup; accepts an int8 QuantizedWeight table (tied-embedding
+    models quantize the vocab table for decode bandwidth — the gathered rows
+    are dequantized on the fly, bf16 out)."""
+    from vis_tpu.ops.quantized import QuantizedWeight
+
+    if isinstance(table, QuantizedWeight):
+        rows = jnp.take(table.q, token_ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(table.scale, token_ids, axis=0)
+        return (rows * scales[..., None]).astype(jnp.bfloat16)
     return jnp.take(table, token_ids, axis=0)
 
 

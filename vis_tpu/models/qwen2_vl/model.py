@@ -24,6 +24,7 @@ from vis_tpu.models.common.decoder import (
     DecoderConfig,
     init_decoder_params,
 )
+from vis_tpu.models.common.layers import embed
 from vis_tpu.models.qwen2_vl.config import Qwen2VLConfig, VisionConfig
 from vis_tpu.models.qwen2_vl.vision import init_vision_params, vision_forward
 
@@ -63,7 +64,7 @@ def embed_multimodal(
     prompts that way); scatter is implemented as a cumulative-index gather so
     it stays jit-able with static shapes.
     """
-    embeds = jnp.take(params["text"]["embed_tokens"], token_ids, axis=0)
+    embeds = embed(token_ids, params["text"]["embed_tokens"])
     if vision_embeds is None:
         return embeds
     is_image = token_ids == config.image_token_id  # [b, s]

@@ -87,6 +87,10 @@ def quantized_matmul(
     """
     out_dim, in_dim = qw.q.shape
     batch = x.shape[0]
+    # Vocab-sized projections (e.g. Qwen's 151936) aren't multiples of 256;
+    # halve the tile rather than falling off the kernel path.
+    if out_dim % block_o != 0 and out_dim % 128 == 0:
+        block_o = 128
     # The kernel holds the full activation block in VMEM, so it is a
     # DECODE-path kernel (few rows); prefill-sized activations fall back to
     # the XLA path, where weight bandwidth is not the bottleneck anyway.

@@ -30,7 +30,16 @@ from vis_tpu.parallel.mesh import MODEL_AXIS
 
 def _put(x, mesh: Mesh, spec: P):
     """device_put with a sharding, falling back to replication when the
-    dimension does not divide the mesh axis."""
+    dimension does not divide the mesh axis.  Int8 QuantizedWeight leaves
+    shard like their q tensor; the per-output-row scales drop the trailing
+    (input) axis of the spec."""
+    from vis_tpu.ops.quantized import QuantizedWeight
+
+    if isinstance(x, QuantizedWeight):
+        return QuantizedWeight(
+            q=_put(x.q, mesh, spec),
+            scale=_put(x.scale, mesh, P(*tuple(spec)[:-1])),
+        )
     try:
         return jax.device_put(x, NamedSharding(mesh, spec))
     except ValueError:

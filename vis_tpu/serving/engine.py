@@ -44,7 +44,7 @@ from vis_tpu.models.common.decoder import (
     prefill_scan,
     stack_decoder_layers,
 )
-from vis_tpu.models.common.layers import KVCache
+from vis_tpu.models.common.layers import KVCache, embed
 from vis_tpu.models.llama import config as llama_configs
 from vis_tpu.models.llama import model as llama_model
 from vis_tpu.models.loader import find_checkpoint, read_safetensors_dir
@@ -113,7 +113,7 @@ class Engine:
             if app_config.quantization == "int8":
                 from vis_tpu.models.common.decoder import quantize_stacked_params
 
-                stacked = quantize_stacked_params(stacked)
+                stacked = quantize_stacked_params(stacked, quantize_embeddings=True)
                 logger.info(f"{name}: int8 weight-only quantization applied")
             if mesh is None:
                 return stacked
@@ -149,9 +149,7 @@ class Engine:
         self._encode_image_jit = jax.jit(
             partial(qwen_model.encode_image, vlm_config)
         ) if vlm_config is not None else None
-        self._embed_jit = jax.jit(
-            lambda table, ids: jnp.take(table, ids, axis=0)
-        )
+        self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
 
     @property
     def _params(self):

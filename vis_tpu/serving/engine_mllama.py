@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vis_tpu.models.common.layers import KVCache, causal_mask, length_mask
+from vis_tpu.models.common.layers import KVCache, causal_mask, embed, length_mask
 from vis_tpu.models.llama.mllama import (
     MllamaConfig,
     compute_cross_kv,
@@ -87,9 +87,7 @@ class MllamaEngine:
             token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
             positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
-            embeds = jnp.take(
-                params["text"]["embed_tokens"], token[:, None], axis=0
-            )
+            embeds = embed(token[:, None], params["text"]["embed_tokens"])
             hidden, new_cache = text_forward(
                 self.config, params, embeds, positions, cross_kv, cache,
                 cache.decode_mask(),
@@ -146,9 +144,7 @@ class MllamaEngine:
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :seq_len] = ids
 
-        embeds = jnp.take(
-            self.params["text"]["embed_tokens"], jnp.asarray(padded), axis=0
-        )
+        embeds = embed(jnp.asarray(padded), self.params["text"]["embed_tokens"])
         positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
         n_self = len(self.config.self_layer_indices)
         cache = KVCache.create(

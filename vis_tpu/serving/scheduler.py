@@ -37,7 +37,7 @@ from vis_tpu.models.common.decoder import (
     prefill_scan,
     stack_decoder_layers,
 )
-from vis_tpu.models.common.layers import KVCache
+from vis_tpu.models.common.layers import KVCache, embed
 from vis_tpu.serving.tokenizer import Tokenizer
 from vis_tpu.utils.config import config as app_config
 from vis_tpu.utils.logger import setup_logger
@@ -122,7 +122,7 @@ class ContinuousBatchingScheduler:
             static_argnames=("num_steps",),
         )
         self._insert_jit = jax.jit(self._insert_rows)
-        self._embed_jit = jax.jit(lambda table, ids: jnp.take(table, ids, axis=0))
+        self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
 
     # -- device helpers --------------------------------------------------
     @staticmethod
