@@ -166,7 +166,7 @@ class Engine:
         with self._lock:
             # Reserve nothing at prefill time; per-turn budget checks guard
             # the cache (chat_start itself decodes no tokens).
-            cache, logits, next_pos = self._prefill_request(
+            cache, logits, next_pos, _ = self._prefill_request(
                 system_context, None, max_tokens=1, max_image_dim=0
             )
         return ChatSession(cache=cache, logits=logits, position=next_pos)
@@ -301,12 +301,12 @@ class Engine:
         if scheduler is not None and temperature <= 0.0:
             # Prefill under the lock, decode batched in the scheduler.
             with self._lock:
-                cache, logits, next_pos = self._prefill_request(
+                cache, logits, next_pos, kv_len = self._prefill_request(
                     prompt, image_path, max_tokens=max_tokens,
                     max_image_dim=max_image_dim,
                 )
             request = scheduler.submit_prefilled(
-                cache, logits, next_pos, max_tokens=max_tokens
+                cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len
             )
             while True:
                 chunk = request.out.get()
@@ -396,7 +396,7 @@ class Engine:
                 params, embeds, jnp.asarray(positions), cache,
                 jnp.asarray([seq_len]),
             )
-        return cache, logits, next_pos
+        return cache, logits, next_pos, seq_len
 
     def _generate_locked(
         self, prompt, image_path, *, max_tokens, temperature, max_image_dim

@@ -61,7 +61,8 @@ class Request:
     error: Optional[str] = None
     # Prefilled hand-off (engines do their own — possibly multimodal —
     # prefill and submit the resulting KV rows + first logits for batched
-    # decode): (src_cache KVCache[b=1], logits [1, v], next_position int).
+    # decode): (src_cache KVCache[b=1], logits [1, v], next_position int,
+    # kv_len int|None).
     prefilled: Optional[Any] = None
 
 
@@ -103,6 +104,10 @@ class ContinuousBatchingScheduler:
             dtype=text_config.dtype,
         )
         self.slots = [_Slot() for _ in range(self.num_slots)]
+        # Host mirror of the cache cursors: the decode loop must never
+        # np.asarray(cache.lengths) — that is a device sync (a full tunnel
+        # round-trip per chunk on remote chips).
+        self._lengths_host = np.zeros((self.num_slots,), np.int32)
         self._logits = jnp.zeros(
             (self.num_slots, text_config.vocab_size), jnp.float32
         )
@@ -116,12 +121,16 @@ class ContinuousBatchingScheduler:
         # Chunked batched decode: all slots advance `decode_chunk` tokens in
         # ONE device dispatch (host round-trips amortize; a slot finishing
         # mid-chunk wastes its tail, and admissions wait at most one chunk).
-        self.decode_chunk = 16
+        # Tunnel round-trips cost ~10-30 ms each, so the chunk must amortize
+        # them: 32 steps at ~5 ms/step keeps overhead under 20%.
+        self.decode_chunk = 32
+        # Donate the cache: without donation every chunk copies the full
+        # [L, slots, max_len, kvh, hd] k/v buffers.
         self._decode_loop_jit = jax.jit(
             partial(decode_loop_scan, text_config),
-            static_argnames=("num_steps",),
+            static_argnames=("num_steps",), donate_argnums=(3,),
         )
-        self._insert_jit = jax.jit(self._insert_rows)
+        self._insert_jit = jax.jit(self._insert_rows, donate_argnums=(0, 4))
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
 
     # -- device helpers --------------------------------------------------
@@ -169,12 +178,16 @@ class ContinuousBatchingScheduler:
         first_logits: jnp.ndarray,
         next_position: int,
         max_tokens: int = 512,
+        kv_len: Optional[int] = None,
     ) -> Request:
         """Hand off an externally prefilled request (e.g. a VLM engine's
         vision+multimodal prefill) for batched decode.  src_cache must be a
-        batch-1 cache of this scheduler's max_len with its cursor set."""
+        batch-1 cache of this scheduler's max_len with its cursor set.
+        Pass kv_len (the cursor value) when known host-side — it saves a
+        blocking device read at admission (kv_len != next_position for
+        M-RoPE models, where rope positions run ahead of cache slots)."""
         request = Request(prompt="", max_tokens=max_tokens)
-        request.prefilled = (src_cache, first_logits, int(next_position))
+        request.prefilled = (src_cache, first_logits, int(next_position), kv_len)
         self._pending.put(request)
         return request
 
@@ -221,10 +234,11 @@ class ContinuousBatchingScheduler:
 
         try:
             if request.prefilled is not None:
-                tmp_cache, logits, next_position = request.prefilled
+                tmp_cache, logits, next_position, kv_len = request.prefilled
                 request.prefilled = None  # free the reference
                 seq_len = next_position
-                kv_len = int(np.asarray(tmp_cache.lengths)[0])
+                if kv_len is None:
+                    kv_len = int(np.asarray(tmp_cache.lengths)[0])
             else:
                 ids = self.tokenizer.encode(request.prompt)
                 budget = self.max_len - request.max_tokens - 1
@@ -259,6 +273,7 @@ class ContinuousBatchingScheduler:
             slot.request = request
             slot.position = seq_len
             slot.remaining = request.max_tokens
+            self._lengths_host[free] = kv_len
             logger.info(
                 f"Admitted {request.request_id} into slot {free} "
                 f"(prompt {seq_len} tokens, active {self.active_count})"
@@ -288,15 +303,17 @@ class ContinuousBatchingScheduler:
         for i, slot in enumerate(self.slots):
             if slot.active:
                 positions_vec[i] = slot.position
-        prev_lengths = np.array(self.cache.lengths)
+        # Cursors come from the host mirror: reading cache.lengths off the
+        # device would add a blocking round-trip per chunk.
+        prev_lengths = self._lengths_host.copy()
 
         tokens, self._logits, self.cache = self._decode_loop_jit(
             self.params, self._logits, jnp.asarray(positions_vec), self.cache,
             num_steps=steps,
         )
-        token_matrix = np.asarray(tokens)  # [slots, steps]
+        token_matrix = np.asarray(tokens)  # [slots, steps] (the one sync)
 
-        lengths = np.array(self.cache.lengths)  # writable host copy
+        lengths = prev_lengths + steps  # what the device-side loop did
         for i, slot in enumerate(self.slots):
             if not slot.active:
                 lengths[i] = prev_lengths[i]
@@ -332,6 +349,7 @@ class ContinuousBatchingScheduler:
             else:
                 # Keep only the tokens actually consumed this chunk.
                 lengths[i] = prev_lengths[i] + kept
+        self._lengths_host = lengths
         self.cache = KVCache(
             k=self.cache.k, v=self.cache.v, lengths=jnp.asarray(lengths)
         )
@@ -342,7 +360,13 @@ class ContinuousBatchingScheduler:
             f"max_len {self.max_len}"
         )
         while not self._shutdown.is_set():
-            admitted = self._admit_one()
+            # Drain the pending queue into free slots before decoding —
+            # simultaneous arrivals then share the first chunk instead of
+            # ramping in one admission per chunk (prefill is ~an order of
+            # magnitude cheaper than a decode chunk).
+            admitted = False
+            while self._admit_one():
+                admitted = True
             if self.active_count == 0:
                 if not admitted:
                     time.sleep(0.005)
