@@ -64,6 +64,9 @@ def main() -> None:
     import os
 
     stacked = stack_decoder_layers(params["text"])
+    from vis_tpu.models.common.decoder import fuse_stacked_projections
+
+    stacked = fuse_stacked_projections(stacked)  # 7 -> 4 matmuls per layer
     if os.environ.get("BENCH_QUANT", "int8") == "int8":
         from vis_tpu.models.common.decoder import quantize_stacked_params
 

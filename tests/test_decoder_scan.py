@@ -102,3 +102,60 @@ def test_decode_scan_mixed_length_rows(setup):
         config, stacked, lb, jnp.asarray([16, 9]), cb, 6
     )
     np.testing.assert_array_equal(np.asarray(tokens_a), np.asarray(tokens_b))
+
+
+def test_fused_projections_match_unfused(setup):
+    """fuse_stacked_projections (one QKV matmul, one gate+up matmul) must
+    reproduce the unfused scan path: logits close, greedy tokens equal."""
+    from vis_tpu.models.common.decoder import fuse_stacked_projections
+
+    config, params, stacked = setup
+    fused = fuse_stacked_projections(stacked)
+    assert "qkv_proj" in fused["layers_stacked"]
+    assert "gateup_proj" in fused["layers_stacked"]["mlp"]
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(5, 250, size=(2, 16))
+    (la, ca), _ = _prefill_both(config, params, stacked, ids, [16, 12])
+
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+    positions = jnp.asarray(np.broadcast_to(np.arange(16)[None], (2, 16)).copy())
+    cache_f = KVCache.create(config.num_layers, 2, 64, config.num_kv_heads,
+                             config.head_dim_, dtype=jnp.float32)
+    lf, cache_f = prefill_scan(config, fused, embeds, positions, cache_f,
+                               jnp.asarray([16, 12]))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lf),
+                               atol=1e-4, rtol=1e-4)
+
+    tokens_a, _, _ = decode_loop(
+        config, params, la, jnp.asarray([16, 12]), ca, 8
+    )
+    tokens_f, _, _ = decode_loop_scan(
+        config, fused, lf, jnp.asarray([16, 12]), cache_f, 8
+    )
+    np.testing.assert_array_equal(np.asarray(tokens_a), np.asarray(tokens_f))
+
+
+def test_fused_projections_quantize(setup):
+    """Quantization applies to the fused leaves and decode still runs."""
+    from vis_tpu.models.common.decoder import (
+        fuse_stacked_projections,
+        quantize_stacked_params,
+    )
+    from vis_tpu.ops.quantized import QuantizedWeight
+
+    config, params, stacked = setup
+    q = quantize_stacked_params(fuse_stacked_projections(stacked))
+    assert isinstance(q["layers_stacked"]["qkv_proj"], QuantizedWeight)
+    assert isinstance(q["layers_stacked"]["mlp"]["gateup_proj"], QuantizedWeight)
+
+    rng = np.random.default_rng(8)
+    ids = rng.integers(5, 250, size=(1, 8))
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+    positions = jnp.asarray(np.arange(8)[None])
+    cache = KVCache.create(config.num_layers, 1, 64, config.num_kv_heads,
+                           config.head_dim_, dtype=jnp.float32)
+    logits, cache = prefill_scan(config, q, embeds, positions, cache,
+                                 jnp.asarray([8]))
+    tokens, _, _ = decode_loop_scan(config, q, logits, jnp.int32(8), cache, 4)
+    assert np.asarray(tokens).shape == (1, 4)

@@ -122,8 +122,9 @@ class TestQuantizedEngine:
             engine = Engine("q8", config, params, tok, max_cache_tokens=256)
             from vis_tpu.ops.quantized import QuantizedWeight
 
+            # Single-chip engines fuse QKV before quantizing.
             assert isinstance(
-                engine.text_params["layers_stacked"]["q_proj"], QuantizedWeight
+                engine.text_params["layers_stacked"]["qkv_proj"], QuantizedWeight
             )
             out_a = engine.generate("check the casting", max_tokens=6)
             out_b = engine.generate("check the casting", max_tokens=6)

@@ -200,11 +200,11 @@ def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp
     table = params["embed_tokens"] if config.tie_word_embeddings else params["lm_head"]
     if isinstance(table, QuantizedWeight):
         # f32 logits via the dequantizing matmul kernel (argmax ties must not
-        # be decided in bf16).
+        # be decided in bf16).  The quantized table may carry zero-padded
+        # rows (tile alignment) — slice back to the true vocab.
         flat = hidden.reshape(-1, hidden.shape[-1])
-        return quantized_matmul(flat, table).reshape(
-            *hidden.shape[:-1], table.q.shape[0]
-        )
+        out = quantized_matmul(flat, table)[:, : config.vocab_size]
+        return out.reshape(*hidden.shape[:-1], config.vocab_size)
     return jnp.einsum(
         "bsh,vh->bsv", hidden, table, preferred_element_type=jnp.float32
     )
@@ -316,8 +316,8 @@ def decode_loop(
 # Equality with the loop implementation is pinned by tests.
 # ---------------------------------------------------------------------------
 
-_QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj")
-_QUANT_MLP_TARGETS = ("gate_proj", "up_proj", "down_proj")
+_QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "qkv_proj", "o_proj")
+_QUANT_MLP_TARGETS = ("gate_proj", "up_proj", "gateup_proj", "down_proj")
 
 
 def quantize_stacked_params(
@@ -346,14 +346,19 @@ def quantize_stacked_params(
     if quantize_embeddings:
         for name in ("embed_tokens", "lm_head"):
             if name in out:
-                out[name] = quantize_weight(out[name])
+                # Pad rows to a 512 multiple: the vocab projection then runs
+                # with large kernel tiles (297 grid steps instead of 1187 for
+                # Qwen's 151936 vocab); lm_logits slices back to vocab_size,
+                # and embedding gathers never touch the zero rows.
+                out[name] = quantize_weight(out[name], pad_out_multiple=512)
     layers = dict(stacked["layers_stacked"])
     for name in _QUANT_TARGETS:
         if name in layers:
             layers[name] = quantize_stack(layers[name])
     mlp = dict(layers["mlp"])
     for name in _QUANT_MLP_TARGETS:
-        mlp[name] = quantize_stack(mlp[name])
+        if name in mlp:
+            mlp[name] = quantize_stack(mlp[name])
     layers["mlp"] = mlp
     out["layers_stacked"] = layers
     return out
@@ -365,6 +370,40 @@ def stack_decoder_layers(params: Params) -> Params:
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
     out = {k: v for k, v in params.items() if k != "layers"}
     out["layers_stacked"] = stacked
+    return out
+
+
+def fuse_stacked_projections(stacked: Params) -> Params:
+    """Concatenate Q/K/V into one projection and gate/up into another
+    (scan layout, [L, O, I] leaves).
+
+    Decode is weight-bandwidth-bound and each matmul carries fixed
+    dispatch/pipeline overhead; fusing cuts the per-step matmul count from
+    7 to 4 per layer and streams larger contiguous weight reads.  The math
+    per output row is unchanged (each row is an independent dot product),
+    and per-row int8 quantization commutes with the concat.
+
+    NOT for tensor-parallel runs: slicing the fused output of a row-sharded
+    matmul would force a mid-layer reshard — keep projections separate when
+    a mesh is attached.
+    """
+    layers = dict(stacked["layers_stacked"])
+    layers["qkv_proj"] = jnp.concatenate(
+        [layers.pop("q_proj"), layers.pop("k_proj"), layers.pop("v_proj")],
+        axis=1,
+    )
+    if "q_bias" in layers:
+        layers["qkv_bias"] = jnp.concatenate(
+            [layers.pop("q_bias"), layers.pop("k_bias"), layers.pop("v_bias")],
+            axis=1,
+        )
+    mlp = dict(layers["mlp"])
+    mlp["gateup_proj"] = jnp.concatenate(
+        [mlp.pop("gate_proj"), mlp.pop("up_proj")], axis=1
+    )
+    layers["mlp"] = mlp
+    out = {k: v for k, v in stacked.items() if k != "layers_stacked"}
+    out["layers_stacked"] = layers
     return out
 
 
@@ -390,15 +429,23 @@ def _layer_body(
     b, s, _ = x.shape
     hd = config.head_dim_
     h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
-    q = linear(h, layer["q_proj"], layer.get("q_bias")).reshape(
-        b, s, config.num_heads, hd
-    )
-    k = linear(h, layer["k_proj"], layer.get("k_bias")).reshape(
-        b, s, config.num_kv_heads, hd
-    )
-    v = linear(h, layer["v_proj"], layer.get("v_bias")).reshape(
-        b, s, config.num_kv_heads, hd
-    )
+    if "qkv_proj" in layer:  # fused layout (fuse_stacked_projections)
+        qdim = config.num_heads * hd
+        kvdim = config.num_kv_heads * hd
+        qkv = linear(h, layer["qkv_proj"], layer.get("qkv_bias"))
+        q = qkv[..., :qdim].reshape(b, s, config.num_heads, hd)
+        k = qkv[..., qdim : qdim + kvdim].reshape(b, s, config.num_kv_heads, hd)
+        v = qkv[..., qdim + kvdim :].reshape(b, s, config.num_kv_heads, hd)
+    else:
+        q = linear(h, layer["q_proj"], layer.get("q_bias")).reshape(
+            b, s, config.num_heads, hd
+        )
+        k = linear(h, layer["k_proj"], layer.get("k_bias")).reshape(
+            b, s, config.num_kv_heads, hd
+        )
+        v = linear(h, layer["v_proj"], layer.get("v_bias")).reshape(
+            b, s, config.num_kv_heads, hd
+        )
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

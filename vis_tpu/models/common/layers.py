@@ -344,9 +344,14 @@ class KVCache:
 # ---------------------------------------------------------------------------
 
 def swiglu_mlp(x: jnp.ndarray, params: Params) -> jnp.ndarray:
-    """SwiGLU feed-forward: down(silu(gate(x)) * up(x))."""
-    gate = linear(x, params["gate_proj"])
-    up = linear(x, params["up_proj"])
+    """SwiGLU feed-forward: down(silu(gate(x)) * up(x)).  Accepts the fused
+    gate+up layout (decoder.fuse_stacked_projections) — one matmul, split."""
+    if "gateup_proj" in params:
+        gu = linear(x, params["gateup_proj"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = linear(x, params["gate_proj"])
+        up = linear(x, params["up_proj"])
     return linear(jax.nn.silu(gate) * up, params["down_proj"])
 
 

@@ -50,11 +50,20 @@ class QuantizedWeight:
         return (self.q.astype(jnp.float32) * self.scale[:, None]).astype(dtype)
 
 
-def quantize_weight(w: jnp.ndarray) -> QuantizedWeight:
-    """Symmetric per-row (output channel) int8 quantization."""
+def quantize_weight(w: jnp.ndarray, pad_out_multiple: int = 1) -> QuantizedWeight:
+    """Symmetric per-row (output channel) int8 quantization.
+
+    pad_out_multiple pads the output-row count with zero rows (zero scales →
+    zero outputs) so awkward dims like a 151936 vocab can use large matmul
+    tiles; callers slice the output back to the true dim."""
     w32 = w.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=1), 1e-8) / 127.0
     q = jnp.clip(jnp.round(w32 / scale[:, None]), -127, 127).astype(jnp.int8)
+    out = q.shape[0]
+    if pad_out_multiple > 1 and out % pad_out_multiple:
+        pad = pad_out_multiple - out % pad_out_multiple
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        scale = jnp.pad(scale, (0, pad))
     return QuantizedWeight(q=q, scale=scale)
 
 
@@ -87,10 +96,15 @@ def quantized_matmul(
     """
     out_dim, in_dim = qw.q.shape
     batch = x.shape[0]
-    # Vocab-sized projections (e.g. Qwen's 151936) aren't multiples of 256;
-    # halve the tile rather than falling off the kernel path.
-    if out_dim % block_o != 0 and out_dim % 128 == 0:
-        block_o = 128
+    # Grid-step count is a first-order cost on the decode path (each step
+    # pays fixed DMA-setup/pipeline overhead): pick the LARGEST tile that
+    # divides out_dim and fits VMEM comfortably (~6 MB per int8 block,
+    # double-buffered by Mosaic).
+    max_rows = max(128, (6 * 1024 * 1024) // max(1, in_dim))
+    for candidate in (1024, 512, 256, 128):
+        if candidate <= max_rows and out_dim % candidate == 0:
+            block_o = candidate
+            break
     # The kernel holds the full activation block in VMEM, so it is a
     # DECODE-path kernel (few rows); prefill-sized activations fall back to
     # the XLA path, where weight bandwidth is not the bottleneck anyway.

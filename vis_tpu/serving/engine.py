@@ -110,6 +110,14 @@ class Engine:
         # With a mesh, parameters get tensor-parallel NamedShardings and the
         # same jit functions run SPMD (XLA inserts the collectives).
         def _finish(stacked):
+            if mesh is None:
+                # Single-chip: fuse QKV and gate/up projections (fewer,
+                # larger matmuls on the bandwidth-bound decode path).  Under
+                # TP the projections stay separate (see
+                # fuse_stacked_projections).
+                from vis_tpu.models.common.decoder import fuse_stacked_projections
+
+                stacked = fuse_stacked_projections(stacked)
             if app_config.quantization == "int8":
                 from vis_tpu.models.common.decoder import quantize_stacked_params
 
