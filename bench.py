@@ -117,7 +117,7 @@ def main() -> None:
     for text_ids in (insp_ids, audit_ids):
         rows.append([vs] + [im] * n_vision + [ve] + text_ids)
     seq_len = len(rows[0])
-    bucket = ((seq_len + 511) // 512) * 512
+    bucket = ((seq_len + 127) // 128) * 128  # tight prefill bucket
     ids = np.zeros((2, bucket), np.int32)
     for r, row in enumerate(rows):
         ids[r, : len(row)] = row

@@ -196,3 +196,32 @@ class TestQuantizedEmbeddings:
         tb2 = run(q_all)
         np.testing.assert_array_equal(tb, tb2)
         assert (ta == tb).mean() >= 0.5
+
+
+class TestFusedMLPKernel:
+    def test_matches_unfused_interpret(self):
+        """Fused int8 SwiGLU kernel (interpret mode on CPU) vs the unfused
+        quantized path at a small shape."""
+        from vis_tpu.ops.quantized import fused_swiglu_mlp, quantized_linear
+
+        rng = np.random.default_rng(5)
+        H, I = 128, 256
+        gate = jnp.asarray(rng.standard_normal((I, H)).astype(np.float32) * 0.05)
+        up = jnp.asarray(rng.standard_normal((I, H)).astype(np.float32) * 0.05)
+        down = jnp.asarray(rng.standard_normal((H, I)).astype(np.float32) * 0.05)
+        gu_q = quantize_weight(jnp.concatenate([gate, up], axis=0))
+        dn_q = quantize_weight(down)
+        x = jnp.asarray(rng.standard_normal((2, H)).astype(np.float32) * 0.1)
+
+        gu = quantized_linear(x.astype(jnp.bfloat16), gu_q)
+        g, u = jnp.split(gu.astype(jnp.float32), 2, axis=-1)
+        ref = quantized_linear(
+            (jax.nn.silu(g) * u).astype(jnp.bfloat16), dn_q
+        ).astype(np.float32)
+
+        out = fused_swiglu_mlp(x.astype(jnp.bfloat16), gu_q, dn_q,
+                               interpret=True)
+        assert out is not None
+        err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        scale = float(jnp.abs(ref).max())
+        assert err / max(scale, 1e-6) < 0.02, (err, scale)

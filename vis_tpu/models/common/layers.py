@@ -345,9 +345,19 @@ class KVCache:
 
 def swiglu_mlp(x: jnp.ndarray, params: Params) -> jnp.ndarray:
     """SwiGLU feed-forward: down(silu(gate(x)) * up(x)).  Accepts the fused
-    gate+up layout (decoder.fuse_stacked_projections) — one matmul, split."""
+    gate+up layout (decoder.fuse_stacked_projections) — one matmul, split.
+    With int8 weights on TPU the whole MLP runs as a single Pallas kernel
+    (decode steps are latency-bound on serialized kernel regions)."""
+    from vis_tpu.ops.quantized import QuantizedWeight, fused_swiglu_mlp
+
     if "gateup_proj" in params:
-        gu = linear(x, params["gateup_proj"])
+        gateup = params["gateup_proj"]
+        down = params["down_proj"]
+        if isinstance(gateup, QuantizedWeight) and isinstance(down, QuantizedWeight):
+            fused = fused_swiglu_mlp(x, gateup, down)
+            if fused is not None:
+                return fused
+        gu = linear(x, gateup)
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
         gate = linear(x, params["gate_proj"])

@@ -42,7 +42,7 @@ DEFAULT_MIN_PIXELS = 56 * 56
 DEFAULT_MAX_PIXELS = 14 * 14 * 4 * 1280
 
 # Padded patch-sequence buckets (multiples of merge_unit, MXU-friendly).
-PATCH_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384)
+PATCH_BUCKETS = (256, 384, 512, 768, 1024, 2048, 4096, 8192, 16384)
 
 
 def smart_resize(

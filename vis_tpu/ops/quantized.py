@@ -150,9 +150,110 @@ def quantized_linear(
     return y.reshape(*lead_shape, qw.q.shape[0]).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused int8 SwiGLU MLP kernel
+# ---------------------------------------------------------------------------
+
+def _fused_mlp_kernel(x_ref, gate_ref, up_ref, gs_ref, us_ref, down_ref,
+                      o_ref):
+    """One grid step handles one block of the intermediate dimension:
+    g/u = x @ {gate,up}_block^T (dequant), h = silu(g)*u, o += h @ down_block^T.
+
+    Decode steps are LATENCY-bound on serialized kernel regions (~17 us per
+    region measured on v5e), so the whole MLP — two projections, the SwiGLU
+    elementwise, and the down projection — runs as ONE region, streaming
+    every weight byte exactly once.
+    """
+    x = x_ref[...]                                     # [B, H] bf16
+    gate = gate_ref[...].astype(jnp.bfloat16)          # [bi, H]
+    up = up_ref[...].astype(jnp.bfloat16)
+    g = jax.lax.dot_general(
+        x, gate, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * gs_ref[0, :][None, :]                          # [B, bi]
+    u = jax.lax.dot_general(
+        x, up, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * us_ref[0, :][None, :]
+    h = (g * jax.nn.sigmoid(g) * u).astype(jnp.bfloat16)
+    down = down_ref[...].astype(jnp.bfloat16)          # [H, bi]
+    y = jax.lax.dot_general(
+        h, down, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                  # [B, H]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o_ref[...] += y
+
+
+def _mlp_block_size(inter: int, hidden: int) -> Optional[int]:
+    """Largest intermediate block that divides `inter` and keeps the three
+    weight blocks (~3 * bi * hidden int8, double-buffered) well under VMEM."""
+    cap = (4 * 1024 * 1024) // max(1, 3 * hidden)
+    for candidate in (1280, 1024, 896, 768, 640, 512, 448, 384, 256, 128):
+        if candidate <= cap and inter % candidate == 0:
+            return candidate
+    return None
+
+
+def fused_swiglu_mlp(
+    x: jnp.ndarray, gateup: QuantizedWeight, down: QuantizedWeight,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """down(silu(gate(x)) * up(x)) in one Pallas kernel.
+
+    gateup: fused [2*inter, hidden] int8 (gate rows first — the
+    decoder.fuse_stacked_projections layout); down: [hidden, inter] int8.
+    Returns None when the shapes don't fit the kernel (caller falls back).
+    """
+    lead_shape = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    batch, hidden = flat.shape
+    inter = gateup.q.shape[0] // 2
+    bi = _mlp_block_size(inter, hidden)
+    use_kernel = (
+        (jax.default_backend() == "tpu" or interpret)
+        and batch <= 128
+        and bi is not None
+        and hidden % 128 == 0
+        and down.q.shape == (hidden, inter)
+    )
+    if not use_kernel:
+        return None
+    blocks = inter // bi
+    scale2d = gateup.scale.reshape(1, -1)
+    y = pl.pallas_call(
+        _fused_mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((batch, hidden), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # gate rows j*bi.., then up rows inter + j*bi.. — two views of
+            # the same fused array via block-index offset.
+            pl.BlockSpec((bi, hidden), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bi, hidden), lambda j, _b=blocks: (j + _b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bi), lambda j, _b=blocks: (0, j + _b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, hidden), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat.astype(jnp.bfloat16), gateup.q, gateup.q, scale2d, scale2d, down.q)
+    y = y * down.scale[None, :]
+    return y.reshape(*lead_shape, hidden).astype(x.dtype)
+
+
 __all__ = [
     "QuantizedWeight",
     "quantize_weight",
     "quantized_matmul",
+    "fused_swiglu_mlp",
     "quantized_linear",
 ]
