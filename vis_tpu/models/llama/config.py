@@ -39,6 +39,36 @@ def llama32_3b(dtype=jnp.bfloat16) -> DecoderConfig:
     )
 
 
+def from_hf_config(cfg: dict, dtype=jnp.bfloat16) -> DecoderConfig:
+    """DecoderConfig from a Llama checkpoint's config.json (any size)."""
+    rope_scaling = cfg.get("rope_scaling")
+    scaling = None
+    if rope_scaling and rope_scaling.get("rope_type", rope_scaling.get("type")) == "llama3":
+        scaling = (
+            ("rope_type", "llama3"),
+            ("factor", rope_scaling["factor"]),
+            ("low_freq_factor", rope_scaling["low_freq_factor"]),
+            ("high_freq_factor", rope_scaling["high_freq_factor"]),
+            ("original_max_position_embeddings",
+             rope_scaling["original_max_position_embeddings"]),
+        )
+    return DecoderConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        num_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+        intermediate_size=cfg["intermediate_size"],
+        head_dim=cfg.get("head_dim"),
+        rope_theta=cfg.get("rope_theta", 500000.0),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        qkv_bias=False,
+        rope_scaling=scaling,
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        dtype=dtype,
+    )
+
+
 def llama_tiny() -> DecoderConfig:
     """CPU-testable config for golden tests vs HF LlamaForCausalLM."""
     return DecoderConfig(
@@ -49,4 +79,4 @@ def llama_tiny() -> DecoderConfig:
     )
 
 
-__all__ = ["llama31_8b", "llama32_3b", "llama_tiny"]
+__all__ = ["llama31_8b", "llama32_3b", "llama_tiny", "from_hf_config"]

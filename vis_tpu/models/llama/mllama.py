@@ -105,6 +105,40 @@ class MllamaConfig:
         )
 
     @classmethod
+    def from_hf_config(cls, cfg: Dict[str, Any], dtype=jnp.bfloat16) -> "MllamaConfig":
+        """Build from a checkpoint's config.json (HF MllamaConfig: nested
+        text_config/vision_config) so any Mllama size loads without a preset."""
+        from vis_tpu.models.llama.config import from_hf_config as text_from_hf
+
+        t = cfg.get("text_config", cfg)
+        v = cfg.get("vision_config", {})
+        text = text_from_hf(t, dtype=dtype)
+        return cls(
+            vision=MllamaVisionConfig(
+                hidden_size=v.get("hidden_size", 1280),
+                num_layers=v.get("num_hidden_layers", 32),
+                num_global_layers=v.get("num_global_layers", 8),
+                attention_heads=v.get("attention_heads", 16),
+                image_size=v.get("image_size", 448),
+                patch_size=v.get("patch_size", 14),
+                max_num_tiles=v.get("max_num_tiles", 4),
+                intermediate_size=v.get("intermediate_size", 5120),
+                intermediate_layers_indices=tuple(
+                    v.get("intermediate_layers_indices", (3, 7, 15, 23, 30))
+                ),
+                num_aspect_ratios=len(v.get("supported_aspect_ratios", [0] * 8)),
+                norm_eps=v.get("norm_eps", 1e-5),
+                dtype=dtype,
+            ),
+            text=text,
+            cross_attention_layers=tuple(
+                t.get("cross_attention_layers", (3, 8, 13, 18, 23, 28, 33, 38))
+            ),
+            image_token_id=cfg.get("image_token_index", 128256),
+            eos_token_id=128009,
+        )
+
+    @classmethod
     def llama32_11b_vision(cls, dtype=jnp.bfloat16) -> "MllamaConfig":
         return cls(
             vision=MllamaVisionConfig(dtype=dtype),
@@ -480,9 +514,15 @@ def convert_hf_state_dict(state_dict: Mapping[str, Any],
     flat = { }
     for name, tensor in state_dict.items():
         key = name
-        for prefix in ("model.",):
-            if key.startswith(prefix):
-                key = key[len(prefix):]
+        # Two HF layouts: in-memory state_dicts use model.language_model.*
+        # with a top-level lm_head; serialized checkpoints keep the legacy
+        # language_model.model.* / language_model.lm_head.* nesting.
+        if key.startswith("model."):
+            key = key[len("model."):]
+        if key.startswith("language_model.model."):
+            key = "language_model." + key[len("language_model.model."):]
+        if key == "language_model.lm_head.weight":
+            key = "lm_head.weight"
         flat[key] = tensor
 
     def get(key: str, dtype) -> jnp.ndarray:

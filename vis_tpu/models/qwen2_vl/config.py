@@ -70,6 +70,53 @@ class Qwen2VLConfig:
         )
 
     @classmethod
+    def from_hf_config(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2VLConfig":
+        """Build from a checkpoint's config.json (HF Qwen2VLConfig fields) —
+        production checkpoints carry their own shapes, so any model size
+        loads without a named preset (reference loaded models by remote API
+        id; here the checkout is the source of truth)."""
+        # Original releases use flat text fields; newer transformers nests
+        # them under text_config.  Accept both.
+        t = cfg.get("text_config", cfg)
+        v = cfg.get("vision_config", {})
+        rope_scaling = t.get("rope_scaling") or {}
+        mrope = tuple(rope_scaling.get("mrope_section", (16, 24, 24)))
+        return cls(
+            vision=VisionConfig(
+                depth=v.get("depth", 32),
+                embed_dim=v.get("embed_dim", 1280),
+                num_heads=v.get("num_heads", 16),
+                mlp_ratio=v.get("mlp_ratio", 4),
+                in_channels=v.get("in_chans", v.get("in_channels", 3)),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                hidden_size=v.get("hidden_size", t["hidden_size"]),
+                dtype=dtype,
+            ),
+            text=DecoderConfig(
+                vocab_size=t["vocab_size"],
+                hidden_size=t["hidden_size"],
+                num_layers=t["num_hidden_layers"],
+                num_heads=t["num_attention_heads"],
+                num_kv_heads=t.get(
+                    "num_key_value_heads", t["num_attention_heads"]
+                ),
+                intermediate_size=t["intermediate_size"],
+                rope_theta=t.get("rope_theta", 1_000_000.0),
+                rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+                qkv_bias=True,
+                mrope_section=mrope,
+                tie_word_embeddings=t.get("tie_word_embeddings", False),
+                dtype=dtype,
+            ),
+            image_token_id=cfg.get("image_token_id", 151655),
+            vision_start_token_id=cfg.get("vision_start_token_id", 151652),
+            vision_end_token_id=cfg.get("vision_end_token_id", 151653),
+            eos_token_id=cfg.get("eos_token_id", 151645),
+        )
+
+    @classmethod
     def qwen2_vl_2b(cls, dtype=jnp.bfloat16) -> "Qwen2VLConfig":
         return cls(
             vision=VisionConfig(hidden_size=1536, dtype=dtype),

@@ -623,33 +623,52 @@ def build_engine(role: str, model_name: str):
     if ckpt_dir is not None:
         tokenizer = load_tokenizer(ckpt_dir)
         state = read_safetensors_dir(ckpt_dir)
-        if is_vlm and _is_mllama(model_name):
+        # The checkpoint's own config.json is the source of truth for shapes
+        # (any model size loads); model-name presets are the fallback for
+        # bare weight dirs.
+        hf_cfg = None
+        cfg_file = Path(ckpt_dir) / "config.json"
+        if cfg_file.exists():
+            import json
+
+            hf_cfg = json.loads(cfg_file.read_text())
+        model_type = (hf_cfg or {}).get("model_type", "")
+        if is_vlm and (model_type == "mllama" or
+                       (not model_type and _is_mllama(model_name))):
             from vis_tpu.models.llama.mllama import (
                 MllamaConfig,
                 convert_hf_state_dict as convert_mllama,
             )
             from vis_tpu.serving.engine_mllama import MllamaEngine
 
-            cfg = MllamaConfig.llama32_11b_vision()
+            cfg = (
+                MllamaConfig.from_hf_config(hf_cfg) if hf_cfg is not None
+                else MllamaConfig.llama32_11b_vision()
+            )
             params = convert_mllama(state, cfg)
             logger.info(f"{role}: loaded Mllama {model_name} from {ckpt_dir}")
             return MllamaEngine(model_name, cfg, params, tokenizer)
         if is_vlm:
-            lname = model_name.lower()
-            cfg = (
-                Qwen2VLConfig.qwen2_vl_2b() if "2b" in lname
-                else Qwen2VLConfig.qwen2_vl_7b()
-            )
+            if hf_cfg is not None:
+                cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
+            else:
+                cfg = (
+                    Qwen2VLConfig.qwen2_vl_2b() if "2b" in model_name.lower()
+                    else Qwen2VLConfig.qwen2_vl_7b()
+                )
             params = qwen_model.convert_hf_state_dict(state, cfg)
             logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
             return Engine(
                 model_name, cfg.text, None, tokenizer,
                 vlm_config=cfg, vlm_params=params,
             )
-        cfg = (
-            llama_configs.llama31_8b() if "8b" in model_name.lower()
-            else llama_configs.llama32_3b()
-        )
+        if hf_cfg is not None:
+            cfg = llama_configs.from_hf_config(hf_cfg)
+        else:
+            cfg = (
+                llama_configs.llama31_8b() if "8b" in model_name.lower()
+                else llama_configs.llama32_3b()
+            )
         params = llama_model.convert_hf_state_dict(state, cfg)
         logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
         return Engine(model_name, cfg, params, tokenizer)
