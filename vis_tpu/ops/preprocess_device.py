@@ -10,8 +10,10 @@ HF-parity reference.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +25,37 @@ from vis_tpu.ops.preprocess import (
     PATCH_SIZE,
     TEMPORAL_PATCH_SIZE,
 )
+
+
+def _bicubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0,
+        np.where(ax < 2.0, a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+
+
+@lru_cache(maxsize=64)
+def resize_weights(src: int, dst: int) -> np.ndarray:
+    """Dense [dst, src] separable bicubic interpolation matrix with PIL's
+    support scaling (downscale widens the kernel by the scale factor), so a
+    resize becomes a matmul — gathers are the slow path on TPU, matmuls are
+    the fast one.  Matches PIL.Image.BICUBIC to resampling tolerance."""
+    scale = src / dst
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    weights = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), src)
+        xs = np.arange(lo, hi, dtype=np.float64)
+        w = _bicubic_kernel((xs + 0.5 - center) / filterscale)
+        total = w.sum()
+        if total != 0:
+            weights[i, lo:hi] = (w / total).astype(np.float32)
+    return weights
 
 
 def patchify_device(frames: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
@@ -41,22 +74,56 @@ def patchify_device(frames: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarra
     return x.reshape(grid_t * grid_h * grid_w, c * TEMPORAL_PATCH_SIZE * p * p)
 
 
-@partial(jax.jit, static_argnames=("dst_h", "dst_w"))
-def preprocess_frame_device(
-    rgb_u8: jnp.ndarray, dst_h: int, dst_w: int
+def _preprocess_frame_impl(
+    rgb_u8: jnp.ndarray, wh: jnp.ndarray, ww: jnp.ndarray,
+    dst_h: int, dst_w: int,
 ) -> jnp.ndarray:
-    """uint8 [H, W, 3] frame -> [grid_h*grid_w, C*T*P*P] f32 patches.
-
-    Resize uses jax.image cubic resampling (XLA gather/matmul lowering),
-    then CLIP normalization and patchify fuse into the same program.
-    """
-    img = rgb_u8.astype(jnp.float32) / 255.0
-    resized = jax.image.resize(img, (dst_h, dst_w, 3), method="cubic")
+    img = rgb_u8.astype(jnp.float32) / 255.0          # [H, W, 3]
+    # Separable resize as two MXU matmuls: rows then columns.
+    rows = jnp.einsum("dh,hwc->dwc", wh, img, preferred_element_type=jnp.float32)
+    resized = jnp.einsum("ew,dwc->dec", ww, rows, preferred_element_type=jnp.float32)
     resized = jnp.clip(resized, 0.0, 1.0)
     norm = (resized - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
     chw = norm.transpose(2, 0, 1)
     frames = jnp.stack([chw] * TEMPORAL_PATCH_SIZE, axis=0)
     return patchify_device(frames, dst_h // PATCH_SIZE, dst_w // PATCH_SIZE)
+
+
+@partial(jax.jit, static_argnames=("dst_h", "dst_w"))
+def _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w):
+    return _preprocess_frame_impl(rgb_u8, wh, ww, dst_h, dst_w)
+
+
+def preprocess_frame_device(
+    rgb_u8: jnp.ndarray, dst_h: int, dst_w: int
+) -> jnp.ndarray:
+    """uint8 [H, W, 3] frame -> [grid_h*grid_w, C*T*P*P] f32 patches.
+
+    Resize runs as two separable interpolation MATMULS (host-cached PIL-style
+    bicubic weight matrices) — jax.image's gather-based cubic resampling is
+    ~100x slower on TPU.  Normalization and patchify fuse into the same
+    program.
+    """
+    src_h, src_w = rgb_u8.shape[:2]
+    wh = jnp.asarray(resize_weights(src_h, dst_h))
+    ww = jnp.asarray(resize_weights(src_w, dst_w))
+    return _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w)
+
+
+def preprocess_batch_device(
+    frames_u8: jnp.ndarray, dst_h: int, dst_w: int
+) -> jnp.ndarray:
+    """Batched device preprocessing: [B, H, W, 3] u8 -> [B, patches, dim].
+    One jit program, weight matrices shared across the batch."""
+    src_h, src_w = frames_u8.shape[1:3]
+    wh = jnp.asarray(resize_weights(src_h, dst_h))
+    ww = jnp.asarray(resize_weights(src_w, dst_w))
+    fn = jax.jit(
+        jax.vmap(partial(_preprocess_frame_impl, dst_h=dst_h, dst_w=dst_w),
+                 in_axes=(0, None, None)),
+        static_argnums=(),
+    )
+    return fn(frames_u8, wh, ww)
 
 
 @partial(jax.jit, static_argnames=("dst_h", "dst_w"))
