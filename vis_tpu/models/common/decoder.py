@@ -627,6 +627,62 @@ def _write_new_kv(
     return k_buf, v_buf
 
 
+def verify_scan(
+    config: DecoderConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    new_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Speculative-decoding verification: like extend_scan, but returns the
+    GREEDY TOKEN at every chunk position ([b, s] int32) instead of only the
+    last logits.  greedy[:, i] is the model's next token after consuming
+    chunk position i — comparing it against a drafted continuation yields
+    the accepted prefix length (prompt-lookup decoding; greedy outputs are
+    exactly preserved by construction).  The cache gains the chunk's K/V at
+    the cursors; the caller rewinds `lengths` to the accepted count."""
+    b, s = input_embeds.shape[:2]
+    cos, sin = _position_tables(config, positions)
+    max_len = cache.k.shape[2]
+    kj = jnp.arange(max_len)[None, None, None, :]
+    cache_mask = jnp.where(
+        kj < cache.lengths[:, None, None, None], 0.0, -1e30
+    ).astype(jnp.float32)
+    chunk_mask = causal_mask(s, s) + length_mask(s, new_lengths)
+
+    def body(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        x, k, v = _layer_body(
+            config, x, layer, cos, sin, chunk_mask, ck, cv, cache_mask
+        )
+        return x, (k, v)
+
+    x, (k_new, v_new) = lax.scan(
+        body, input_embeds, (params["layers_stacked"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+
+    def write_row(kb_row, vb_row, k_row, v_row, start):
+        kb = lax.dynamic_update_slice(
+            kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
+        )
+        vb = lax.dynamic_update_slice(
+            vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
+        )
+        return kb, vb
+
+    k_buf, v_buf = jax.vmap(
+        write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
+    )(cache.k, cache.v, k_new, v_new, cache.lengths)
+    cache = KVCache(
+        k=k_buf, v=v_buf,
+        lengths=cache.lengths + new_lengths.astype(jnp.int32),
+    )
+    greedy = jnp.argmax(lm_logits(config, params, x), axis=-1).astype(jnp.int32)
+    return greedy, cache
+
+
 def decode_step_scan(
     config: DecoderConfig,
     params: Params,
@@ -731,6 +787,7 @@ __all__ = [
     "quantize_stacked_params",
     "prefill_scan",
     "extend_scan",
+    "verify_scan",
     "decode_step_scan",
     "decode_loop_scan",
 ]

@@ -43,6 +43,7 @@ from vis_tpu.models.common.decoder import (
     init_decoder_params,
     prefill_scan,
     stack_decoder_layers,
+    verify_scan,
 )
 from vis_tpu.models.common.layers import KVCache, embed
 from vis_tpu.models.llama import config as llama_configs
@@ -69,6 +70,26 @@ def _bucket_for(n: int, buckets: List[int]) -> int:
         if b >= n:
             return b
     return ((n + 127) // 128) * 128
+
+
+def _pld_draft(context: List[int], k: int, ngram: int = 2) -> List[int]:
+    """Prompt-lookup draft: the continuation after the most recent earlier
+    occurrence of the trailing `ngram` (up to k tokens; [] when no match).
+    Structured outputs (JSON field names, units, repeated phrasing) give
+    long matches; the verifier keeps greedy outputs exact either way."""
+    n = len(context)
+    if n < ngram + 1:
+        return []
+    key = context[-ngram:]
+    arr = np.asarray(context, np.int64)
+    match = np.ones(n - ngram, bool)  # starts 0..n-ngram-1 (excludes the key itself)
+    for j in range(ngram):
+        match &= arr[j : j + n - ngram] == key[j]
+    starts = np.flatnonzero(match)
+    if starts.size == 0:
+        return []
+    s = int(starts[-1]) + ngram
+    return context[s : s + k]
 
 
 import dataclasses
@@ -154,6 +175,7 @@ class Engine:
             static_argnames=("num_steps",), donate_argnums=(3,),
         )
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
+        self._verify_jit = jax.jit(partial(verify_scan, text_config))
         self._encode_image_jit = jax.jit(
             partial(qwen_model.encode_image, vlm_config)
         ) if vlm_config is not None else None
@@ -491,7 +513,15 @@ class Engine:
                 yield chunk_text
 
         with span("engine.decode", logger):
-            if temperature <= 0.0:
+            if temperature <= 0.0 and app_config.speculative_decoding == "pld":
+                # Prompt-lookup speculative decoding: draft continuations by
+                # n-gram lookup in (prompt + generated), verify the whole
+                # draft in one device pass; greedy outputs exactly preserved.
+                yield from self._decode_pld(
+                    params, logits, cache, next_pos, ids[0].tolist(),
+                    generated, emit_progress, max_tokens,
+                )
+            elif temperature <= 0.0:
                 # Greedy: fused multi-token decode (one dispatch per chunk),
                 # EOS checked host-side between chunks; chunks chain via the
                 # final logits returned by decode_loop.
@@ -536,6 +566,107 @@ class Engine:
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]
+
+    def _decode_pld(self, params, logits, cache, next_pos, context,
+                    generated, emit_progress, max_tokens) -> Iterator[str]:
+        """Greedy decode with prompt-lookup speculation (SPECULATIVE_DECODING
+        =pld).  Loop invariant: `cur` is the last generated token, already
+        emitted, with its K/V NOT yet in the cache.  Each iteration verifies
+        [cur] + draft in ONE device pass (verify_scan), accepts the longest
+        matching prefix plus the model's correction token, and rewinds the
+        cache cursor over the rejected tail.  Exactly reproduces plain greedy
+        decode by construction.  Falls back to the fused chunk path when
+        acceptance stays low (non-repetitive outputs)."""
+        tc = self.text_config
+        K = 8
+        bucket = K + 1
+        table = params["embed_tokens"]
+        cur = int(np.argmax(np.asarray(logits)[0]))
+        if cur == self.tokenizer.eos_id:
+            return
+        generated.append(cur)
+        yield from emit_progress()
+        kv = len(context)
+        rope = int(next_pos)
+        remaining = max_tokens - 1
+        recent: List[int] = []
+
+        while remaining > 0 and kv + bucket <= self.max_cache_tokens:
+            if len(recent) >= 4 and sum(recent) / len(recent) < 2.0:
+                break  # poor acceptance: fused chunks beat 1-2 tokens/pass
+            draft = _pld_draft(context + generated, K)
+            seq = [cur] + draft
+            n_valid = len(seq)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :n_valid] = seq
+            if tc.mrope_section is not None:
+                pos = np.broadcast_to(
+                    rope + np.arange(bucket, dtype=np.int32), (3, 1, bucket)
+                ).copy()
+            else:
+                pos = (rope + np.arange(bucket, dtype=np.int32))[None]
+            embeds = self._embed_jit(table, jnp.asarray(padded))
+            greedy, cache = self._verify_jit(
+                params, embeds, jnp.asarray(pos), cache,
+                jnp.asarray([n_valid], jnp.int32),
+            )
+            g = np.asarray(greedy)[0]
+            accepted = 0
+            while accepted < len(draft) and g[accepted] == draft[accepted]:
+                accepted += 1
+            emitted = list(draft[:accepted]) + [int(g[accepted])]
+            # verify advanced the cursor by n_valid; keep only the verified
+            # prefix ([cur] + accepted draft tokens) — the garbage tail is
+            # overwritten by later writes.
+            kv += accepted + 1
+            rope += accepted + 1
+            cache = KVCache(
+                k=cache.k, v=cache.v, lengths=jnp.asarray([kv], jnp.int32)
+            )
+            recent.append(len(emitted))
+            if len(recent) > 4:
+                recent.pop(0)
+            for token_id in emitted:
+                if token_id == self.tokenizer.eos_id:
+                    yield from emit_progress()
+                    return
+                generated.append(token_id)
+                remaining -= 1
+                if remaining <= 0:
+                    break
+            yield from emit_progress()
+            if remaining <= 0:
+                return
+            cur = generated[-1]
+
+        if remaining <= 0:
+            return
+        # Tail via the fused chunk path.  cur's K/V is not yet written: one
+        # decode_step writes it and produces the next distribution.
+        if tc.mrope_section is not None:
+            step_positions = jnp.full((3, 1, 1), rope, jnp.int32)
+        else:
+            step_positions = jnp.full((1, 1), rope, jnp.int32)
+        emb = self._embed_jit(table, jnp.asarray([[cur]], jnp.int32))
+        logits, cache = self._decode_jit(params, emb, step_positions, cache)
+        rope += 1
+        step0 = 0
+        while remaining > 0:
+            steps = min(self.decode_chunk, remaining)
+            tokens, logits, cache = self._decode_loop_jit(
+                params, logits, jnp.int32(rope + step0), cache,
+                num_steps=steps,
+            )
+            for token_id in np.asarray(tokens)[0].tolist():
+                if token_id == self.tokenizer.eos_id:
+                    yield from emit_progress()
+                    return
+                generated.append(token_id)
+                remaining -= 1
+                if remaining <= 0:
+                    break
+            yield from emit_progress()
+            step0 += steps
 
     def generate(self, prompt, image_path=None, **kwargs) -> str:
         return "".join(self.generate_stream(prompt, image_path, **kwargs))

@@ -130,6 +130,7 @@ class Config(BaseModel):
     decode_batch_size: int = 8        # continuous-batching decode width
     quantization: str = "none"        # "none" | "int8" weight-only decoder quant
     continuous_batching: bool = False # share batched decode slots across requests
+    speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
