@@ -4,7 +4,7 @@ Axis layout (SURVEY.md §5.8 TPU plan): a 2-D mesh ("data", "model") —
 "data" carries batch/data parallelism (and request-level parallelism in
 serving), "model" carries tensor parallelism over attention heads and MLP
 hidden.  Sequence parallelism for high-resolution vision prefill reuses the
-"model" axis (Ulysses-style head scatter; see ops.flash_attention).
+"model" axis (Ulysses-style head scatter; see parallel.sp).
 
 Shapes come from config.mesh_shape ("2x4" = data=2, model=4); `auto` uses
 (1, n_devices).  The same code runs on one real chip (1x1), a v5e-8 slice,
