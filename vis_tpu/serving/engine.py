@@ -428,6 +428,16 @@ class Engine:
             )
         return cache, logits, next_pos, seq_len
 
+    @staticmethod
+    def _request_cache_len(bucket: int, max_tokens: int, cap: int) -> int:
+        """Right-size a single request's KV buffer: decode attention reads
+        the FULL buffer width every step (static shapes), so a 1k request in
+        an 8k buffer pays 8x the cache-read traffic and mask work.  Rounded
+        to 512-multiples so only a handful of decode shapes compile (+32
+        slack covers the speculative-verify chunk overhang)."""
+        need = bucket + max_tokens + 32
+        return min(cap, ((need + 511) // 512) * 512)
+
     def _generate_locked(
         self, prompt, image_path, *, max_tokens, temperature, max_image_dim
     ) -> Iterator[str]:
@@ -491,8 +501,9 @@ class Engine:
             next_pos = seq_len
 
         cache = KVCache.create(
-            tc.num_layers, 1, self.max_cache_tokens, tc.num_kv_heads,
-            tc.head_dim_, dtype=tc.dtype,
+            tc.num_layers, 1,
+            self._request_cache_len(bucket, max_tokens, self.max_cache_tokens),
+            tc.num_kv_heads, tc.head_dim_, dtype=tc.dtype,
         )
         with span("engine.prefill", logger):
             logits, cache = self._prefill_jit(
@@ -590,8 +601,9 @@ class Engine:
         rope = int(next_pos)
         remaining = max_tokens - 1
         recent: List[int] = []
+        cache_cap = int(cache.k.shape[2])  # may be right-sized below max
 
-        while remaining > 0 and kv + bucket <= self.max_cache_tokens:
+        while remaining > 0 and kv + bucket <= cache_cap:
             if len(recent) >= 4 and sum(recent) / len(recent) < 2.0:
                 break  # poor acceptance: fused chunks beat 1-2 tokens/pass
             draft = _pld_draft(context + generated, K)
