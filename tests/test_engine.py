@@ -195,3 +195,43 @@ class TestVLMEngine:
             )
         diff = float(jnp.abs(embeds[0] - embeds[1]).max())
         assert diff > 1e-3
+
+
+class TestPrefixCaching:
+    def test_prefix_hit_matches_cold_prefill(self, monkeypatch):
+        """Same tokens out whether the shared prompt head came from the
+        prefix cache or a cold prefill, and the second call actually hits."""
+        import jax as _jax
+        from vis_tpu.models.common.decoder import DecoderConfig, init_decoder_params
+        from vis_tpu.serving.engine import Engine
+        from vis_tpu.serving.tokenizer import ByteTokenizer
+        from vis_tpu.utils.config import get_config
+
+        config = DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, _jax.random.PRNGKey(31))
+        tok = ByteTokenizer(vocab_size=config.vocab_size)
+        engine = Engine("prefix-test", config, params, tok,
+                        max_cache_tokens=2048)
+
+        shared_head = "SYSTEM: you are an inspection explainer. " * 12  # >256 tokens
+        q1 = shared_head + "Question: is the part safe?"
+        q2 = shared_head + "Question: what is the repair cost?"
+
+        cold_q1 = engine.generate(q1, max_tokens=8)
+        cold_q2 = engine.generate(q2, max_tokens=8)
+
+        monkeypatch.setenv("PREFIX_CACHING", "true")
+        get_config(reload=True)
+        try:
+            warm_q1 = engine.generate(q1, max_tokens=8)   # populates
+            warm_q2 = engine.generate(q2, max_tokens=8)   # hits
+            assert getattr(engine, "prefix_hits", 0) >= 1
+        finally:
+            monkeypatch.delenv("PREFIX_CACHING")
+            get_config(reload=True)
+        assert warm_q1 == cold_q1
+        assert warm_q2 == cold_q2

@@ -196,7 +196,7 @@ class Engine:
         with self._lock:
             # Reserve nothing at prefill time; per-turn budget checks guard
             # the cache (chat_start itself decodes no tokens).
-            cache, logits, next_pos, _ = self._prefill_request(
+            cache, logits, next_pos, _, _ = self._prefill_request(
                 system_context, None, max_tokens=1, max_image_dim=0
             )
         return ChatSession(cache=cache, logits=logits, position=next_pos)
@@ -331,7 +331,7 @@ class Engine:
         if scheduler is not None and temperature <= 0.0:
             # Prefill under the lock, decode batched in the scheduler.
             with self._lock:
-                cache, logits, next_pos, kv_len = self._prefill_request(
+                cache, logits, next_pos, kv_len, _ = self._prefill_request(
                     prompt, image_path, max_tokens=max_tokens,
                     max_image_dim=max_image_dim,
                 )
@@ -353,10 +353,14 @@ class Engine:
             )
 
     def _prefill_request(
-        self, prompt, image_path, *, max_tokens, max_image_dim
+        self, prompt, image_path, *, max_tokens, max_image_dim,
+        right_size_cache: bool = False,
     ):
         """Vision encode + multimodal/text prefill into a fresh batch-1
-        cache; returns (cache, first_logits, next_position)."""
+        cache; returns (cache, first_logits, next_position, kv_len, ids).
+        right_size_cache sizes the KV buffer to this request's budget
+        (unbatched path); scheduler hand-offs and chat sessions keep the
+        full budget."""
         tc = self.text_config
         image = None
         vision_embeds = None
@@ -394,13 +398,31 @@ class Engine:
             next_pos = seq_len
             logger.warning(f"Prompt truncated to {bucket} tokens")
 
-        padded_ids = np.zeros((1, bucket), dtype=np.int32)
-        padded_ids[0, :seq_len] = ids[0]
-
         params = (
             self.text_params if self.vlm_config is None
             else self.vlm_params["text"]
         )
+
+        cache_len = (
+            self._request_cache_len(bucket, max_tokens, self.max_cache_tokens)
+            if right_size_cache else self.max_cache_tokens
+        )
+
+        # Text prompts often share a static head (system prompt, report
+        # template): reuse its KV from the prefix cache and prefill only
+        # the suffix (reference parity: the remote APIs re-processed the
+        # full prompt on every call).
+        if image is None and app_config.prefix_caching:
+            hit = self._prefix_lookup(ids[0].tolist())
+            if hit is not None:
+                logits, cache = self._prefill_from_prefix(
+                    params, ids, seq_len, hit, cache_len
+                )
+                return cache, logits, seq_len, seq_len, ids
+
+        padded_ids = np.zeros((1, bucket), dtype=np.int32)
+        padded_ids[0, :seq_len] = ids[0]
+
         if image is not None:
             embeds = qwen_model.embed_multimodal(
                 self.vlm_config, self.vlm_params, jnp.asarray(padded_ids),
@@ -418,7 +440,7 @@ class Engine:
             next_pos = seq_len
 
         cache = KVCache.create(
-            tc.num_layers, 1, self.max_cache_tokens, tc.num_kv_heads,
+            tc.num_layers, 1, cache_len, tc.num_kv_heads,
             tc.head_dim_, dtype=tc.dtype,
         )
         with span("engine.prefill", logger):
@@ -426,7 +448,96 @@ class Engine:
                 params, embeds, jnp.asarray(positions), cache,
                 jnp.asarray([seq_len]),
             )
-        return cache, logits, next_pos, seq_len
+        if image is None and app_config.prefix_caching:
+            self._prefix_store(ids[0].tolist(), cache)
+        return cache, logits, next_pos, seq_len, ids
+
+    # -- prefix caching ----------------------------------------------------
+    _PREFIX_UNIT = 256     # cached prefixes are multiples of this
+    _PREFIX_MAX_LEN = 1024
+    _PREFIX_ENTRIES = 4    # LRU capacity
+
+    def _prefix_lookup(self, ids: List[int]):
+        """Longest usable cached prefix.  KV at position i depends only on
+        tokens <= i (causality), so ANY common token-prefix of a stored
+        entry is reusable — the match is the longest common prefix across
+        entries, rounded down to 128 so the seed copy compiles for only a
+        few shapes.  Returns (T, k[:T], v[:T]) or None."""
+        entries = getattr(self, "_prefix_cache", None)
+        if not entries:
+            return None
+        arr = np.asarray(ids, np.int64)
+        best_t, best_kv, best_key = 0, None, None
+        for key, kv in entries.items():
+            n = min(len(key), len(arr) - 1)
+            if n < 128:
+                continue
+            k_arr = np.asarray(key[:n], np.int64)
+            neq = np.flatnonzero(k_arr != arr[:n])
+            common = int(neq[0]) if neq.size else n
+            t = (common // 128) * 128
+            if t > best_t:
+                best_t, best_kv, best_key = t, kv, key
+        if best_t < 128:
+            return None
+        entries[best_key] = entries.pop(best_key)  # LRU bump
+        self.prefix_hits = getattr(self, "prefix_hits", 0) + 1
+        return best_t, best_kv
+
+    def _prefix_store(self, ids: List[int], cache: KVCache) -> None:
+        """Remember the head of this prompt's KV for future requests."""
+        p = min((len(ids) - 1) // self._PREFIX_UNIT * self._PREFIX_UNIT,
+                self._PREFIX_MAX_LEN)
+        if p < self._PREFIX_UNIT:
+            return
+        key = tuple(ids[:p])
+        entries = getattr(self, "_prefix_cache", None)
+        if entries is None:
+            entries = self._prefix_cache = {}
+        if key in entries:
+            return
+        # Trim to the prefix length (device slice; a few MB per entry).
+        entries[key] = (cache.k[:, :, :p], cache.v[:, :, :p])
+        while len(entries) > self._PREFIX_ENTRIES:
+            entries.pop(next(iter(entries)))  # evict oldest
+
+    def _prefill_from_prefix(self, params, ids, seq_len, hit, cache_len):
+        """Seed a fresh cache with the stored prefix KV, then extend_scan
+        over only the suffix tokens."""
+        tc = self.text_config
+        p, (k_pref, v_pref) = hit
+        k_pref = k_pref[:, :, :p]
+        v_pref = v_pref[:, :, :p]
+        suffix = ids[0, p:].tolist()
+        s_bucket = _bucket_for(len(suffix), [128, 256, 512, 1024, 2048])
+        padded = np.zeros((1, s_bucket), np.int32)
+        padded[0, : len(suffix)] = suffix
+        cache = KVCache.create(
+            tc.num_layers, 1, cache_len, tc.num_kv_heads,
+            tc.head_dim_, dtype=tc.dtype,
+        )
+        cache = self._seed_prefix_jit(cache, k_pref, v_pref, jnp.int32(p))
+        embeds = self._embed_jit(params["embed_tokens"], jnp.asarray(padded))
+        positions = jnp.asarray(
+            (p + np.arange(s_bucket, dtype=np.int32))[None]
+        )
+        with span("engine.prefill_suffix", logger):
+            logits, cache = self._extend_jit(
+                params, embeds, positions, cache,
+                jnp.asarray([len(suffix)], jnp.int32),
+            )
+        return logits, cache
+
+    @staticmethod
+    @jax.jit
+    def _seed_prefix_jit(cache: KVCache, k_pref, v_pref, p):
+        k = jax.lax.dynamic_update_slice(
+            cache.k, k_pref.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache.v, v_pref.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+        )
+        return KVCache(k=k, v=v, lengths=jnp.reshape(p.astype(jnp.int32), (1,)))
 
     @staticmethod
     def _request_cache_len(bucket: int, max_tokens: int, cap: int) -> int:
@@ -442,74 +553,11 @@ class Engine:
         self, prompt, image_path, *, max_tokens, temperature, max_image_dim
     ) -> Iterator[str]:
         tc = self.text_config
-        image = None
-        vision_embeds = None
-
-        if image_path is not None and self.vlm_config is not None:
-            with span("engine.preprocess", logger):
-                image = preprocess_image(image_path, max_image_dim=max_image_dim)
-            padded, bucket = image.padded()
-            cos, sin = vision_rotary_tables(
-                self.vlm_config.vision, image.grid_h, image.grid_w
-            )
-            cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
-            sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
-            cos_p[: cos.shape[0]] = cos
-            sin_p[: sin.shape[0]] = sin
-            with span("engine.vision_encode", logger):
-                vision_embeds = self._encode_image_jit(
-                    self.vlm_params,
-                    jnp.asarray(padded),
-                    jnp.asarray(cos_p),
-                    jnp.asarray(sin_p),
-                    jnp.asarray(image.num_patches),
-                )
-                vision_embeds = vision_embeds[: image.num_tokens]
-
-        ids, mrope_positions, next_pos = self._build_prompt_ids(prompt, image)
-        seq_len = ids.shape[1]
-        bucket = _bucket_for(seq_len, app_config.prefill_bucket_list)
-        bucket = min(bucket, self.max_cache_tokens - max_tokens)
-        if seq_len > bucket:
-            # Prompt exceeds KV budget: truncate the middle, keep head+tail.
-            keep_head = bucket // 2
-            keep_tail = bucket - keep_head
-            ids = np.concatenate([ids[:, :keep_head], ids[:, -keep_tail:]], axis=1)
-            seq_len = bucket
-            mrope_positions = None  # fall back to linear positions
-            next_pos = seq_len
-            logger.warning(f"Prompt truncated to {bucket} tokens")
-
-        padded_ids = np.zeros((1, bucket), dtype=np.int32)
-        padded_ids[0, :seq_len] = ids[0]
-
         params = self.text_params if self.vlm_config is None else self.vlm_params["text"]
-        if image is not None:
-            embeds = qwen_model.embed_multimodal(
-                self.vlm_config, self.vlm_params, jnp.asarray(padded_ids),
-                vision_embeds,
-            )
-        else:
-            embeds = self._embed_jit(params["embed_tokens"], jnp.asarray(padded_ids))
-
-        if mrope_positions is not None:
-            positions = np.zeros((3, 1, bucket), dtype=np.int32)
-            positions[:, 0, :seq_len] = mrope_positions
-            positions[:, 0, seq_len:] = mrope_positions.max()
-        else:
-            positions = np.arange(bucket, dtype=np.int32)[None]
-            next_pos = seq_len
-
-        cache = KVCache.create(
-            tc.num_layers, 1,
-            self._request_cache_len(bucket, max_tokens, self.max_cache_tokens),
-            tc.num_kv_heads, tc.head_dim_, dtype=tc.dtype,
+        cache, logits, next_pos, _, ids = self._prefill_request(
+            prompt, image_path, max_tokens=max_tokens,
+            max_image_dim=max_image_dim, right_size_cache=True,
         )
-        with span("engine.prefill", logger):
-            logits, cache = self._prefill_jit(
-                params, embeds, jnp.asarray(positions), cache,
-                jnp.asarray([seq_len]),
-            )
 
         key = jax.random.PRNGKey(0)
         emitted = ""

@@ -131,6 +131,7 @@ class Config(BaseModel):
     quantization: str = "none"        # "none" | "int8" weight-only decoder quant
     continuous_batching: bool = False # share batched decode slots across requests
     speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
+    prefix_caching: bool = False      # reuse shared text-prompt-head KV
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
