@@ -156,3 +156,55 @@ for path in {[str(p) for p in paths]!r}:
             assert ours.num_tiles == n, path.name
             diff = np.abs(ours.tiles - ref_tiles[:n])
             assert float(diff.max()) < 1e-4, (path.name, float(diff.max()))
+
+
+class TestMllamaQuantized:
+    def test_int8_engine_generates_deterministically(self, monkeypatch, tmp_path):
+        """QUANTIZATION=int8 quantizes the Mllama text stack (required to
+        fit the 11B auditor on one chip); outputs stay deterministic and the
+        multimodal path still runs."""
+        monkeypatch.setenv("QUANTIZATION", "int8")
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            config = MllamaConfig(
+                vision=MllamaVisionConfig(
+                    hidden_size=64, num_layers=2, num_global_layers=1,
+                    attention_heads=4, image_size=448, patch_size=14,
+                    max_num_tiles=4, intermediate_size=128,
+                    intermediate_layers_indices=(0,), num_aspect_ratios=8,
+                    dtype=jnp.float32,
+                ),
+                text=DecoderConfig(
+                    vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+                    num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+                    rms_norm_eps=1e-5, tie_word_embeddings=True,
+                    dtype=jnp.float32,
+                ),
+                cross_attention_layers=(1, 3),
+                image_token_id=261, eos_token_id=256,
+            )
+            params = init_params(config, jax.random.PRNGKey(17))
+            tok = ByteTokenizer(vocab_size=config.text.vocab_size)
+            q8 = MllamaEngine("tiny-mllama-q8", config, params, tok,
+                              max_cache_tokens=512)
+            from vis_tpu.ops.quantized import QuantizedWeight
+
+            assert isinstance(
+                q8.params["text"]["layers"][0]["q_proj"], QuantizedWeight
+            )
+            a = q8.generate("audit this", max_tokens=6)
+            b = q8.generate("audit this", max_tokens=6)
+            assert a == b
+
+            rng = np.random.default_rng(9)
+            img = tmp_path / "p.jpg"
+            Image.fromarray(
+                rng.integers(0, 255, size=(300, 500, 3), dtype=np.uint8)
+            ).save(img)
+            out = q8.generate("Audit the image.", img, max_tokens=6)
+            assert isinstance(out, str)
+        finally:
+            monkeypatch.delenv("QUANTIZATION")
+            get_config(reload=True)

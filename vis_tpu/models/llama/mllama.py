@@ -405,6 +405,40 @@ def mllama_logits(config: MllamaConfig, params: Params,
 
 
 
+def quantize_mllama_params(params: Params) -> Params:
+    """Weight-only int8 quantization of the Mllama text stack.
+
+    The 11B auditor's text decoder is ~18 GB in bf16 — it does not fit one
+    v5e chip without this.  Self- and cross-attention projections, MLPs,
+    and the vocab tables become QuantizedWeight (linear()/embed()/
+    lm_logits() dispatch on it); norms, gates, and the vision tower stay in
+    their original dtype.  Loop-path execution is unchanged.
+    """
+    from vis_tpu.ops.quantized import QuantizedWeight, quantize_weight
+
+    text = dict(params["text"])
+    layers = []
+    for layer in text["layers"]:
+        qlayer = dict(layer)
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            if name in qlayer and not isinstance(qlayer[name], QuantizedWeight):
+                qlayer[name] = quantize_weight(qlayer[name])
+        if "mlp" in qlayer:
+            mlp = dict(qlayer["mlp"])
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                if name in mlp and not isinstance(mlp[name], QuantizedWeight):
+                    mlp[name] = quantize_weight(mlp[name])
+            qlayer["mlp"] = mlp
+        layers.append(qlayer)
+    text["layers"] = layers
+    for name in ("embed_tokens", "lm_head"):
+        if name in text and not isinstance(text[name], QuantizedWeight):
+            text[name] = quantize_weight(text[name], pad_out_multiple=512)
+    out = dict(params)
+    out["text"] = text
+    return out
+
+
 def init_params(config: MllamaConfig, key: jax.Array, scale: float = 0.02) -> Params:
     """Random init of the full Mllama pytree (dev profiles / tests)."""
     vc, tc = config.vision, config.text
@@ -639,6 +673,7 @@ def convert_hf_state_dict(state_dict: Mapping[str, Any],
 
 
 __all__ = [
+    "quantize_mllama_params",
     "init_params",
     "MllamaVisionConfig",
     "MllamaConfig",

@@ -47,6 +47,11 @@ class MllamaEngine:
     ):
         self.name = name
         self.config = config
+        if app_config.quantization == "int8":
+            from vis_tpu.models.llama.mllama import quantize_mllama_params
+
+            params = quantize_mllama_params(params)
+            logger.info(f"{name}: int8 weight-only quantization applied")
         self.params = params
         self.tokenizer = tokenizer
         self.max_cache_tokens = max_cache_tokens or app_config.kv_cache_max_tokens
