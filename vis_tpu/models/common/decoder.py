@@ -30,7 +30,6 @@ from vis_tpu.models.common.layers import (
     length_mask,
     linear,
     mrope_cos_sin,
-    repeat_kv,
     rms_norm,
     rope_cos_sin,
     swiglu_mlp,

@@ -19,8 +19,7 @@ single-device forward to float tolerance on a virtual mesh.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,9 @@ scheduler thread (SURVEY.md §5.2 plan):
 - all active slots decode together in one batched device step (decode is
   HBM-bandwidth-bound, so batching is nearly free),
 - tokens stream to per-request queues; EOS/max-token slots free up and
-  waiting requests take their place (prefill is scheduled between decode
-  steps — decode TTFT is protected by running at most one prefill per loop
-  iteration).
+  waiting requests take their place (pending admissions drain into free
+  slots between decode chunks — prefill is ~an order of magnitude cheaper
+  than a chunk, so simultaneous arrivals share the first chunk).
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ import threading
 import time
 import uuid
 from functools import partial
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp

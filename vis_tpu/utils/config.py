@@ -125,10 +125,10 @@ class Config(BaseModel):
     model_dtype: str = "bfloat16"
     checkpoint_dir: str = "checkpoints"
     kv_cache_max_tokens: int = 8192   # per-request KV budget
-    kv_page_size: int = 128           # paged-KV block size (tokens)
+    kv_page_size: int = 128           # paged-KV block size (reserved for the paged-cache backend)
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
-    quantization: str = "none"        # "none" | "int8" weight-only decoder quant
+    quantization: str = "none"        # "none" | "int8" weight-only (decoder + vocab) quant
     continuous_batching: bool = False # share batched decode slots across requests
     speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
     prefix_caching: bool = False      # reuse shared text-prompt-head KV
