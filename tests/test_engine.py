@@ -235,3 +235,52 @@ class TestPrefixCaching:
             get_config(reload=True)
         assert warm_q1 == cold_q1
         assert warm_q2 == cold_q2
+
+
+class TestFlagInteractions:
+    """All serving flags ON together must stay token-exact vs defaults:
+    the scheduler path ignores PLD (batched decode), prefix caching feeds
+    the scheduler hand-off a full-size cache, and the unbatched path
+    composes PLD + prefix caching."""
+
+    def test_all_serving_flags_together(self, monkeypatch):
+        import jax as _jax
+        from vis_tpu.models.common.decoder import DecoderConfig, init_decoder_params
+        from vis_tpu.serving.engine import Engine
+        from vis_tpu.serving.tokenizer import ByteTokenizer
+        from vis_tpu.utils.config import get_config
+
+        config = DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, _jax.random.PRNGKey(41))
+        tok = ByteTokenizer(vocab_size=config.vocab_size)
+        engine = Engine("flags-test", config, params, tok,
+                        max_cache_tokens=1024)
+
+        head = "SYSTEM: inspection rules apply. " * 10
+        prompts = [head + f"Q{i}: check item {i}." for i in range(3)]
+        plain = [engine.generate(p, max_tokens=12) for p in prompts]
+
+        monkeypatch.setenv("SPECULATIVE_DECODING", "pld")
+        monkeypatch.setenv("PREFIX_CACHING", "true")
+        get_config(reload=True)
+        try:
+            # Unbatched path: PLD + prefix caching compose.
+            combo = [engine.generate(p, max_tokens=12) for p in prompts]
+            assert combo == plain
+
+            # Scheduler attached: batched decode takes over, prefix caching
+            # still feeds the (full-size) hand-off cache.
+            engine.attach_scheduler(num_slots=2)
+            try:
+                sched = [engine.generate(p, max_tokens=12) for p in prompts]
+            finally:
+                engine.detach_scheduler()
+            assert sched == plain
+        finally:
+            monkeypatch.delenv("SPECULATIVE_DECODING")
+            monkeypatch.delenv("PREFIX_CACHING")
+            get_config(reload=True)
