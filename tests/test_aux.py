@@ -105,3 +105,34 @@ class TestCounterfactual:
             result_factory(), {"verdict": "SAFE"}
         )
         assert isinstance(text, str)
+
+
+class TestRequestCacheSizing:
+    def test_right_sizing_buckets(self):
+        from vis_tpu.serving.engine import Engine
+
+        f = Engine._request_cache_len
+        assert f(512, 448, 8192) == 1024   # 512+448+32 -> 1024
+        assert f(128, 64, 8192) == 512     # rounds up to 512
+        assert f(4096, 4096, 8192) == 8192 # capped at the budget
+        assert f(8192, 448, 4096) == 4096  # never exceeds cap
+
+
+class TestMllamaFitToCanvasEdges:
+    def test_one_pixel_image(self):
+        from vis_tpu.ops.preprocess_mllama import fit_to_canvas
+
+        # HF floor-or-1 guard: degenerate inputs never produce size 0.
+        h, w = fit_to_canvas(1, 1, 448, 448)
+        assert h >= 1 and w >= 1
+
+    def test_exact_canvas_not_resized(self):
+        from vis_tpu.ops.preprocess_mllama import fit_to_canvas
+
+        assert fit_to_canvas(448, 896, 448, 896) == (448, 896)
+
+    def test_huge_image_fits(self):
+        from vis_tpu.ops.preprocess_mllama import fit_to_canvas
+
+        h, w = fit_to_canvas(9000, 3000, 896, 448)
+        assert h <= 896 and w <= 448
