@@ -79,9 +79,7 @@ def main() -> None:
           file=sys.stderr)
 
     # ---- image -> patches (host hot path) ------------------------------
-    image_path = REPO / "assets" / "sample.jpg"
-    if not image_path.exists():
-        image_path = Path("/root/reference/Mouri.jpg")
+    image_path = REPO / "assets" / "sample.jpg"  # repo-owned (assets/make_sample.py)
     t0 = time.perf_counter()
     image = preprocess_image(image_path, max_image_dim=1024)
     prep_s = time.perf_counter() - t0

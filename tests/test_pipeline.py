@@ -325,3 +325,21 @@ class TestExplanationParsing:
 
         sections = parse_explanation_sections("")
         assert "SUMMARY" in sections
+
+
+class TestCounterfactualWiring:
+    """The counterfactual generator must actually feed the report
+    (VERDICT round-1 item 7: the reference left it dormant)."""
+
+    def test_explanation_gains_counterfactual_section(self, tmp_path):
+        from vis_tpu.reporting import parse_explanation_sections
+
+        img = _make_image(tmp_path, "crack_bracket.jpg")  # critical scenario
+        state = run_inspection(str(img), criticality="high", domain="general")
+        explanation = state["explanation"]
+        assert "COUNTERFACTUAL" in explanation.upper()
+        sections = parse_explanation_sections(explanation)
+        assert "COUNTERFACTUAL" in sections
+        assert len(sections["COUNTERFACTUAL"]) > 40
+        # The PDF report generates with the section present.
+        assert state.get("report_path") and Path(state["report_path"]).exists()

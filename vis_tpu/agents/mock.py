@@ -236,6 +236,14 @@ class MockVLMBackend:
                     findings = after[brace:].split("\n\nCRITICAL", 1)[0]
                     findings = findings.rsplit("\n\nYou have roughly", 1)[0]
             return _mock_explanation(findings)
+        if "COUNTERFACTUAL" in prompt or "would have changed the verdict" in prompt:
+            return (
+                "Had the detected defects been absent, the clean-verification "
+                "path would have applied and the verdict would likely have "
+                "been SAFE. Conversely, any additional critical defect would "
+                "have triggered Gate 1 and forced UNSAFE regardless of model "
+                "agreement."
+            )
         if image_path is None:
             # Generic text request (health checks, chat).
             if "'OK'" in prompt or '"OK"' in prompt:

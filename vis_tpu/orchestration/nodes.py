@@ -490,6 +490,21 @@ def generate_explanation(state: InspectionState) -> InspectionState:
                 f"{'appears safe' if verdict_str == 'SAFE' else 'requires attention'}."
             )
 
+        # Counterfactual what-if analysis feeds the report's COUNTERFACTUAL
+        # section (the reference defined but never wired this —
+        # reference explainer.py:97; SURVEY §2 says make dormant parts real).
+        if "counterfactual" not in explanation_lower:
+            try:
+                counterfactual = explainer.generate_counterfactual(
+                    inspector_result, verdict
+                )
+                if counterfactual:
+                    explanation += (
+                        "\n\nCOUNTERFACTUAL ANALYSIS\n\n" + counterfactual
+                    )
+            except Exception as exc:
+                logger.warning(f"Counterfactual generation failed: {exc}")
+
         state["explanation"] = explanation
 
         try:
