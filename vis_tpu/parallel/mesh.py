@@ -33,7 +33,8 @@ def create_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
         if len(cfg_shape) == 1:
             cfg_shape = (1, cfg_shape[0])
         shape = cfg_shape
-        if int(np.prod(shape)) != len(devices):
+        if int(np.prod(shape)) > len(devices):
+            # Not enough devices for the configured shape: use them all.
             shape = (1, len(devices))
     total = int(np.prod(shape))
     if total > len(devices):

@@ -152,6 +152,52 @@ def shard_stacked_decoder_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str
     return out
 
 
+def replicate_tree(params: Any, mesh: Mesh) -> Any:
+    """device_put every leaf fully replicated over the mesh."""
+    return jax.tree_util.tree_map(lambda x: _put(x, mesh, P()), params)
+
+
+def shard_mllama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """TP rules for the Mllama auditor (loop-path per-layer params).
+
+    Text decoder layers (self AND cross attention — identical projection
+    shapes) shard Megatron-style like shard_decoder_params; cross-layer
+    q/k-norms and tanh gates are tiny and stay replicated, as do the vision
+    tower and the multimodal projector (vision is a per-request prefill cost,
+    the decode loop only reads the text stack)."""
+    text_in = params["text"]
+    text: Dict[str, Any] = {
+        "embed_tokens": _put(text_in["embed_tokens"], mesh, P(MODEL_AXIS, None)),
+        "final_norm": _put(text_in["final_norm"], mesh, P()),
+    }
+    if "lm_head" in text_in:
+        text["lm_head"] = _put(text_in["lm_head"], mesh, P(MODEL_AXIS, None))
+    text["layers"] = []
+    for layer in text_in["layers"]:
+        sharded = {
+            "q_proj": _put(layer["q_proj"], mesh, P(MODEL_AXIS, None)),
+            "k_proj": _put(layer["k_proj"], mesh, P(MODEL_AXIS, None)),
+            "v_proj": _put(layer["v_proj"], mesh, P(MODEL_AXIS, None)),
+            "o_proj": _put(layer["o_proj"], mesh, P(None, MODEL_AXIS)),
+            "mlp": {
+                "gate_proj": _put(layer["mlp"]["gate_proj"], mesh, P(MODEL_AXIS, None)),
+                "up_proj": _put(layer["mlp"]["up_proj"], mesh, P(MODEL_AXIS, None)),
+                "down_proj": _put(layer["mlp"]["down_proj"], mesh, P(None, MODEL_AXIS)),
+            },
+        }
+        for name in ("input_norm", "post_attn_norm", "q_norm", "k_norm",
+                     "gate_attn", "gate_mlp"):
+            if name in layer:
+                sharded[name] = _put(layer[name], mesh, P())
+        text["layers"].append(sharded)
+    out = {
+        k: (replicate_tree(v, mesh) if k != "text" else None)
+        for k, v in params.items()
+    }
+    out["text"] = text
+    return out
+
+
 def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
     """[layers, batch, len, kv_heads, head_dim] — heads over "model" when
     divisible, batch over "data"."""
@@ -165,5 +211,7 @@ __all__ = [
     "shard_stacked_decoder_params",
     "shard_vision_params",
     "shard_qwen2vl_params",
+    "shard_mllama_params",
+    "replicate_tree",
     "kv_cache_sharding",
 ]

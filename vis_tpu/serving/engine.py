@@ -805,11 +805,39 @@ def _is_mllama(model_name: str) -> bool:
     return "llama" in lname and "vision" in lname
 
 
+def serving_mesh() -> Optional[jax.sharding.Mesh]:
+    """Mesh for production serving, from config.mesh_shape.
+
+    Returns None for "1x1" (single chip — engines then use the fused
+    single-device layouts).  When the configured shape doesn't match the
+    available device count, create_mesh falls back to (1, n_devices); a
+    resulting 1-device mesh degrades to None rather than paying SPMD
+    overhead on one chip."""
+    shape = app_config.mesh_shape_tuple
+    if int(np.prod(shape)) <= 1:
+        return None
+    from vis_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    if mesh.size <= 1:
+        logger.warning(
+            f"mesh_shape {app_config.mesh_shape} requested but only "
+            f"{jax.device_count()} device(s) available; serving single-device"
+        )
+        return None
+    logger.info(f"serving mesh: {dict(mesh.shape)} ({mesh.size} devices)")
+    return mesh
+
+
 def build_engine(role: str, model_name: str):
-    """Create an engine for a role, loading real weights when available."""
+    """Create an engine for a role, loading real weights when available.
+
+    When config.mesh_shape spans more than one device, engines are built
+    tensor-parallel over the ("data", "model") mesh (SURVEY.md §5.8)."""
     ckpt_root = app_config.get_checkpoint_dir()
     ckpt_dir = find_checkpoint(model_name, ckpt_root)
     is_vlm = role in ("inspector", "auditor")
+    mesh = serving_mesh()
 
     if ckpt_dir is not None:
         tokenizer = load_tokenizer(ckpt_dir)
@@ -838,7 +866,7 @@ def build_engine(role: str, model_name: str):
             )
             params = convert_mllama(state, cfg)
             logger.info(f"{role}: loaded Mllama {model_name} from {ckpt_dir}")
-            return MllamaEngine(model_name, cfg, params, tokenizer)
+            return MllamaEngine(model_name, cfg, params, tokenizer, mesh=mesh)
         if is_vlm:
             if hf_cfg is not None:
                 cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
@@ -851,7 +879,7 @@ def build_engine(role: str, model_name: str):
             logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
             return Engine(
                 model_name, cfg.text, None, tokenizer,
-                vlm_config=cfg, vlm_params=params,
+                vlm_config=cfg, vlm_params=params, mesh=mesh,
             )
         if hf_cfg is not None:
             cfg = llama_configs.from_hf_config(hf_cfg)
@@ -862,7 +890,7 @@ def build_engine(role: str, model_name: str):
             )
         params = llama_model.convert_hf_state_dict(state, cfg)
         logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
-        return Engine(model_name, cfg, params, tokenizer)
+        return Engine(model_name, cfg, params, tokenizer, mesh=mesh)
 
     # Weightless dev profile: random params, byte tokenizer.
     logger.warning(
@@ -893,19 +921,20 @@ def build_engine(role: str, model_name: str):
 
         params = init_mllama(cfg, key)
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
-        return MllamaEngine(f"dev-{role}-mllama", cfg, params, tokenizer)
+        return MllamaEngine(f"dev-{role}-mllama", cfg, params, tokenizer,
+                            mesh=mesh)
     if is_vlm:
         cfg = _dev_vlm_config()
         params = qwen_model.init_params(cfg, key)
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         return Engine(
             f"dev-{role}", cfg.text, None, tokenizer,
-            vlm_config=cfg, vlm_params=params,
+            vlm_config=cfg, vlm_params=params, mesh=mesh,
         )
     cfg = _dev_text_config()
     params = init_decoder_params(cfg, key)
     tokenizer = ByteTokenizer(vocab_size=cfg.vocab_size)
-    return Engine(f"dev-{role}", cfg, params, tokenizer)
+    return Engine(f"dev-{role}", cfg, params, tokenizer, mesh=mesh)
 
 
 def get_engine_backend(role: str, model_name: str) -> EngineBackend:

@@ -44,14 +44,23 @@ class MllamaEngine:
         params: Any,
         tokenizer: Tokenizer,
         max_cache_tokens: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         self.name = name
         self.config = config
+        self.mesh = mesh
         if app_config.quantization == "int8":
             from vis_tpu.models.llama.mllama import quantize_mllama_params
 
             params = quantize_mllama_params(params)
             logger.info(f"{name}: int8 weight-only quantization applied")
+        if mesh is not None:
+            # Tensor-parallel text stack over the mesh's "model" axis; the
+            # same jit functions then run SPMD (XLA inserts the collectives).
+            from vis_tpu.parallel.sharding import shard_mllama_params
+
+            params = shard_mllama_params(params, mesh)
+            logger.info(f"{name}: TP-sharded over mesh {dict(mesh.shape)}")
         self.params = params
         self.tokenizer = tokenizer
         self.max_cache_tokens = max_cache_tokens or app_config.kv_cache_max_tokens
