@@ -774,6 +774,87 @@ def decode_loop_scan(
     return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
 
 
+def decode_loop_paged(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    page_tables: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused greedy decode over a PAGED KV pool (vis_tpu.serving.paged_kv).
+
+    pool_k/pool_v: [L, n_pages, page, kvh, hd] shared page pool;
+    page_tables: [slots, max_pages] int32 — page_tables[i, j] is the pool
+    page holding slot i's tokens [j*page, (j+1)*page); unused entries point
+    at the reserved trash page (0).  lengths: [slots] valid-token cursors.
+    The caller must have enough pages mapped for `num_steps` more tokens per
+    active slot (the scheduler reserves a request's full budget upfront).
+
+    Per step, each layer's attention gathers the slot's pages into a
+    [slots, max_pages*page] key window (masked past each cursor) — the
+    same static width as the dense path, so XLA compiles one program; the
+    memory win is the pool itself (sized to the sum of per-request budgets,
+    not slots x max_len).  New K/V are written at (page_tables[i, len//page],
+    len % page) with one fused scatter across layers.
+    """
+    slots, max_pages = page_tables.shape
+    page = pool_k.shape[2]
+    width = max_pages * page
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (slots,))
+
+    def step(carry, step_idx):
+        logits, pool_k, pool_v, lengths = carry
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos_vec = start_vec + step_idx
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, slots, 1))
+        else:
+            positions = pos_vec[:, None]
+        cos, sin = _position_tables(config, positions)
+        x = embed(token[:, None], params["embed_tokens"])
+
+        kj = jnp.arange(width)[None, None, None, :]
+        cache_mask = jnp.where(
+            kj < lengths[:, None, None, None], 0.0, -1e30
+        ).astype(jnp.float32)
+
+        def body(x, layer_and_pool):
+            layer, pk, pv = layer_and_pool  # pk/pv: [n_pages, page, kvh, hd]
+            ck = pk[page_tables].reshape(slots, width, *pk.shape[2:])
+            cv = pv[page_tables].reshape(slots, width, *pv.shape[2:])
+            x, k, v = _layer_body(
+                config, x, layer, cos, sin, None, ck, cv, cache_mask
+            )
+            return x, (k, v)
+
+        x, (k_new, v_new) = lax.scan(
+            body, x, (params["layers_stacked"], pool_k, pool_v)
+        )
+        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+        logits = lm_logits(config, params, x)[:, 0]
+
+        # Fused paged write: page + offset per slot from the cursor.
+        rows = jnp.arange(slots)
+        page_idx = page_tables[rows, lengths // page]
+        offset = lengths % page
+        pool_k = pool_k.at[:, page_idx, offset].set(
+            k_new[:, :, 0].astype(pool_k.dtype)
+        )
+        pool_v = pool_v.at[:, page_idx, offset].set(
+            v_new[:, :, 0].astype(pool_v.dtype)
+        )
+        return (logits, pool_k, pool_v, lengths + 1), token
+
+    (logits, pool_k, pool_v, lengths), tokens = lax.scan(
+        step, (first_logits, pool_k, pool_v, lengths), jnp.arange(num_steps)
+    )
+    return tokens.T, logits, pool_k, pool_v, lengths
+
+
 __all__ = [
     "DecoderConfig",
     "init_decoder_params",

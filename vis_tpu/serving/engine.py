@@ -295,11 +295,14 @@ class Engine:
         return np.array([ids]), positions, next_pos
 
     # -- scheduler attachment --------------------------------------------
-    def attach_scheduler(self, num_slots: Optional[int] = None) -> None:
+    def attach_scheduler(self, num_slots: Optional[int] = None,
+                         paged: Optional[bool] = None) -> None:
         """Enable continuous-batched decode: concurrent requests prefill
         under the engine lock (vision + prompt), then decode TOGETHER in the
         shared scheduler's slots — many inspections in flight share every
-        decode step's weight reads."""
+        decode step's weight reads.  paged=None follows
+        config.paged_kv_cache (slot KV from a shared page pool instead of
+        dense decode_batch_size x kv_cache_max_tokens buffers)."""
         from vis_tpu.serving.scheduler import ContinuousBatchingScheduler
 
         params = (
@@ -308,7 +311,7 @@ class Engine:
         )
         self.scheduler = ContinuousBatchingScheduler(
             self.text_config, params, self.tokenizer,
-            num_slots=num_slots, max_len=self.max_cache_tokens,
+            num_slots=num_slots, max_len=self.max_cache_tokens, paged=paged,
         )
         self.scheduler.start()
 

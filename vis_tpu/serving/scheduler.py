@@ -32,6 +32,7 @@ import numpy as np
 
 from vis_tpu.models.common.decoder import (
     DecoderConfig,
+    decode_loop_paged,
     decode_loop_scan,
     decode_step_scan,
     prefill_scan,
@@ -88,6 +89,7 @@ class ContinuousBatchingScheduler:
         tokenizer: Tokenizer,
         num_slots: Optional[int] = None,
         max_len: Optional[int] = None,
+        paged: Optional[bool] = None,
     ):
         self.config = text_config
         # Scan-execution layout (stacked layer params).
@@ -97,12 +99,37 @@ class ContinuousBatchingScheduler:
         self.tokenizer = tokenizer
         self.num_slots = num_slots or app_config.decode_batch_size
         self.max_len = max_len or app_config.kv_cache_max_tokens
+        self.paged = app_config.paged_kv_cache if paged is None else paged
 
-        self.cache = KVCache.create(
-            text_config.num_layers, self.num_slots, self.max_len,
-            text_config.num_kv_heads, text_config.head_dim_,
-            dtype=text_config.dtype,
-        )
+        if self.paged:
+            # Paged layout: one shared page pool sized to the workload
+            # (kv_pool_tokens) instead of slots x max_len dense rows; pages
+            # are reserved per request at admission (vis_tpu.serving.paged_kv).
+            from vis_tpu.serving.paged_kv import PagedKVPool
+
+            self.pool = PagedKVPool(
+                text_config.num_layers, self.num_slots, self.max_len,
+                text_config.num_kv_heads, text_config.head_dim_,
+                page_size=app_config.kv_page_size,
+                pool_tokens=app_config.kv_pool_tokens,
+                dtype=text_config.dtype,
+            )
+            self.cache = None
+            dense_tokens = self.num_slots * self.max_len
+            pool_tokens = (self.pool.n_pages - 1) * self.pool.page_size
+            logger.info(
+                f"paged KV: {self.pool.n_pages - 1} pages x "
+                f"{self.pool.page_size} tokens = {pool_tokens} pooled tokens "
+                f"({self.pool.memory_bytes() / 1e6:.0f} MB; dense layout "
+                f"would hold {dense_tokens})"
+            )
+        else:
+            self.pool = None
+            self.cache = KVCache.create(
+                text_config.num_layers, self.num_slots, self.max_len,
+                text_config.num_kv_heads, text_config.head_dim_,
+                dtype=text_config.dtype,
+            )
         self.slots = [_Slot() for _ in range(self.num_slots)]
         # Host mirror of the cache cursors: the decode loop must never
         # np.asarray(cache.lengths) — that is a device sync (a full tunnel
@@ -131,6 +158,14 @@ class ContinuousBatchingScheduler:
             static_argnames=("num_steps",), donate_argnums=(3,),
         )
         self._insert_jit = jax.jit(self._insert_rows, donate_argnums=(0, 4))
+        self._decode_paged_jit = jax.jit(
+            partial(decode_loop_paged, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3, 4),
+        )
+        self._insert_paged_jit = jax.jit(
+            self._insert_pages, donate_argnums=(0, 1, 5),
+            static_argnames=("page",),
+        )
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
 
     # -- device helpers --------------------------------------------------
@@ -152,6 +187,27 @@ class ContinuousBatchingScheduler:
             logits_buf, row_logits, (slot, 0)
         )
         return KVCache(k=k, v=v, lengths=lengths), logits_buf
+
+    @staticmethod
+    def _insert_pages(pool_k: jnp.ndarray, pool_v: jnp.ndarray, src: KVCache,
+                      idx_vec: jnp.ndarray, slot: jnp.ndarray,
+                      logits_buf: jnp.ndarray, row_logits: jnp.ndarray,
+                      *, page: int):
+        """Scatter a batch-1 prefill cache into the slot's reserved pages.
+
+        idx_vec [max_pages]: destination pool page per source page; entries
+        beyond the reservation point at the trash page (0) so the scatter
+        compiles once regardless of prompt length."""
+        n_layers, _, max_len = src.k.shape[:3]
+        tail = src.k.shape[3:]
+        src_k = src.k[:, 0].reshape(n_layers, max_len // page, page, *tail)
+        src_v = src.v[:, 0].reshape(n_layers, max_len // page, page, *tail)
+        pool_k = pool_k.at[:, idx_vec].set(src_k.astype(pool_k.dtype))
+        pool_v = pool_v.at[:, idx_vec].set(src_v.astype(pool_v.dtype))
+        logits_buf = jax.lax.dynamic_update_slice(
+            logits_buf, row_logits, (slot, 0)
+        )
+        return pool_k, pool_v, logits_buf
 
     # -- public API ------------------------------------------------------
     def start(self) -> None:
@@ -221,6 +277,34 @@ class ContinuousBatchingScheduler:
         return sum(1 for s in self.slots if s.active)
 
     # -- scheduler loop --------------------------------------------------
+    def _reserve_paged(self, free: int, request: Request, kv_len: int) -> bool:
+        """Reserve the request's full KV budget in the page pool.
+
+        The budget is prompt + max_tokens + one decode chunk of slack (a
+        chunk always runs its full static step count; the tail past a slot's
+        budget lands in its own reserved pages and is rewound).  On a full
+        pool the request is requeued and retried when pages free up; a
+        request that can NEVER fit errors out immediately."""
+        if not self.paged:
+            return True
+        budget = kv_len + request.max_tokens + self.decode_chunk
+        if self.pool.pages_for(budget) > self.pool.n_pages - 1:
+            request.error = (
+                f"request KV budget ({budget} tokens) exceeds the page pool "
+                f"({(self.pool.n_pages - 1) * self.pool.page_size} tokens)"
+            )
+            request.out.put(None)
+            logger.error(f"{request.request_id}: {request.error}")
+            return False
+        if not self.pool.try_reserve(free, budget):
+            logger.info(
+                f"page pool full ({self.pool.free_pages} pages free); "
+                f"requeueing {request.request_id}"
+            )
+            self._pending.put(request)
+            return False
+        return True
+
     def _admit_one(self) -> bool:
         """Prefill one waiting request into a free slot.  Returns True if a
         request was admitted."""
@@ -235,10 +319,12 @@ class ContinuousBatchingScheduler:
         try:
             if request.prefilled is not None:
                 tmp_cache, logits, next_position, kv_len = request.prefilled
-                request.prefilled = None  # free the reference
                 seq_len = next_position
                 if kv_len is None:
                     kv_len = int(np.asarray(tmp_cache.lengths)[0])
+                if not self._reserve_paged(free, request, kv_len):
+                    return False  # requeued; prefilled hand-off kept intact
+                request.prefilled = None  # free the reference
             else:
                 ids = self.tokenizer.encode(request.prompt)
                 budget = self.max_len - request.max_tokens - 1
@@ -246,6 +332,8 @@ class ContinuousBatchingScheduler:
                     ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
                 seq_len = len(ids)
                 kv_len = seq_len
+                if not self._reserve_paged(free, request, kv_len):
+                    return False  # requeued before spending the prefill
                 bucket = 128
                 while bucket < seq_len:
                     bucket *= 2
@@ -265,10 +353,20 @@ class ContinuousBatchingScheduler:
                     self.params, embeds, positions, tmp_cache,
                     jnp.asarray([seq_len]),
                 )
-            self.cache, self._logits = self._insert_jit(
-                self.cache, tmp_cache, jnp.int32(free), jnp.int32(kv_len),
-                self._logits, logits,
-            )
+            if self.paged:
+                row = np.zeros((self.pool.max_pages,), np.int32)
+                owned = self.pool._owned[free]
+                row[: len(owned)] = owned
+                self.pool.k, self.pool.v, self._logits = self._insert_paged_jit(
+                    self.pool.k, self.pool.v, tmp_cache, jnp.asarray(row),
+                    jnp.int32(free), self._logits, logits,
+                    page=self.pool.page_size,
+                )
+            else:
+                self.cache, self._logits = self._insert_jit(
+                    self.cache, tmp_cache, jnp.int32(free), jnp.int32(kv_len),
+                    self._logits, logits,
+                )
             slot = self.slots[free]
             slot.request = request
             slot.position = seq_len
@@ -307,10 +405,19 @@ class ContinuousBatchingScheduler:
         # device would add a blocking round-trip per chunk.
         prev_lengths = self._lengths_host.copy()
 
-        tokens, self._logits, self.cache = self._decode_loop_jit(
-            self.params, self._logits, jnp.asarray(positions_vec), self.cache,
-            num_steps=steps,
-        )
+        if self.paged:
+            tokens, self._logits, self.pool.k, self.pool.v, _ = (
+                self._decode_paged_jit(
+                    self.params, self._logits, jnp.asarray(positions_vec),
+                    self.pool.k, self.pool.v, self.pool.page_tables,
+                    jnp.asarray(prev_lengths), num_steps=steps,
+                )
+            )
+        else:
+            tokens, self._logits, self.cache = self._decode_loop_jit(
+                self.params, self._logits, jnp.asarray(positions_vec),
+                self.cache, num_steps=steps,
+            )
         token_matrix = np.asarray(tokens)  # [slots, steps] (the one sync)
 
         lengths = prev_lengths + steps  # what the device-side loop did
@@ -339,20 +446,26 @@ class ContinuousBatchingScheduler:
                 request.out.put(text[len(request.emitted):])
                 request.emitted = text
             if finished:
+                slot.request = None
+                lengths[i] = 0
+                if self.paged:
+                    # Release BEFORE signalling completion so a caller that
+                    # observes the end of its stream also observes its pages
+                    # back in the pool.
+                    self.pool.release(i)
                 request.out.put(None)
                 logger.info(
                     f"Finished {request.request_id} "
                     f"({len(request.generated)} tokens)"
                 )
-                slot.request = None
-                lengths[i] = 0
             else:
                 # Keep only the tokens actually consumed this chunk.
                 lengths[i] = prev_lengths[i] + kept
         self._lengths_host = lengths
-        self.cache = KVCache(
-            k=self.cache.k, v=self.cache.v, lengths=jnp.asarray(lengths)
-        )
+        if not self.paged:
+            self.cache = KVCache(
+                k=self.cache.k, v=self.cache.v, lengths=jnp.asarray(lengths)
+            )
 
     def _run(self) -> None:
         logger.info(

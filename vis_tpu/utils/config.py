@@ -125,7 +125,9 @@ class Config(BaseModel):
     model_dtype: str = "bfloat16"
     checkpoint_dir: str = "checkpoints"
     kv_cache_max_tokens: int = 8192   # per-request KV budget
-    kv_page_size: int = 128           # paged-KV block size (reserved for the paged-cache backend)
+    paged_kv_cache: bool = False      # scheduler KV = shared page pool instead of dense slots
+    kv_page_size: int = 128           # page size (tokens) of the paged-KV pool
+    kv_pool_tokens: int = 16384       # total tokens the page pool holds (paged_kv_cache=true)
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
     quantization: str = "none"        # "none" | "int8" weight-only (decoder + vocab) quant
