@@ -225,3 +225,210 @@ class TestFusedMLPKernel:
         err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
         scale = float(jnp.abs(ref).max())
         assert err / max(scale, 1e-6) < 0.02, (err, scale)
+
+
+class TestInt4:
+    """Packed int4 weight-only quantization (QuantizedWeight4)."""
+
+    def test_roundtrip_error_small(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+        from vis_tpu.ops.quantized import quantize_weight4
+
+        qw = quantize_weight4(w)
+        assert qw.q.shape == (64, 64) and qw.q.dtype == jnp.uint8
+        assert qw.scale.shape == (64, 2)
+        deq = qw.dequantize(jnp.float32)
+        rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+        assert rel < 0.08  # ~1/14 quantization step
+
+    def test_linear_and_embed_dispatch(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((3, 128)).astype(np.float32))
+        from vis_tpu.models.common.layers import embed
+        from vis_tpu.ops.quantized import quantize_weight4
+
+        qw = quantize_weight4(w)
+        exact = linear(x, w)
+        approx = linear(x, qw)
+        rel = float(jnp.abs(exact - approx).max() / jnp.abs(exact).max())
+        assert rel < 0.2
+        rows = embed(jnp.asarray([[1, 5, 9]]), qw)
+        ref = qw.dequantize(jnp.float32)[jnp.asarray([1, 5, 9])]
+        np.testing.assert_allclose(
+            np.asarray(rows, np.float32), np.asarray(ref)[None], atol=0.05
+        )
+
+    def test_pallas_kernel_matches_fallback(self):
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+        from vis_tpu.ops.quantized import quantize_weight4, quantized_matmul4
+
+        qw = quantize_weight4(w)
+        fallback = quantized_matmul4(x, qw)  # CPU dequant+einsum path
+        kernel_out = quantized_matmul4(x, qw, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(kernel_out), np.asarray(fallback), atol=0.5, rtol=2e-2
+        )
+
+    def test_vocab_padding_and_logits_slice(self):
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((300, 128)).astype(np.float32))
+        from vis_tpu.ops.quantized import quantize_weight4, quantized_matmul4
+
+        qw = quantize_weight4(w, pad_out_multiple=512)
+        assert qw.q.shape[0] == 512
+        x = jnp.asarray(rng.standard_normal((2, 128)).astype(np.float32))
+        out = quantized_matmul4(x, qw)
+        assert out.shape == (2, 512)
+        # Padded rows have zero scales -> exactly zero logits.
+        assert np.abs(np.asarray(out)[:, 300:]).max() == 0.0
+
+    def test_int4_scan_decode_tracks_bf16(self):
+        config = DecoderConfig(
+            vocab_size=256, hidden_size=128, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=256, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(5))
+        stacked = stack_decoder_layers(params)
+        quantized = quantize_stacked_params(stacked, mode="int4")
+
+        rng = np.random.default_rng(3)
+        ids = rng.integers(5, 250, size=(1, 12))
+        embeds = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+        positions = jnp.asarray(np.arange(12)[None])
+
+        outs = {}
+        for name, p in (("bf16", stacked), ("int4", quantized)):
+            cache = KVCache.create(
+                config.num_layers, 1, 64, config.num_kv_heads,
+                config.head_dim_, dtype=jnp.float32,
+            )
+            logits, cache = prefill_scan(
+                config, p, embeds, positions, cache, jnp.asarray([12])
+            )
+            tokens, _, _ = decode_loop_scan(
+                config, p, logits, jnp.int32(12), cache, 6
+            )
+            outs[name] = (np.asarray(logits), np.asarray(tokens))
+        l_bf, _ = outs["bf16"]
+        l_q, _ = outs["int4"]
+        rel = np.abs(l_bf - l_q).max() / (np.abs(l_bf).max() + 1e-9)
+        assert rel < 0.4  # int4 is coarser than int8 but must stay sane
+        assert np.isfinite(l_q).all()
+
+    def test_engine_int4_deterministic(self, monkeypatch):
+        monkeypatch.setenv("QUANTIZATION", "int4")
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            from vis_tpu.serving.engine import Engine
+            from vis_tpu.serving.tokenizer import ByteTokenizer
+            from vis_tpu.ops.quantized import QuantizedWeight4
+
+            config = DecoderConfig(
+                vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+                tie_word_embeddings=True, dtype=jnp.float32,
+            )
+            params = init_decoder_params(config, jax.random.PRNGKey(9))
+            tok = ByteTokenizer(vocab_size=config.vocab_size)
+            engine = Engine("q4", config, params, tok, max_cache_tokens=256)
+            assert isinstance(
+                engine.text_params["layers_stacked"]["qkv_proj"],
+                QuantizedWeight4,
+            )
+            out_a = engine.generate("check the casting", max_tokens=6)
+            out_b = engine.generate("check the casting", max_tokens=6)
+            assert out_a == out_b
+        finally:
+            monkeypatch.delenv("QUANTIZATION")
+            get_config(reload=True)
+
+    def test_mllama_int4_engine_runs(self, monkeypatch):
+        monkeypatch.setenv("QUANTIZATION", "int4")
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            from vis_tpu.models.llama.mllama import MllamaConfig, init_params
+            from vis_tpu.serving.engine_mllama import MllamaEngine
+            from vis_tpu.serving.tokenizer import ByteTokenizer
+
+            config = MllamaConfig.tiny()
+            params = init_params(config, jax.random.PRNGKey(4))
+            tok = ByteTokenizer(vocab_size=config.text.vocab_size)
+            engine = MllamaEngine("q4-mllama", config, params, tok,
+                                  max_cache_tokens=256)
+            out = engine.generate("audit the part", max_tokens=6)
+            assert isinstance(out, str)
+        finally:
+            monkeypatch.delenv("QUANTIZATION")
+            get_config(reload=True)
+
+    def test_int4_tp_sharding(self):
+        if jax.device_count() < 2:
+            pytest.skip("needs multiple devices")
+        from jax.sharding import Mesh
+        from vis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from vis_tpu.parallel.sharding import shard_stacked_decoder_params
+        from vis_tpu.ops.quantized import QuantizedWeight4
+
+        devices = np.array(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+        config = DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        stacked = quantize_stacked_params(
+            stack_decoder_layers(init_decoder_params(config, jax.random.PRNGKey(2))),
+            mode="int4",
+        )
+        sharded = shard_stacked_decoder_params(stacked, mesh)
+        q = sharded["layers_stacked"]["q_proj"]
+        assert isinstance(q, QuantizedWeight4)
+        assert len(q.q.sharding.device_set) == 2
+
+
+class TestFusedInitPath:
+    def test_prefinished_params_match_engine_quantization(self, monkeypatch):
+        """Params init+fuse+quantized inside ONE jit (the target-profile
+        memory-safe path) must behave exactly like Engine-side finishing."""
+        monkeypatch.setenv("QUANTIZATION", "int4")
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            from vis_tpu.models.common.decoder import fuse_stacked_projections
+            from vis_tpu.serving.engine import Engine
+            from vis_tpu.serving.tokenizer import ByteTokenizer
+
+            config = DecoderConfig(
+                vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+                tie_word_embeddings=True, dtype=jnp.float32,
+            )
+            tok = ByteTokenizer(vocab_size=config.vocab_size)
+
+            def make(k):
+                stacked = stack_decoder_layers(init_decoder_params(config, k))
+                stacked = fuse_stacked_projections(stacked)
+                return quantize_stacked_params(
+                    stacked, quantize_embeddings=True, mode="int4"
+                )
+
+            prefinished = jax.jit(make)(jax.random.PRNGKey(9))
+            raw = init_decoder_params(config, jax.random.PRNGKey(9))
+            eng_pre = Engine("pre", config, prefinished, tok, max_cache_tokens=256)
+            eng_raw = Engine("raw", config, raw, tok, max_cache_tokens=256)
+            a = eng_pre.generate("verify the pre-finished path", max_tokens=8)
+            b = eng_raw.generate("verify the pre-finished path", max_tokens=8)
+            assert a == b
+        finally:
+            monkeypatch.delenv("QUANTIZATION")
+            get_config(reload=True)

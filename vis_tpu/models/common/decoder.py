@@ -194,15 +194,24 @@ def decoder_forward(
 
 
 def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    from vis_tpu.ops.quantized import QuantizedWeight, quantized_matmul
+    from vis_tpu.ops.quantized import (
+        QuantizedWeight,
+        QuantizedWeight4,
+        quantized_matmul,
+        quantized_matmul4,
+    )
 
     table = params["embed_tokens"] if config.tie_word_embeddings else params["lm_head"]
-    if isinstance(table, QuantizedWeight):
+    if isinstance(table, (QuantizedWeight, QuantizedWeight4)):
         # f32 logits via the dequantizing matmul kernel (argmax ties must not
         # be decided in bf16).  The quantized table may carry zero-padded
         # rows (tile alignment) — slice back to the true vocab.
+        matmul = (
+            quantized_matmul if isinstance(table, QuantizedWeight)
+            else quantized_matmul4
+        )
         flat = hidden.reshape(-1, hidden.shape[-1])
-        out = quantized_matmul(flat, table)[:, : config.vocab_size]
+        out = matmul(flat, table)[:, : config.vocab_size]
         return out.reshape(*hidden.shape[:-1], config.vocab_size)
     return jnp.einsum(
         "bsh,vh->bsv", hidden, table, preferred_element_type=jnp.float32
@@ -320,26 +329,43 @@ _QUANT_MLP_TARGETS = ("gate_proj", "up_proj", "gateup_proj", "down_proj")
 
 
 def quantize_stacked_params(
-    stacked: Params, quantize_embeddings: bool = False
+    stacked: Params, quantize_embeddings: bool = False, mode: str = "int8"
 ) -> Params:
-    """Weight-only int8 quantization of a scan-layout decoder pytree.
+    """Weight-only quantization of a scan-layout decoder pytree.
 
     Attention and MLP projection weights ([L, O, I]) become QuantizedWeight
-    (per-row int8 + f32 scales, vmapped over layers); norms and biases stay
-    bf16.  lax.scan slices QuantizedWeight leaves per layer, so the scan
-    execution path is unchanged — linear() dispatches to the Pallas
-    dequantizing matmul.
+    (mode="int8": per-row int8 + f32 scales) or QuantizedWeight4
+    (mode="int4": packed nibbles + per-(row, input-half) scales), vmapped
+    over layers; norms and biases stay bf16.  lax.scan slices the quantized
+    leaves per layer, so the scan execution path is unchanged — linear()
+    dispatches to the matching Pallas dequantizing matmul.
 
     quantize_embeddings additionally quantizes the vocab projection
     (embed_tokens / lm_head).  At 2B scale the bf16 lm head is ~470 MB read
     per decode step, ~0.6 ms of pure HBM time; embed() and lm_logits()
     dequantize on the fly (gathered rows / the Pallas kernel).
     """
-    from vis_tpu.ops.quantized import QuantizedWeight, quantize_weight
+    from vis_tpu.ops.quantized import (
+        QuantizedWeight,
+        QuantizedWeight4,
+        quantize_weight,
+        quantize_weight4,
+    )
 
-    def quantize_stack(w):
-        qw = jax.vmap(quantize_weight)(w)  # leaves stacked over L
-        return QuantizedWeight(q=qw.q, scale=qw.scale)
+    if mode == "int4":
+        def quantize_stack(w):
+            qw = jax.vmap(quantize_weight4)(w)
+            return QuantizedWeight4(q=qw.q, scale=qw.scale)
+
+        def quantize_vocab(w):
+            return quantize_weight4(w, pad_out_multiple=512)
+    else:
+        def quantize_stack(w):
+            qw = jax.vmap(quantize_weight)(w)  # leaves stacked over L
+            return QuantizedWeight(q=qw.q, scale=qw.scale)
+
+        def quantize_vocab(w):
+            return quantize_weight(w, pad_out_multiple=512)
 
     out = {k: v for k, v in stacked.items() if k != "layers_stacked"}
     if quantize_embeddings:
@@ -349,7 +375,7 @@ def quantize_stacked_params(
                 # with large kernel tiles (297 grid steps instead of 1187 for
                 # Qwen's 151936 vocab); lm_logits slices back to vocab_size,
                 # and embedding gathers never touch the zero rows.
-                out[name] = quantize_weight(out[name], pad_out_multiple=512)
+                out[name] = quantize_vocab(out[name])
     layers = dict(stacked["layers_stacked"])
     for name in _QUANT_TARGETS:
         if name in layers:

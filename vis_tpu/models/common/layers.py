@@ -54,12 +54,20 @@ def layer_norm(
 def linear(x: jnp.ndarray, weight: Any,
            bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x @ W^T (+ b).  Weight layout [out, in] matches HF checkpoints so
-    loading needs no transpose.  Accepts an int8 QuantizedWeight, routed
-    through the Pallas dequantizing matmul (vis_tpu.ops.quantized)."""
-    from vis_tpu.ops.quantized import QuantizedWeight, quantized_linear
+    loading needs no transpose.  Accepts an int8 QuantizedWeight or packed
+    int4 QuantizedWeight4, routed through the Pallas dequantizing matmuls
+    (vis_tpu.ops.quantized)."""
+    from vis_tpu.ops.quantized import (
+        QuantizedWeight,
+        QuantizedWeight4,
+        quantized_linear,
+        quantized_linear4,
+    )
 
     if isinstance(weight, QuantizedWeight):
         return quantized_linear(x, weight, bias)
+    if isinstance(weight, QuantizedWeight4):
+        return quantized_linear4(x, weight, bias)
     out = jnp.einsum(
         "...i,oi->...o", x, weight, preferred_element_type=jnp.float32
     )
@@ -69,15 +77,18 @@ def linear(x: jnp.ndarray, weight: Any,
 
 
 def embed(token_ids: jnp.ndarray, table: Any) -> jnp.ndarray:
-    """Embedding lookup; accepts an int8 QuantizedWeight table (tied-embedding
-    models quantize the vocab table for decode bandwidth — the gathered rows
-    are dequantized on the fly, bf16 out)."""
-    from vis_tpu.ops.quantized import QuantizedWeight
+    """Embedding lookup; accepts an int8 QuantizedWeight or packed int4
+    QuantizedWeight4 table (tied-embedding models quantize the vocab table
+    for decode bandwidth — the gathered rows are dequantized on the fly,
+    bf16 out)."""
+    from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4, embed_rows4
 
     if isinstance(table, QuantizedWeight):
         rows = jnp.take(table.q, token_ids, axis=0).astype(jnp.float32)
         scales = jnp.take(table.scale, token_ids, axis=0)
         return (rows * scales[..., None]).astype(jnp.bfloat16)
+    if isinstance(table, QuantizedWeight4):
+        return embed_rows4(table, token_ids)
     return jnp.take(table, token_ids, axis=0)
 
 

@@ -405,35 +405,45 @@ def mllama_logits(config: MllamaConfig, params: Params,
 
 
 
-def quantize_mllama_params(params: Params) -> Params:
-    """Weight-only int8 quantization of the Mllama text stack.
+def quantize_mllama_params(params: Params, mode: str = "int8") -> Params:
+    """Weight-only quantization (int8 or packed int4) of the Mllama text stack.
 
     The 11B auditor's text decoder is ~18 GB in bf16 — it does not fit one
-    v5e chip without this.  Self- and cross-attention projections, MLPs,
-    and the vocab tables become QuantizedWeight (linear()/embed()/
-    lm_logits() dispatch on it); norms, gates, and the vision tower stay in
-    their original dtype.  Loop-path execution is unchanged.
+    v5e chip without this (int4 halves it again, which is what lets the
+    full 7B+11B+8B model set share one chip).  Self- and cross-attention
+    projections, MLPs, and the vocab tables become QuantizedWeight /
+    QuantizedWeight4 (linear()/embed()/lm_logits() dispatch on them);
+    norms, gates, and the vision tower stay in their original dtype.
+    Loop-path execution is unchanged.
     """
-    from vis_tpu.ops.quantized import QuantizedWeight, quantize_weight
+    from vis_tpu.ops.quantized import (
+        QuantizedWeight,
+        QuantizedWeight4,
+        quantize_weight,
+        quantize_weight4,
+    )
+
+    quantize = quantize_weight4 if mode == "int4" else quantize_weight
+    qtypes = (QuantizedWeight, QuantizedWeight4)
 
     text = dict(params["text"])
     layers = []
     for layer in text["layers"]:
         qlayer = dict(layer)
         for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            if name in qlayer and not isinstance(qlayer[name], QuantizedWeight):
-                qlayer[name] = quantize_weight(qlayer[name])
+            if name in qlayer and not isinstance(qlayer[name], qtypes):
+                qlayer[name] = quantize(qlayer[name])
         if "mlp" in qlayer:
             mlp = dict(qlayer["mlp"])
             for name in ("gate_proj", "up_proj", "down_proj"):
-                if name in mlp and not isinstance(mlp[name], QuantizedWeight):
-                    mlp[name] = quantize_weight(mlp[name])
+                if name in mlp and not isinstance(mlp[name], qtypes):
+                    mlp[name] = quantize(mlp[name])
             qlayer["mlp"] = mlp
         layers.append(qlayer)
     text["layers"] = layers
     for name in ("embed_tokens", "lm_head"):
-        if name in text and not isinstance(text[name], QuantizedWeight):
-            text[name] = quantize_weight(text[name], pad_out_multiple=512)
+        if name in text and not isinstance(text[name], qtypes):
+            text[name] = quantize(text[name], pad_out_multiple=512)
     out = dict(params)
     out["text"] = text
     return out

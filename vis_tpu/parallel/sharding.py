@@ -32,13 +32,20 @@ def _put(x, mesh: Mesh, spec: P):
     """device_put with a sharding, falling back to replication when the
     dimension does not divide the mesh axis.  Int8 QuantizedWeight leaves
     shard like their q tensor; the per-output-row scales drop the trailing
-    (input) axis of the spec."""
-    from vis_tpu.ops.quantized import QuantizedWeight
+    (input) axis of the spec.  Packed int4 QuantizedWeight4 scales keep the
+    full spec (their trailing size-2 axis matches q's packed input axis
+    rank-for-rank and only ever takes a None spec there)."""
+    from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4
 
     if isinstance(x, QuantizedWeight):
         return QuantizedWeight(
             q=_put(x.q, mesh, spec),
             scale=_put(x.scale, mesh, P(*tuple(spec)[:-1])),
+        )
+    if isinstance(x, QuantizedWeight4):
+        return QuantizedWeight4(
+            q=_put(x.q, mesh, spec),
+            scale=_put(x.scale, mesh, spec),
         )
     try:
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -130,8 +130,20 @@ class Engine:
         # original per-layer list is dropped so weights aren't held twice).
         # With a mesh, parameters get tensor-parallel NamedShardings and the
         # same jit functions run SPMD (XLA inserts the collectives).
+        # Idempotent: params arriving pre-stacked/fused/quantized (the
+        # fused-init path for large weightless models, where staging the
+        # full-precision weights through separate dispatches would not fit
+        # HBM) skip the corresponding steps.
         def _finish(stacked):
-            if mesh is None:
+            from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4
+
+            if "layers_stacked" not in stacked:
+                stacked = stack_decoder_layers(stacked)
+            layers = stacked["layers_stacked"]
+            already_quantized = isinstance(
+                layers["o_proj"], (QuantizedWeight, QuantizedWeight4)
+            )
+            if mesh is None and "qkv_proj" not in layers and not already_quantized:
                 # Single-chip: fuse QKV and gate/up projections (fewer,
                 # larger matmuls on the bandwidth-bound decode path).  Under
                 # TP the projections stay separate (see
@@ -139,11 +151,17 @@ class Engine:
                 from vis_tpu.models.common.decoder import fuse_stacked_projections
 
                 stacked = fuse_stacked_projections(stacked)
-            if app_config.quantization == "int8":
+            if app_config.quantization in ("int8", "int4") and not already_quantized:
                 from vis_tpu.models.common.decoder import quantize_stacked_params
 
-                stacked = quantize_stacked_params(stacked, quantize_embeddings=True)
-                logger.info(f"{name}: int8 weight-only quantization applied")
+                stacked = quantize_stacked_params(
+                    stacked, quantize_embeddings=True,
+                    mode=app_config.quantization,
+                )
+                logger.info(
+                    f"{name}: {app_config.quantization} weight-only "
+                    "quantization applied"
+                )
             if mesh is None:
                 return stacked
             from vis_tpu.parallel.sharding import shard_stacked_decoder_params
@@ -152,7 +170,7 @@ class Engine:
 
         if vlm_params is not None:
             vlm_params = dict(vlm_params)
-            vlm_params["text"] = _finish(stack_decoder_layers(vlm_params["text"]))
+            vlm_params["text"] = _finish(vlm_params["text"])
             if mesh is not None:
                 from vis_tpu.parallel.sharding import shard_vision_params
 
@@ -163,7 +181,7 @@ class Engine:
             self.text_params = None
         else:
             self.vlm_params = None
-            self.text_params = _finish(stack_decoder_layers(text_params))
+            self.text_params = _finish(text_params)
 
         self._prefill_jit = jax.jit(partial(prefill_scan, text_config))
         self._decode_jit = jax.jit(partial(decode_step_scan, text_config))
@@ -808,6 +826,142 @@ def _is_mllama(model_name: str) -> bool:
     return "llama" in lname and "vision" in lname
 
 
+# Projection weights inside vision towers (Qwen ViT blocks/merger, Mllama
+# ViT blocks/projector) quantized by name; embeddings, norms and gates are
+# ADDED to activations (not matmul'd) and must stay full precision.
+_VISION_QUANT_KEYS = frozenset({
+    "qkv", "proj", "fc1", "fc2", "patch_embed",
+    "q_proj", "k_proj", "v_proj", "o_proj", "projector",
+})
+
+
+def _quantize_vision_tree(tree: Any, mode: str) -> Any:
+    """Weight-only quantization of a vision tower's projection weights."""
+    from vis_tpu.ops.quantized import quantize_weight, quantize_weight4
+
+    quantize = quantize_weight4 if mode == "int4" else quantize_weight
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for key, value in node.items():
+                if (key in _VISION_QUANT_KEYS and hasattr(value, "ndim")
+                        and value.ndim == 2 and value.shape[1] % 2 == 0):
+                    out[key] = quantize(value)
+                else:
+                    out[key] = walk(value)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)
+
+
+def _byte_token_ids(cfg: Qwen2VLConfig) -> Qwen2VLConfig:
+    """Point the config's multimodal token ids at the ByteTokenizer's
+    specials (weightless profiles pair real-size configs with the byte
+    tokenizer; embed_multimodal splices vision embeds by config id)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        cfg, image_token_id=261, vision_start_token_id=259,
+        vision_end_token_id=260, eos_token_id=256,
+    )
+
+
+def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
+    """Weightless engines at TARGET model scale (DEV_PROFILE=target).
+
+    Real 7B/11B/8B dimensions with random weights — the honest latency
+    profile for BASELINE comparisons (weight values don't change timing).
+    Init and quantization compose inside ONE jit per model so the
+    full-precision tensors are XLA temporaries: three roles at bf16 would
+    be ~52 GB, far past one v5e chip's 16 GB; int4 + fused init fits.
+    """
+    mode = app_config.quantization
+    quantize = mode in ("int8", "int4")
+    key = jax.random.PRNGKey(hash(role) % (2**31))
+
+    if is_vlm and _is_mllama(model_name):
+        from vis_tpu.models.llama.mllama import (
+            MllamaConfig,
+            init_params as init_mllama,
+            quantize_mllama_params,
+        )
+        from vis_tpu.serving.engine_mllama import MllamaEngine
+
+        cfg = MllamaConfig.llama32_11b_vision()
+
+        def make_mllama(k):
+            p = init_mllama(cfg, k)
+            if quantize:
+                p = quantize_mllama_params(p, mode=mode)
+                p = {
+                    name: (_quantize_vision_tree(v, mode) if name != "text" else v)
+                    for name, v in p.items()
+                }
+            return p
+
+        params = jax.jit(make_mllama)(key)
+        tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
+        logger.info(f"{role}: target-scale Mllama-11B dev profile ({mode})")
+        return MllamaEngine(
+            f"target-{role}-mllama-11b", cfg, params, tokenizer, mesh=mesh
+        )
+
+    if is_vlm:
+        cfg = _byte_token_ids(Qwen2VLConfig.qwen2_vl_7b())
+
+        def make_qwen(k):
+            from vis_tpu.models.common.decoder import (
+                fuse_stacked_projections,
+                quantize_stacked_params,
+            )
+
+            p = qwen_model.init_params(cfg, k)
+            text = stack_decoder_layers(p["text"])
+            if mesh is None:
+                text = fuse_stacked_projections(text)
+            if quantize:
+                text = quantize_stacked_params(
+                    text, quantize_embeddings=True, mode=mode
+                )
+                p["vision"] = _quantize_vision_tree(p["vision"], mode)
+            p["text"] = text
+            return p
+
+        params = jax.jit(make_qwen)(key)
+        tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
+        logger.info(f"{role}: target-scale Qwen2-VL-7B dev profile ({mode})")
+        return Engine(
+            f"target-{role}-qwen2vl-7b", cfg.text, None, tokenizer,
+            vlm_config=cfg, vlm_params=params, mesh=mesh,
+        )
+
+    cfg = llama_configs.llama31_8b()
+
+    def make_llama(k):
+        from vis_tpu.models.common.decoder import (
+            fuse_stacked_projections,
+            quantize_stacked_params,
+        )
+
+        text = stack_decoder_layers(init_decoder_params(cfg, k))
+        if mesh is None:
+            text = fuse_stacked_projections(text)
+        if quantize:
+            text = quantize_stacked_params(
+                text, quantize_embeddings=True, mode=mode
+            )
+        return text
+
+    params = jax.jit(make_llama)(key)
+    tokenizer = ByteTokenizer(vocab_size=cfg.vocab_size)
+    logger.info(f"{role}: target-scale Llama-3.1-8B dev profile ({mode})")
+    return Engine(f"target-{role}-llama31-8b", cfg, params, tokenizer, mesh=mesh)
+
+
 def serving_mesh() -> Optional[jax.sharding.Mesh]:
     """Mesh for production serving, from config.mesh_shape.
 
@@ -901,6 +1055,8 @@ def build_engine(role: str, model_name: str):
         "running dev-profile random weights (outputs are not meaningful text; "
         "use USE_MOCK_RESPONSES=true for deterministic pipeline behavior)"
     )
+    if app_config.dev_profile == "target":
+        return _build_target_dev_engine(role, model_name, is_vlm, mesh)
     key = jax.random.PRNGKey(hash(role) % (2**31))
     if is_vlm and _is_mllama(model_name):
         from vis_tpu.models.llama.mllama import MllamaConfig, MllamaVisionConfig

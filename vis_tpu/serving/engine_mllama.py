@@ -49,11 +49,14 @@ class MllamaEngine:
         self.name = name
         self.config = config
         self.mesh = mesh
-        if app_config.quantization == "int8":
+        if app_config.quantization in ("int8", "int4"):
             from vis_tpu.models.llama.mllama import quantize_mllama_params
 
-            params = quantize_mllama_params(params)
-            logger.info(f"{name}: int8 weight-only quantization applied")
+            params = quantize_mllama_params(params, mode=app_config.quantization)
+            logger.info(
+                f"{name}: {app_config.quantization} weight-only "
+                "quantization applied"
+            )
         if mesh is not None:
             # Tensor-parallel text stack over the mesh's "model" axis; the
             # same jit functions then run SPMD (XLA inserts the collectives).

@@ -130,7 +130,8 @@ class Config(BaseModel):
     kv_pool_tokens: int = 16384       # total tokens the page pool holds (paged_kv_cache=true)
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
-    quantization: str = "none"        # "none" | "int8" weight-only (decoder + vocab) quant
+    quantization: str = "none"        # "none" | "int8" | "int4" weight-only (decoder + vocab) quant
+    dev_profile: str = "small"        # weightless engines: "small" (2B-ish) | "target" (real 7B/11B/8B dims)
     continuous_batching: bool = False # share batched decode slots across requests
     speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
     prefix_caching: bool = False      # reuse shared text-prompt-head KV
@@ -174,8 +175,18 @@ class Config(BaseModel):
     @classmethod
     def _check_quantization(cls, v: str) -> str:
         lower = v.lower()
-        if lower not in ("none", "int8"):
-            raise ValueError(f"quantization must be 'none' or 'int8', got {v!r}")
+        if lower not in ("none", "int8", "int4"):
+            raise ValueError(
+                f"quantization must be 'none', 'int8' or 'int4', got {v!r}"
+            )
+        return lower
+
+    @field_validator("dev_profile")
+    @classmethod
+    def _check_dev_profile(cls, v: str) -> str:
+        lower = v.lower()
+        if lower not in ("small", "target"):
+            raise ValueError(f"dev_profile must be 'small' or 'target', got {v!r}")
         return lower
 
     @field_validator("mesh_shape")
