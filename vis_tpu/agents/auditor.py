@@ -53,6 +53,7 @@ class VLMAuditorAgent(BaseVLMAgent):
                 max_tokens=self.max_tokens,
                 temperature=self.temperature,
                 max_image_dim=self.max_image_dim,
+                json_mode=config.constrained_json,
             )
             parsed = self._parse_json_robust(raw)
             fixed = self._validate_and_fix_result(parsed)

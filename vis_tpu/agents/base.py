@@ -41,6 +41,7 @@ class InferenceBackend(Protocol):
         max_tokens: int = 1024,
         temperature: float = 0.0,
         max_image_dim: int = 2048,
+        json_mode: bool = False,
     ) -> str:
         ...
 
@@ -52,6 +53,7 @@ class InferenceBackend(Protocol):
         max_tokens: int = 1024,
         temperature: float = 0.0,
         max_image_dim: int = 2048,
+        json_mode: bool = False,
     ) -> Iterator[str]:
         ...
 

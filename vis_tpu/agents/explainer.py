@@ -51,9 +51,11 @@ class ExplainerAgent(BaseVLMAgent):
             max_tokens=config.explainer_max_tokens,
         )
 
-    def _call_llm(self, prompt: str) -> str:
+    def _call_llm(self, prompt: str, json_mode: bool = False) -> str:
         return self.backend.generate(
-            prompt, None, max_tokens=self.max_tokens, temperature=self.temperature
+            prompt, None, max_tokens=self.max_tokens,
+            temperature=self.temperature,
+            json_mode=json_mode and config.constrained_json,
         )
 
     def _format_reasoning_chain(
@@ -165,7 +167,7 @@ class ExplainerAgent(BaseVLMAgent):
         )
         prompt = _DECISION_SUPPORT_PROMPT.format(defects=defect_summary, verdict=verdict)
         try:
-            response = self._call_llm(prompt).strip()
+            response = self._call_llm(prompt, json_mode=True).strip()
             if "```json" in response:
                 response = response.split("```json")[1].split("```")[0].strip()
             elif "```" in response:

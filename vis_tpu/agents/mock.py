@@ -215,6 +215,7 @@ class MockVLMBackend:
         max_tokens: int = 1024,
         temperature: float = 0.0,
         max_image_dim: int = 2048,
+        json_mode: bool = False,
     ) -> str:
         self._calls += 1
         if self.fail_every and self._calls % self.fail_every == 0:
@@ -265,6 +266,7 @@ class MockVLMBackend:
         max_tokens: int = 1024,
         temperature: float = 0.0,
         max_image_dim: int = 2048,
+        json_mode: bool = False,
     ) -> Iterator[str]:
         text = self.generate(
             prompt,

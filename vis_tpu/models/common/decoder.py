@@ -15,7 +15,7 @@ vlm_auditor.py:56 Groq); this module is their on-pod replacement.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 from jax import lax
@@ -798,6 +798,98 @@ def decode_loop_scan(
     )
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
     return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
+
+
+class DecodeConstraint(NamedTuple):
+    """Grammar-constraint state threaded through the fused decode scan
+    (tables from vis_tpu.serving.constrained.json_constraint_tables).
+
+    token_ok/token_trans/cost_after are [S, K] with K <= vocab: tokens past
+    the table width are implicitly disallowed.  state/remaining are per-row;
+    the allowed set at each step is
+        token_ok[state] & (cost_after[state] < remaining)
+    which keeps the emitted prefix completable within the budget.
+    """
+
+    token_ok: jnp.ndarray     # [S, K] bool
+    token_trans: jnp.ndarray  # [S, K] int32
+    cost_after: jnp.ndarray   # [S, K] int32
+    state: jnp.ndarray        # [b] int32
+    remaining: jnp.ndarray    # [b] int32
+
+
+def constrained_argmax(
+    logits: jnp.ndarray, constraint: DecodeConstraint
+) -> Tuple[jnp.ndarray, DecodeConstraint]:
+    """Grammar-masked greedy pick + DFA advance; returns (token, constraint')."""
+    k = constraint.token_ok.shape[1]
+    allowed = constraint.token_ok[constraint.state] & (
+        constraint.cost_after[constraint.state]
+        < constraint.remaining[:, None]
+    )
+    masked = jnp.where(allowed, logits[:, :k], -1e30)
+    token = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    new_state = constraint.token_trans[constraint.state, token]
+    return token, constraint._replace(
+        state=new_state, remaining=constraint.remaining - 1
+    )
+
+
+def decode_loop_scan_constrained(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    cache: KVCache,
+    constraint: DecodeConstraint,
+    num_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
+    """decode_loop_scan with a JSON-grammar logit mask per step (SURVEY §7
+    hard part 6: constrained decoding instead of parse-and-repair).  Same
+    fused per-step structure; adds two table gathers + one compare.
+    Returns the constraint carry so chunked callers continue the DFA."""
+    b = first_logits.shape[0]
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
+    max_len = cache.k.shape[2]
+
+    def step(carry, step_idx):
+        logits, k_buf, v_buf, lengths, con = carry
+        token, con = constrained_argmax(logits, con)
+        pos_vec = start_vec + step_idx
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
+        else:
+            positions = pos_vec[:, None]
+        cos, sin = _position_tables(config, positions)
+        x = embed(token[:, None], params["embed_tokens"])
+
+        kj = jnp.arange(max_len)[None, None, None, :]
+        cache_mask = jnp.where(
+            kj < lengths[:, None, None, None], 0.0, -1e30
+        ).astype(jnp.float32)
+
+        def body(x, layer_and_cache):
+            layer, ck, cv = layer_and_cache
+            x, k, v = _layer_body(
+                config, x, layer, cos, sin, None, ck, cv, cache_mask
+            )
+            return x, (k, v)
+
+        x, (k_new, v_new) = lax.scan(
+            body, x, (params["layers_stacked"], k_buf, v_buf)
+        )
+        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+        logits = lm_logits(config, params, x)[:, 0]
+        k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
+        return (logits, k_buf, v_buf, lengths + 1, con), token
+
+    (logits, k_buf, v_buf, lengths, constraint), tokens = lax.scan(
+        step,
+        (first_logits, cache.k, cache.v, cache.lengths, constraint),
+        jnp.arange(num_steps),
+    )
+    cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+    return tokens.T, logits, cache, constraint
 
 
 def decode_loop_paged(

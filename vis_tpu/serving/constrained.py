@@ -1,0 +1,438 @@
+"""Constrained JSON decoding: grammar-masked logits inside the fused scan.
+
+The reference survives malformed model JSON with a 3-strategy parser and
+field fix-ups (reference src/agents/vlm_inspector.py:142-267).  That is a
+*recovery* strategy; this module is the *prevention* strategy SURVEY §7
+(hard part 6) recommends: a byte-level JSON finite-state machine compiled
+to per-tokenizer lookup tables that mask the logits at every decode step,
+so the model can only emit tokens that keep the output a prefix of some
+valid JSON document — and, jointly with a budget-feasibility rule, can
+always *complete* the document within the request's token budget.
+
+Design (all device-side work is two gathers + a compare per step):
+
+- A pushdown automaton for JSON is flattened to a DFA by bounding the
+  container nesting depth (MAX_DEPTH); states are (mode, container-stack)
+  pairs, reachable states are enumerated by BFS over the 256 byte inputs.
+- ``close_cost[s]`` = minimum number of BYTES from state ``s`` to a
+  complete document (computed by fixpoint relaxation).  Because every
+  token is >= 1 byte, it lower-bounds the number of TOKENS too.
+- Token tables (per tokenizer): walking each token's UTF-8 bytes through
+  the DFA yields ``token_trans[s, v]`` (next state or reject) and
+  ``cost_after[s, v] = close_cost[token_trans[s, v]]``.
+- Per decode step the allowed set is
+      ``token_ok[s] & (cost_after[s] < remaining)``
+  which maintains the invariant ``close_cost[state] < remaining``: the
+  document always remains completable in the remaining budget, and as the
+  budget tightens the mask funnels the model onto a shortest completion
+  path.  At the ACCEPT state only EOS is allowed, which terminates the
+  engine's chunked decode loop.
+
+Tables are [num_states, vocab]; for byte-level tokenizers (the dev/bench
+profile) this is a few MB.  For very large vocabularies the product is
+capped (``_MAX_TABLE_ENTRIES``) and ``json_constraint_tables`` returns
+None — callers fall back to unconstrained decode + the robust parser.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+MAX_DEPTH = 6
+_INF = np.int32(2**30)
+_MAX_TABLE_ENTRIES = 64_000_000  # states x vocab guard (~256 MB of int32)
+
+_WS = frozenset(b" \t\n\r")
+_DIGITS = frozenset(b"0123456789")
+_HEX = frozenset(b"0123456789abcdefABCDEF")
+# Bytes allowed raw inside a JSON string: anything except the control
+# range, '"' and '\'.  Bytes >= 0x80 are permitted — invalid UTF-8 decodes
+# to U+FFFD on the host, which is still a legal JSON string character.
+_STR_RAW = frozenset(
+    b for b in range(0x20, 0x100) if b not in (0x22, 0x5C)
+)
+_ESCAPABLE = frozenset(b'"\\/bfnrt')
+
+
+def _end_value(stack: Tuple[str, ...]) -> Tuple[str, Tuple[str, ...]]:
+    """State after a value completes inside `stack`."""
+    if not stack:
+        return ("accept", stack)
+    return ("after", stack)
+
+
+class _JsonDfa:
+    """Byte-level DFA for JSON with bounded nesting depth.
+
+    States are (mode, stack) tuples; `mode` is a small string tag, `stack`
+    is the tuple of open containers ('o'/'a'), innermost last.  The root
+    document is required to be an object (the agents' output contract,
+    reference utils/prompts.py JSON schemas).
+    """
+
+    def __init__(self, max_depth: int = MAX_DEPTH):
+        self.max_depth = max_depth
+        self.states: Dict[Tuple, int] = {}
+        self.trans: List[np.ndarray] = []  # per state: [256] int32
+        self._build()
+
+    def _sid(self, state: Tuple) -> int:
+        if state not in self.states:
+            self.states[state] = len(self.states)
+            self.trans.append(np.full(256, -1, np.int32))
+        return self.states[state]
+
+    def _next(self, state: Tuple, byte: int) -> Optional[Tuple]:
+        mode, stack = state
+        depth = len(stack)
+
+        if mode == "accept":
+            return None  # only EOS (handled at the token layer)
+
+        if mode == "root":
+            if byte in _WS:
+                return state
+            if byte == 0x7B:  # {
+                return ("key_or_close", stack + ("o",))
+            return None
+
+        if mode == "value":
+            if byte in _WS:
+                return state
+            if byte == 0x7B and depth < self.max_depth:
+                return ("key_or_close", stack + ("o",))
+            if byte == 0x5B and depth < self.max_depth:  # [
+                return ("val_or_close", stack + ("a",))
+            if byte == 0x22:  # "
+                return ("str", stack)
+            if byte == 0x2D:  # -
+                return ("num_minus", stack)
+            if byte == 0x30:  # 0
+                return ("num_zero", stack)
+            if byte in _DIGITS:
+                return ("num_int", stack)
+            if byte == ord("t"):
+                return (("lit", "rue"), stack)
+            if byte == ord("f"):
+                return (("lit", "alse"), stack)
+            if byte == ord("n"):
+                return (("lit", "ull"), stack)
+            return None
+
+        if mode == "val_or_close":  # just after '[' — value or ']'
+            if byte in _WS:
+                return state
+            if byte == 0x5D:  # ]
+                return _end_value(stack[:-1])
+            return self._next(("value", stack), byte)
+
+        if isinstance(mode, tuple) and mode[0] == "lit":
+            rest = mode[1]
+            if byte == ord(rest[0]):
+                if len(rest) == 1:
+                    return _end_value(stack)
+                return (("lit", rest[1:]), stack)
+            return None
+
+        if mode in ("str", "key_str"):
+            esc = "str_esc" if mode == "str" else "key_esc"
+            if byte == 0x22:
+                if mode == "key_str":
+                    return ("colon", stack)
+                return _end_value(stack)
+            if byte == 0x5C:
+                return (esc, stack)
+            if byte in _STR_RAW:
+                return state
+            return None
+
+        if mode in ("str_esc", "key_esc"):
+            base = "str" if mode == "str_esc" else "key_str"
+            if byte in _ESCAPABLE:
+                return (base, stack)
+            if byte == ord("u"):
+                return ((base + "_u", 4), stack)
+            return None
+
+        if isinstance(mode, tuple) and mode[0] in ("str_u", "key_str_u"):
+            base, n = mode
+            if byte in _HEX:
+                if n == 1:
+                    return (base[: -2], stack)  # "str_u"->"str"
+                return ((base, n - 1), stack)
+            return None
+
+        # --- numbers: terminable states fall through to the delimiter ---
+        if mode == "num_minus":
+            if byte == 0x30:
+                return ("num_zero", stack)
+            if byte in _DIGITS:
+                return ("num_int", stack)
+            return None
+        if mode in ("num_zero", "num_int", "num_frac", "num_exp"):
+            if byte in _DIGITS and mode in ("num_int", "num_frac", "num_exp"):
+                return (mode, stack)
+            if byte == 0x2E and mode in ("num_zero", "num_int"):  # .
+                return ("num_dot", stack)
+            if byte in (ord("e"), ord("E")) and mode in (
+                "num_zero", "num_int", "num_frac",
+            ):
+                return ("num_e", stack)
+            # number complete; delimiter handled by the container
+            end_mode, end_stack = _end_value(stack)
+            if end_mode == "accept":
+                return None  # root is an object, never a bare number
+            return self._next((end_mode, end_stack), byte)
+        if mode == "num_dot":
+            if byte in _DIGITS:
+                return ("num_frac", stack)
+            return None
+        if mode == "num_e":
+            if byte in (0x2B, 0x2D):
+                return ("num_esign", stack)
+            if byte in _DIGITS:
+                return ("num_exp", stack)
+            return None
+        if mode == "num_esign":
+            if byte in _DIGITS:
+                return ("num_exp", stack)
+            return None
+
+        if mode == "after":
+            # inside a container, after a complete value
+            container = stack[-1]
+            if byte in _WS:
+                return state
+            if byte == 0x2C:  # ,
+                if container == "o":
+                    return ("key_expect", stack)
+                return ("value", stack)
+            if byte == 0x7D and container == "o":
+                return _end_value(stack[:-1])
+            if byte == 0x5D and container == "a":
+                return _end_value(stack[:-1])
+            return None
+
+        if mode == "key_or_close":
+            if byte in _WS:
+                return state
+            if byte == 0x22:
+                return ("key_str", stack)
+            if byte == 0x7D:
+                return _end_value(stack[:-1])
+            return None
+
+        if mode == "key_expect":
+            if byte in _WS:
+                return state
+            if byte == 0x22:
+                return ("key_str", stack)
+            return None
+
+        if mode == "colon":
+            if byte in _WS:
+                return state
+            if byte == 0x3A:  # :
+                return ("value", stack)
+            return None
+
+        raise AssertionError(f"unhandled DFA mode {mode!r}")
+
+    def _build(self) -> None:
+        start = ("root", ())
+        self._sid(start)
+        frontier = [start]
+        while frontier:
+            state = frontier.pop()
+            sid = self.states[state]
+            for byte in range(256):
+                nxt = self._next(state, byte)
+                if nxt is None:
+                    continue
+                is_new = nxt not in self.states
+                self.trans[sid][byte] = self._sid(nxt)
+                if is_new:
+                    frontier.append(nxt)
+        self.n_states = len(self.states)
+        self.trans_table = np.stack(self.trans)  # [S, 256]
+        self.accept_id = self.states.get(("accept", ()), -1)
+        assert self.accept_id >= 0, "accept state unreachable"
+        self.start_id = self.states[start]
+        self._close_costs()
+
+    def _close_costs(self) -> None:
+        """close_cost[s] = min bytes from s to accept (fixpoint)."""
+        cost = np.full(self.n_states, _INF, np.int64)
+        cost[self.accept_id] = 0
+        # Bellman-Ford style relaxation; DFA diameter is small (< ~40).
+        for _ in range(self.n_states):
+            valid = self.trans_table >= 0  # [S, 256]
+            nxt_cost = np.where(
+                valid, cost[np.clip(self.trans_table, 0, None)], _INF
+            )
+            new = np.minimum(cost, 1 + nxt_cost.min(axis=1))
+            if np.array_equal(new, cost):
+                break
+            cost = new
+        self.close_cost = np.minimum(cost, _INF).astype(np.int32)
+
+
+_dfa_lock = threading.Lock()
+_dfa_cache: Dict[int, _JsonDfa] = {}
+
+
+def _get_dfa(max_depth: int) -> _JsonDfa:
+    with _dfa_lock:
+        if max_depth not in _dfa_cache:
+            _dfa_cache[max_depth] = _JsonDfa(max_depth)
+        return _dfa_cache[max_depth]
+
+
+@dataclass
+class ConstraintTables:
+    """Per-tokenizer JSON constraint tables (host numpy; engines move them
+    on device once and reuse across requests)."""
+
+    token_ok: np.ndarray     # [S, V] bool  — token keeps output a valid prefix
+    token_trans: np.ndarray  # [S, V] int32 — DFA state after the token
+    cost_after: np.ndarray   # [S, V] int32 — close_cost of that state (INF if rejected)
+    init_state: int
+    accept_state: int
+    eos_id: int
+    min_budget: int          # smallest max_tokens that can complete a document
+
+    @property
+    def num_states(self) -> int:
+        return self.token_ok.shape[0]
+
+
+def _token_bytes(tokenizer, token_id: int) -> Optional[bytes]:
+    """Byte content of one vocab entry, or None for special/undecodable."""
+    eos = getattr(tokenizer, "eos_id", None)
+    if token_id == eos:
+        return None
+    # ByteTokenizer: ids < 256 are raw bytes, the rest are specials.
+    if type(tokenizer).__name__ == "ByteTokenizer":
+        return bytes([token_id]) if token_id < 256 else None
+    decode = getattr(tokenizer, "decode", None)
+    if decode is None:
+        return None
+    try:
+        text = decode([token_id])
+    except Exception:
+        return None
+    if not text or "�" in text:
+        # partial UTF-8 fragment or special marker: excluding it only
+        # narrows the constrained vocabulary, never breaks validity.
+        return None
+    return text.encode("utf-8")
+
+
+_tables_lock = threading.Lock()
+_tables_cache: Dict[Tuple, Optional[ConstraintTables]] = {}
+
+
+def json_constraint_tables(
+    tokenizer, vocab_size: int, max_depth: int = MAX_DEPTH
+) -> Optional[ConstraintTables]:
+    """Compile (and cache) JSON constraint tables for a tokenizer.
+
+    Returns None when the state x vocab product is too large for dense
+    device tables — callers then decode unconstrained and rely on the
+    robust parser (reference vlm_inspector.py:142 behavior).
+    """
+    key = (type(tokenizer).__name__, getattr(tokenizer, "vocab_size", vocab_size),
+           vocab_size, max_depth)
+    with _tables_lock:
+        if key in _tables_cache:
+            return _tables_cache[key]
+
+    dfa = _get_dfa(max_depth)
+    # ByteTokenizer: only ids < 262 carry content/specials, so the tables
+    # can be narrow even when the model's logits are padded to a real
+    # model's vocab width — the decoder arg-maxes over the masked head and
+    # everything past the table width is implicitly disallowed.
+    if type(tokenizer).__name__ == "ByteTokenizer":
+        vocab_size = min(vocab_size, 262)
+    if dfa.n_states * vocab_size > _MAX_TABLE_ENTRIES:
+        with _tables_lock:
+            _tables_cache[key] = None
+        return None
+
+    S, V = dfa.n_states, vocab_size
+    token_trans = np.full((S, V), -1, np.int32)
+    for v in range(V):
+        content = _token_bytes(tokenizer, v)
+        if content is None or len(content) == 0:
+            continue
+        # Walk every state through this token's bytes, fully vectorized
+        # over states: states [S] -> next states [S].
+        cur = np.arange(S, dtype=np.int64)
+        alive = np.ones(S, bool)
+        for byte in content:
+            step = dfa.trans_table[cur, byte]
+            alive &= step >= 0
+            cur = np.where(alive, step, 0)
+        token_trans[:, v] = np.where(alive, cur, -1).astype(np.int32)
+
+    eos_id = int(getattr(tokenizer, "eos_id", 0))
+    # EOS is the unique action at ACCEPT (self-loop: repeated EOS after the
+    # document is closed is stripped by the engine's host-side EOS check).
+    token_trans[dfa.accept_id, :] = -1
+    if eos_id < V:
+        token_trans[dfa.accept_id, eos_id] = dfa.accept_id
+
+    token_ok = token_trans >= 0
+    cost_after = np.where(
+        token_ok, dfa.close_cost[np.clip(token_trans, 0, None)], _INF
+    ).astype(np.int32)
+
+    # Completability guard: from every reachable non-accept state some
+    # token must strictly reduce the closing cost, otherwise the funnel
+    # could dead-end under a tight budget.
+    reachable = np.zeros(S, bool)
+    reachable[dfa.start_id] = True
+    for _ in range(S):
+        nxt = token_trans[reachable]
+        ids = nxt[nxt >= 0]
+        new = reachable.copy()
+        new[ids] = True
+        if np.array_equal(new, reachable):
+            break
+        reachable = new
+    finite = dfa.close_cost < _INF
+    need = reachable & finite & (np.arange(S) != dfa.accept_id)
+    best_after = np.where(token_ok, cost_after, _INF).min(axis=1)
+    ok = best_after[need] < dfa.close_cost[need]
+    if not bool(np.all(ok)):
+        with _tables_lock:
+            _tables_cache[key] = None
+        return None
+
+    tables = ConstraintTables(
+        token_ok=token_ok,
+        token_trans=np.where(token_ok, token_trans, 0).astype(np.int32),
+        cost_after=cost_after,
+        init_state=dfa.start_id,
+        accept_state=dfa.accept_id,
+        eos_id=eos_id,
+        min_budget=int(dfa.close_cost[dfa.start_id]) + 1,
+    )
+    with _tables_lock:
+        _tables_cache[key] = tables
+    return tables
+
+
+def walk_document(tables: ConstraintTables, token_ids, start_state=None) -> int:
+    """Host-side replay of a token sequence; returns the final DFA state or
+    raises if any token was illegal (test/debug helper)."""
+    state = tables.init_state if start_state is None else start_state
+    for t in token_ids:
+        if not tables.token_ok[state, t]:
+            raise ValueError(f"token {t} illegal in state {state}")
+        state = int(tables.token_trans[state, t])
+    return state

@@ -36,8 +36,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from vis_tpu.models.common.decoder import (
+    DecodeConstraint,
     DecoderConfig,
     decode_loop_scan,
+    decode_loop_scan_constrained,
     decode_step_scan,
     extend_scan,
     init_decoder_params,
@@ -192,6 +194,13 @@ class Engine:
             partial(decode_loop_scan, text_config),
             static_argnames=("num_steps",), donate_argnums=(3,),
         )
+        # JSON-grammar constrained decode (vis_tpu.serving.constrained):
+        # same fused chunk loop with a DFA carry; tables compiled lazily.
+        self._decode_loop_json_jit = jax.jit(
+            partial(decode_loop_scan_constrained, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3,),
+        )
+        self._json_constraint: Any = None
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
         self._verify_jit = jax.jit(partial(verify_scan, text_config))
         self._encode_image_jit = jax.jit(
@@ -347,9 +356,12 @@ class Engine:
         max_tokens: int = 1024,
         temperature: float = 0.0,
         max_image_dim: int = 2048,
+        json_mode: bool = False,
     ) -> Iterator[str]:
         scheduler = getattr(self, "scheduler", None)
-        if scheduler is not None and temperature <= 0.0:
+        if json_mode and self._json_tables() is None:
+            json_mode = False  # tokenizer unsupported; robust parser catches
+        if scheduler is not None and temperature <= 0.0 and not json_mode:
             # Prefill under the lock, decode batched in the scheduler.
             with self._lock:
                 cache, logits, next_pos, kv_len, _ = self._prefill_request(
@@ -371,7 +383,32 @@ class Engine:
             yield from self._generate_locked(
                 prompt, image_path, max_tokens=max_tokens,
                 temperature=temperature, max_image_dim=max_image_dim,
+                json_mode=json_mode,
             )
+
+    def _json_tables(self):
+        """Lazily compile + device-place the JSON constraint tables; None
+        when the tokenizer/vocab is unsupported (dense tables too large)."""
+        if self._json_constraint is None:
+            from vis_tpu.serving.constrained import json_constraint_tables
+
+            tables = json_constraint_tables(
+                self.tokenizer, self.text_config.vocab_size
+            )
+            if tables is None:
+                logger.warning(
+                    f"{self.name}: JSON-constrained decoding unavailable for "
+                    "this tokenizer/vocab; relying on robust parsing"
+                )
+                self._json_constraint = False
+            else:
+                self._json_constraint = (
+                    jnp.asarray(tables.token_ok),
+                    jnp.asarray(tables.token_trans),
+                    jnp.asarray(tables.cost_after),
+                    tables,
+                )
+        return None if self._json_constraint is False else self._json_constraint
 
     def _prefill_request(
         self, prompt, image_path, *, max_tokens, max_image_dim,
@@ -571,10 +608,14 @@ class Engine:
         return min(cap, ((need + 511) // 512) * 512)
 
     def _generate_locked(
-        self, prompt, image_path, *, max_tokens, temperature, max_image_dim
+        self, prompt, image_path, *, max_tokens, temperature, max_image_dim,
+        json_mode: bool = False,
     ) -> Iterator[str]:
         tc = self.text_config
         params = self.text_params if self.vlm_config is None else self.vlm_params["text"]
+        json_tables = self._json_tables() if json_mode else None
+        if json_tables is not None:
+            max_tokens = max(max_tokens, json_tables[3].min_budget)
         cache, logits, next_pos, _, ids = self._prefill_request(
             prompt, image_path, max_tokens=max_tokens,
             max_image_dim=max_image_dim, right_size_cache=True,
@@ -593,7 +634,36 @@ class Engine:
                 yield chunk_text
 
         with span("engine.decode", logger):
-            if temperature <= 0.0 and app_config.speculative_decoding == "pld":
+            if json_tables is not None and temperature <= 0.0:
+                # Grammar-constrained greedy: fused chunks with a DFA carry;
+                # the budget-feasibility mask guarantees the emitted JSON
+                # closes before the budget runs out, ending at EOS.
+                ok_t, trans_t, cost_t, tables = json_tables
+                constraint = DecodeConstraint(
+                    token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
+                    state=jnp.full((1,), tables.init_state, jnp.int32),
+                    remaining=jnp.full((1,), max_tokens, jnp.int32),
+                )
+                remaining = max_tokens
+                step0 = 0
+                done = False
+                while remaining > 0 and not done:
+                    steps = min(self.decode_chunk, remaining)
+                    tokens, logits, cache, constraint = (
+                        self._decode_loop_json_jit(
+                            params, logits, jnp.int32(next_pos + step0),
+                            cache, constraint, num_steps=steps,
+                        )
+                    )
+                    for token_id in np.asarray(tokens)[0].tolist():
+                        if token_id == self.tokenizer.eos_id:
+                            done = True
+                            break
+                        generated.append(token_id)
+                    yield from emit_progress()
+                    remaining -= steps
+                    step0 += steps
+            elif temperature <= 0.0 and app_config.speculative_decoding == "pld":
                 # Prompt-lookup speculative decoding: draft continuations by
                 # n-gram lookup in (prompt + generated), verify the whole
                 # draft in one device pass; greedy outputs exactly preserved.
@@ -623,10 +693,22 @@ class Engine:
                     remaining -= steps
                     step0 += steps
             else:
+                con_state = json_tables[3].init_state if json_tables else 0
                 for step in range(max_tokens):
                     key, sub = jax.random.split(key)
+                    if json_tables is not None:
+                        tables = json_tables[3]
+                        width = tables.token_ok.shape[1]
+                        row = tables.token_ok[con_state] & (
+                            tables.cost_after[con_state] < max_tokens - step
+                        )
+                        bias = np.full(logits.shape[-1], -1e30, np.float32)
+                        bias[:width][row] = 0.0
+                        logits = logits + jnp.asarray(bias)
                     token = sample_token(logits, sub, temperature=temperature)
                     token_id = int(token[0])
+                    if json_tables is not None:
+                        con_state = int(json_tables[3].token_trans[con_state, token_id])
                     if token_id == self.tokenizer.eos_id:
                         break
                     generated.append(token_id)
@@ -769,17 +851,21 @@ class EngineBackend:
         self.name = f"tpu:{engine.name}"
 
     def generate(self, prompt, image_path=None, *, max_tokens=1024,
-                 temperature=0.0, max_image_dim=2048) -> str:
+                 temperature=0.0, max_image_dim=2048,
+                 json_mode: bool = False) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
+            json_mode=json_mode,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
-                        temperature=0.0, max_image_dim=2048):
+                        temperature=0.0, max_image_dim=2048,
+                        json_mode: bool = False):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
+            json_mode=json_mode,
         )
 
     def health_check(self) -> bool:

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vis_tpu.models.common.decoder import DecodeConstraint, constrained_argmax
 from vis_tpu.models.common.layers import KVCache, causal_mask, embed, length_mask
 from vis_tpu.models.llama.mllama import (
     MllamaConfig,
@@ -76,6 +77,10 @@ class MllamaEngine:
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl, static_argnames=("steps",)
         )
+        self._decode_chunk_json_jit = jax.jit(
+            self._decode_chunk_json_impl, static_argnames=("steps",)
+        )
+        self._json_constraint: Any = None
 
     # -- jitted impls ----------------------------------------------------
     def _prefill_impl(self, params, embeds, positions, cross_kv, cache,
@@ -118,6 +123,56 @@ class MllamaEngine:
         )
         return tokens, logits, cache
 
+    def _decode_chunk_json_impl(
+        self, params, logits, cross_kv, cache, start, constraint, steps
+    ):
+        """_decode_chunk_impl with the JSON-grammar logit mask
+        (vis_tpu.serving.constrained) threaded as a DFA carry."""
+        b = logits.shape[0]
+
+        def body(step, carry):
+            logits, cache, tokens, con = carry
+            token, con = constrained_argmax(logits, con)
+            tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+            positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
+            embeds = embed(token[:, None], params["text"]["embed_tokens"])
+            hidden, new_cache = text_forward(
+                self.config, params, embeds, positions, cross_kv, cache,
+                cache.decode_mask(),
+            )
+            logits = mllama_logits(self.config, params, hidden)[:, 0]
+            return logits, new_cache, tokens, con
+
+        tokens0 = jnp.zeros((b, steps), jnp.int32)
+        logits, cache, tokens, constraint = jax.lax.fori_loop(
+            0, steps, body, (logits, cache, tokens0, constraint)
+        )
+        return tokens, logits, cache, constraint
+
+    def _json_tables(self):
+        """Lazily compile + device-place JSON constraint tables (None when
+        the tokenizer/vocab is unsupported)."""
+        if self._json_constraint is None:
+            from vis_tpu.serving.constrained import json_constraint_tables
+
+            tables = json_constraint_tables(
+                self.tokenizer, self.config.text.vocab_size
+            )
+            if tables is None:
+                logger.warning(
+                    f"{self.name}: JSON-constrained decoding unavailable for "
+                    "this tokenizer/vocab; relying on robust parsing"
+                )
+                self._json_constraint = False
+            else:
+                self._json_constraint = (
+                    jnp.asarray(tables.token_ok),
+                    jnp.asarray(tables.token_trans),
+                    jnp.asarray(tables.cost_after),
+                    tables,
+                )
+        return None if self._json_constraint is False else self._json_constraint
+
     # -- public API ------------------------------------------------------
     def generate_stream(
         self,
@@ -127,11 +182,16 @@ class MllamaEngine:
         max_tokens: int = 1024,
         temperature: float = 0.0,
         max_image_dim: int = 1024,
+        json_mode: bool = False,
     ) -> Iterator[str]:
         with self._lock:
-            yield from self._generate(prompt, image_path, max_tokens)
+            yield from self._generate(
+                prompt, image_path, max_tokens, json_mode=json_mode
+            )
 
-    def _generate(self, prompt, image_path, max_tokens) -> Iterator[str]:
+    def _generate(
+        self, prompt, image_path, max_tokens, json_mode: bool = False
+    ) -> Iterator[str]:
         tc = self.config.text
         cross_kv = None
         if image_path is not None:
@@ -174,6 +234,17 @@ class MllamaEngine:
                 jnp.asarray([seq_len]),
             )
 
+        json_tables = self._json_tables() if json_mode else None
+        constraint = None
+        if json_tables is not None:
+            ok_t, trans_t, cost_t, tables = json_tables
+            max_tokens = max(max_tokens, tables.min_budget)
+            constraint = DecodeConstraint(
+                token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
+                state=jnp.full((1,), tables.init_state, jnp.int32),
+                remaining=jnp.full((1,), max_tokens, jnp.int32),
+            )
+
         generated: List[int] = []
         emitted = ""
         remaining = max_tokens
@@ -182,10 +253,18 @@ class MllamaEngine:
         with span("mllama.decode", logger):
             while remaining > 0 and not done:
                 steps = min(self.decode_chunk, remaining)
-                tokens, logits, cache = self._decode_chunk_jit(
-                    self.params, logits, cross_kv, cache, jnp.int32(pos),
-                    steps=steps,
-                )
+                if constraint is not None:
+                    tokens, logits, cache, constraint = (
+                        self._decode_chunk_json_jit(
+                            self.params, logits, cross_kv, cache,
+                            jnp.int32(pos), constraint, steps=steps,
+                        )
+                    )
+                else:
+                    tokens, logits, cache = self._decode_chunk_jit(
+                        self.params, logits, cross_kv, cache, jnp.int32(pos),
+                        steps=steps,
+                    )
                 for token_id in np.asarray(tokens)[0].tolist():
                     if token_id == self.tokenizer.eos_id:
                         done = True
@@ -219,17 +298,19 @@ class MllamaEngineBackend:
         self.name = f"tpu:{engine.name}"
 
     def generate(self, prompt, image_path=None, *, max_tokens=1024,
-                 temperature=0.0, max_image_dim=1024) -> str:
+                 temperature=0.0, max_image_dim=1024,
+                 json_mode: bool = False) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
-            max_image_dim=max_image_dim,
+            max_image_dim=max_image_dim, json_mode=json_mode,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
-                        temperature=0.0, max_image_dim=1024):
+                        temperature=0.0, max_image_dim=1024,
+                        json_mode: bool = False):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
-            max_image_dim=max_image_dim,
+            max_image_dim=max_image_dim, json_mode=json_mode,
         )
 
     def health_check(self) -> bool:

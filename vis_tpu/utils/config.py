@@ -135,6 +135,7 @@ class Config(BaseModel):
     continuous_batching: bool = False # share batched decode slots across requests
     speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
     prefix_caching: bool = False      # reuse shared text-prompt-head KV
+    constrained_json: bool = False    # JSON-grammar-masked decode for inspector/auditor/decision-support (serving/constrained.py)
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
