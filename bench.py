@@ -1,242 +1,204 @@
-"""End-to-end inspection benchmark on real TPU hardware.
+"""End-to-end inspection benchmark on real TPU hardware — the REAL pipeline.
 
-Measures the north-star metric (BASELINE.md): p50 wall-clock latency of a
-single-image dual-VLM consensus verdict — preprocess -> shared vision-encoder
-prefill -> batched inspector+auditor decode -> consensus + safety gates —
-against the reference system's 3-5 s/image remote-API pipeline
-(reference README.md:294; baseline p50 taken as 4.0 s).
+Measures the north-star metric (BASELINE.md) on the production path: p50
+wall-clock of ``run_inspection()`` — quality gate -> concurrent dual-VLM
+analysis (vision encode + prefill + EOS-terminated constrained-JSON decode)
+-> consensus -> 9 safety gates -> explainer narration + counterfactual ->
+SQLite -> PDF — at TARGET model scale:
 
-Configuration: Qwen2-VL-2B-shaped models (bf16, random weights — latency is
-weight-value independent), both roles batched on one chip with a shared
-vision prefill, 448 greedy decode tokens (the reference's ~400-500-token JSON
-budget, reference utils/prompts.py target), fused single-dispatch decode.
+    inspector  Qwen2-VL-7B   (real dims, int4 weight-only, random weights)
+    auditor    Mllama-11B    (real dims, int4, random weights)
+    explainer  Llama-3.1-8B  (real dims, int4, random weights)
+
+Weight values don't change latency; random weights + JSON-grammar
+constrained decoding (vis_tpu/serving/constrained.py) exercise the same
+execution shape as real checkpoints: the emitted JSON parses, so the
+pipeline follows the success path (no Gate-0/retry artifacts).  Token
+budgets match the reference's observed ~400-500-token JSON outputs
+(reference utils/prompts.py:74,155; .env.example:38,44).
+
+Baseline: the reference's 3-5 s/image remote-API pipeline (reference
+README.md:294; p50 taken as 4.0 s), which also includes 2 explainer calls.
+NOTE: BASELINE.json's <2 s target assumes a v5e-8 (8 chips, TP); this
+environment has ONE tunneled v5e chip — all three models share its HBM
+bandwidth.  The per-phase breakdown (stderr + BENCH_breakdown.json) shows
+the single-chip decode-bandwidth wall and what TP-8 removes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import statistics
 import sys
 import time
 from pathlib import Path
-
-import numpy as np
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_P50_S = 4.0
-DECODE_TOKENS = 448
-RUNS = 5
+RUNS = 3
+
+# Target-scale serving profile — must be set before vis_tpu/jax import.
+_BENCH_ENV = {
+    "DEV_PROFILE": "target",
+    "QUANTIZATION": "int4",
+    "CONSTRAINED_JSON": "true",
+    "VLM_INSPECTOR_PROVIDER": "tpu",
+    "VLM_AUDITOR_PROVIDER": "tpu",
+    "EXPLAINER_PROVIDER": "tpu",
+    # The reference's JSON outputs are ~400-500 tokens (prompt contract);
+    # its config cap of 2048 was an API ceiling, not the observed length.
+    "VLM_INSPECTOR_MAX_TOKENS": "448",
+    "VLM_AUDITOR_MAX_TOKENS": "448",
+    "EXPLAINER_MAX_TOKENS": "512",
+    "USE_MOCK_RESPONSES": "false",
+    "CONTINUOUS_BATCHING": "false",
+    "SPECULATIVE_DECODING": "none",
+    # One device dispatch per decode (the dev chip is tunneled: per-chunk
+    # host RTT dominates at the default chunk of 64).
+    "DECODE_CHUNK": "512",
+    "PREFIX_CACHING": "true",
+    "DEVICE_PREPROCESS": "true",
+    "LOG_TO_FILE": "false",
+    "DATABASE_PATH": "/tmp/bench_inspections.db",
+    "CHAT_HISTORY_DB": "/tmp/bench_chat.db",
+    "UPLOAD_DIR": "/tmp/bench_uploads",
+    "REPORT_DIR": "/tmp/bench_reports",
+    "LOG_DIR": "/tmp/bench_logs",
+}
+if os.environ.get("BENCH_SMOKE"):  # harness self-test: small models, 1 run
+    _BENCH_ENV["DEV_PROFILE"] = "small"
+    RUNS = 1
+for _k, _v in _BENCH_ENV.items():
+    os.environ[_k] = _v
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from vis_tpu.models.common.decoder import (
-        decode_loop_scan,
-        prefill_scan,
-        stack_decoder_layers,
-    )
-    from vis_tpu.models.common.layers import KVCache
-    from vis_tpu.models.qwen2_vl.config import Qwen2VLConfig
-    from vis_tpu.models.qwen2_vl.model import (
-        embed_multimodal,
-        encode_image,
-        init_params,
-    )
-    from vis_tpu.models.qwen2_vl.vision import vision_rotary_tables
-    from vis_tpu.ops.preprocess import build_mrope_positions, preprocess_image
-    from vis_tpu.safety import analyze_consensus, evaluate_safety
-    from vis_tpu.schemas.models import InspectionContext, VLMAnalysisResult
-    from vis_tpu.utils.prompts import get_prompt
+    if os.environ.get("BENCH_SMOKE"):
+        # the axon plugin ignores JAX_PLATFORMS; force CPU explicitly
+        jax.config.update("jax_platforms", "cpu")
 
     device = jax.devices()[0]
     print(f"# device: {device} ({device.platform})", file=sys.stderr)
 
-    config = Qwen2VLConfig.qwen2_vl_2b()
-    # One fused dispatch for the whole init: per-tensor RNG calls would be
-    # ~400 round-trips over the tunneled device.
-    params = jax.jit(lambda k: init_params(config, k))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    # Scan-execution layout: stacked layer params compile 28-layer programs
-    # in seconds and enable the fused-KV-write decode path.
-    import os
+    from vis_tpu.orchestration.graph import run_inspection
+    from vis_tpu.serving.engine import _engines
 
-    stacked = stack_decoder_layers(params["text"])
-    from vis_tpu.models.common.decoder import fuse_stacked_projections
+    image = str(REPO / "assets" / "sample.jpg")
 
-    stacked = fuse_stacked_projections(stacked)  # 7 -> 4 matmuls per layer
-    if os.environ.get("BENCH_QUANT", "int8") == "int8":
-        from vis_tpu.models.common.decoder import quantize_stacked_params
-
-        stacked = quantize_stacked_params(stacked, quantize_embeddings=True)
-        print("# int8 weight-only decoder+vocab quantization active", file=sys.stderr)
-    params["text"] = {k: v for k, v in stacked.items() if k != "layers_stacked"}
-    params["text_stacked"] = stacked  # original per-layer list dropped (HBM)
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"# model: qwen2-vl-2b shape, {n_params/1e9:.2f}B params bf16",
-          file=sys.stderr)
-
-    # ---- image -> patches (host hot path) ------------------------------
-    image_path = REPO / "assets" / "sample.jpg"  # repo-owned (assets/make_sample.py)
-    t0 = time.perf_counter()
-    image = preprocess_image(image_path, max_image_dim=1024)
-    prep_s = time.perf_counter() - t0
-    print(f"# preprocess: {prep_s*1000:.1f} ms, grid {image.grid_h}x{image.grid_w} "
-          f"({image.num_patches} patches)", file=sys.stderr)
-
-    padded_patches, patch_bucket = image.padded()
-    cos, sin = vision_rotary_tables(config.vision, image.grid_h, image.grid_w)
-    cos_p = np.zeros((patch_bucket, cos.shape[1]), np.float32)
-    sin_p = np.zeros((patch_bucket, sin.shape[1]), np.float32)
-    cos_p[: cos.shape[0]], sin_p[: sin.shape[0]] = cos, sin
-
-    # ---- prompts: inspector + auditor, equal token counts --------------
-    insp_prompt = get_prompt("inspector").format(
-        criticality="high", domain="general", user_notes="bench"
-    )
-    audit_prompt = get_prompt("auditor").format(
-        criticality="high", domain="general"
-    )
-    insp_ids = [ord(c) % 255 for c in insp_prompt]
-    audit_ids = [ord(c) % 255 for c in audit_prompt]
-    text_len = max(len(insp_ids), len(audit_ids))
-    insp_ids += [32] * (text_len - len(insp_ids))
-    audit_ids += [32] * (text_len - len(audit_ids))
-
-    n_vision = image.num_tokens
-    vs, ve, im = (
-        config.vision_start_token_id % config.text.vocab_size,
-        config.vision_end_token_id % config.text.vocab_size,
-        config.image_token_id % config.text.vocab_size,
-    )
-    rows = []
-    for text_ids in (insp_ids, audit_ids):
-        rows.append([vs] + [im] * n_vision + [ve] + text_ids)
-    seq_len = len(rows[0])
-    bucket = ((seq_len + 127) // 128) * 128  # tight prefill bucket
-    ids = np.zeros((2, bucket), np.int32)
-    for r, row in enumerate(rows):
-        ids[r, : len(row)] = row
-    positions3, next_pos = build_mrope_positions(
-        1, image.grid_h, image.grid_w, text_len + 1
-    )
-    positions = np.zeros((3, 2, bucket), np.int32)
-    positions[:, :, :seq_len] = positions3[:, None, :]
-    positions[:, :, seq_len:] = positions3.max()
-
-    tc = config.text
-    max_cache = bucket + DECODE_TOKENS + 64
-    DECODE_CHUNK = 64  # dispatch size: the engine's chunked-decode design
-
-    @jax.jit
-    def prefill_step(params, patches, cos, sin, num_patches, ids, positions,
-                     prompt_lengths):
-        """Shared vision encode + batched dual-prompt multimodal prefill."""
-        vision = encode_image(config, params, patches, cos, sin, num_patches)
-        embeds = embed_multimodal(config, params, ids, vision[:n_vision])
-        cache = KVCache.create(
-            tc.num_layers, 2, max_cache, tc.num_kv_heads, tc.head_dim_,
-        )
-        logits, cache = prefill_scan(tc, params["text_stacked"], embeds,
-                                     positions, cache, prompt_lengths)
-        return logits, cache
-
-    from functools import partial
-
-    @partial(jax.jit, donate_argnums=(2,), static_argnames=("steps",))
-    def decode_chunk(params, logits, cache, start, steps):
-        return decode_loop_scan(tc, params["text_stacked"], logits, start,
-                                cache, steps)
-
-    def inspect_once():
-        """One dual-VLM inspection: prefill dispatch + chunked decode
-        dispatches (matches the serving engine's execution shape)."""
-        logits, cache = prefill_step(*args)
-        all_tokens = []
-        pos = next_pos
-        done = 0
-        while done < DECODE_TOKENS:
-            steps = min(DECODE_CHUNK, DECODE_TOKENS - done)
-            tokens, logits, cache = decode_chunk(
-                params, logits, cache, jnp.int32(pos), steps=steps
-            )
-            all_tokens.append(tokens)
-            pos += steps
-            done += steps
-        return np.concatenate([np.asarray(t) for t in all_tokens], axis=1)
-
-    args = (
-        params,
-        jnp.asarray(padded_patches.astype(np.float32)),
-        jnp.asarray(cos_p), jnp.asarray(sin_p),
-        jnp.asarray(image.num_patches),
-        jnp.asarray(ids), jnp.asarray(positions),
-        jnp.asarray([seq_len, seq_len]),
-    )
-
-    t0 = time.perf_counter()
-    tokens = inspect_once()
-    compile_s = time.perf_counter() - t0
-    print(f"# first call (compile+run): {compile_s:.1f} s", file=sys.stderr)
-
-    # ---- timed runs ----------------------------------------------------
-    # Device inputs are pre-staged: image patch values are identical across
-    # runs of the same image, so per-run work is host preprocess (timed) +
-    # device dispatch + token fetch + deterministic verdict.  Each device
-    # call runs under a watchdog: the tunneled chip in this environment can
-    # wedge on a dispatch, and a partial median beats no result.
-    import threading
-
-    context = InspectionContext(image_id="bench", criticality="high",
-                                domain="general")
-    canned = dict(
-        object_identified="component", overall_condition="good", defects=[],
-        overall_confidence="high", analysis_reasoning="bench run",
-    )
-
-    def timed_device_call(out):
-        out.append(inspect_once())
-
-    latencies = []
-    for run in range(RUNS):
+    def timed_run(tag):
+        events = []
         t0 = time.perf_counter()
-        img = preprocess_image(image_path, max_image_dim=1024)
-        img.padded(patch_bucket)
-        out: list = []
-        worker = threading.Thread(target=timed_device_call, args=(out,),
-                                  daemon=True)
-        worker.start()
-        worker.join(timeout=180.0)
-        if worker.is_alive() or not out:
-            print(f"# run {run}: device dispatch wedged (>180s); stopping "
-                  "timed runs", file=sys.stderr)
-            break
-        r1 = VLMAnalysisResult(**canned)
-        r2 = VLMAnalysisResult(**canned)
-        verdict = evaluate_safety(analyze_consensus(r1, r2), context)
-        assert verdict.verdict in ("SAFE", "UNSAFE", "REQUIRES_HUMAN_REVIEW")
-        latencies.append(time.perf_counter() - t0)
-        print(f"# run {run}: {latencies[-1]:.3f} s", file=sys.stderr)
+        state = run_inspection(
+            image, criticality="medium", domain="manufacturing",
+            on_event=lambda e: events.append(e),
+        )
+        total = time.perf_counter() - t0
+        nodes = {
+            e["node"]: e["elapsed_s"]
+            for e in events if e.get("event") == "node_end"
+        }
+        tokens = {
+            role: getattr(eng, "last_decode_tokens", None)
+            for role, eng in list(_engines.items())
+        }
+        print(
+            f"# {tag}: {total:.3f}s verdict={state['safety_verdict']['verdict']}"
+            f" nodes={json.dumps(nodes)} decode_tokens={json.dumps(tokens)}",
+            file=sys.stderr,
+        )
+        assert state.get("report_path"), "pipeline must produce the PDF"
+        assert not state["inspector_result"]["analysis_failed"], (
+            "constrained decode must yield parseable inspector JSON"
+        )
+        assert not state["auditor_result"]["analysis_failed"], (
+            "constrained decode must yield parseable auditor JSON"
+        )
+        return total, nodes, tokens
 
-    if not latencies:
-        # Degraded tunnel: fall back to the measured compile+run call as an
-        # upper bound (marked by the unit suffix).
-        print("# WARNING: no steady-state runs completed; reporting the "
-              "compile-inclusive first call as an upper bound", file=sys.stderr)
-        latencies = [compile_s]
+    # Warmup: builds all three target-scale engines and compiles every jit
+    # (vision encode, bucketed prefill, constrained decode chunks, PDF path).
+    t0 = time.perf_counter()
+    timed_run("warmup(compile)")
+    print(f"# warmup total (incl. engine builds + compiles): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    p50 = float(np.median(latencies))
-    tokens_per_s = 2 * DECODE_TOKENS / p50
-    print(f"# p50 {p50:.3f} s | dual-stream decode {tokens_per_s:.0f} tok/s",
-          file=sys.stderr)
+    totals, node_runs, token_runs = [], [], []
+    for i in range(RUNS):
+        total, nodes, tokens = timed_run(f"run {i + 1}/{RUNS}")
+        totals.append(total)
+        node_runs.append(nodes)
+        token_runs.append(tokens)
+
+    from vis_tpu.utils.config import config as app_config
+
+    p50 = statistics.median(totals)
+    node_p50 = {
+        name: round(statistics.median(r.get(name, 0.0) for r in node_runs), 4)
+        for name in node_runs[0]
+    }
+    # Time-to-verdict (BASELINE.md's "dual-VLM consensus verdict" metric):
+    # everything through the safety gates, before explanation/DB/PDF.
+    verdict_nodes = (
+        "initialize", "quality_check", "dual_vlm", "consensus",
+        "safety_gates", "clean_verification",
+    )
+    verdict_p50 = sum(node_p50.get(n, 0.0) for n in verdict_nodes)
+
+    # Device preprocessing throughput (VERDICT #4): compute-only img/s for
+    # a 1080p frame through resize->normalize->patchify on the chip.
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from vis_tpu.ops.preprocess_device import preprocess_frame_device
+
+    frame = jnp.asarray(
+        _np.random.default_rng(0).integers(
+            0, 255, (1080, 1920, 3), dtype=_np.uint8
+        )
+    )
+    preprocess_frame_device(frame, 728, 1288).block_until_ready()  # compile
+    n_pp = 20
+    t0 = time.perf_counter()
+    for _ in range(n_pp):
+        out = preprocess_frame_device(frame, 728, 1288)
+    out.block_until_ready()
+    pp_rate = n_pp / (time.perf_counter() - t0)
+
+    breakdown = {
+        "metric": "e2e_inspection_p50",
+        "p50_s": round(p50, 4),
+        "verdict_p50_s": round(verdict_p50, 4),
+        "runs_s": [round(t, 4) for t in totals],
+        "node_p50_s": node_p50,
+        "decode_tokens_last_run": token_runs[-1],
+        "device_preprocess_img_per_s_compute": round(pp_rate, 1),
+        "profile": {
+            "dev_profile": app_config.dev_profile,
+            "quantization": app_config.quantization,
+            "constrained_json": app_config.constrained_json,
+            "device_preprocess": app_config.device_preprocess,
+            "decode_chunk": app_config.decode_chunk,
+            "inspector": app_config.vlm_inspector_model,
+            "auditor": app_config.vlm_auditor_model,
+            "explainer": app_config.explainer_model,
+            "weights": "random (latency is weight-value independent)",
+            "chips": 1,
+            "note": "BASELINE <2s target assumes v5e-8 TP; this is 1 chip",
+        },
+    }
+    (REPO / "BENCH_breakdown.json").write_text(json.dumps(breakdown, indent=2))
+    print(f"# breakdown: {json.dumps(breakdown)}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "single_image_dual_vlm_inspection_p50_latency",
+        "metric": "single_image_dual_vlm_e2e_p50_target_scale_1chip",
         "value": round(p50, 4),
-        "unit": "seconds",
-        "vs_baseline": round(BASELINE_P50_S / p50, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_P50_S / p50, 4),
     }))
 
 

@@ -43,6 +43,83 @@ class TestDevicePreprocess:
         )
         np.testing.assert_allclose(out[1], single, atol=1e-6)
 
+    def test_preprocess_image_device_matches_host(self, tmp_path):
+        """The serving drop-in (DEVICE_PREPROCESS=true): identical geometry
+        to the host ImagePatches, patches within resampling tolerance."""
+        from PIL import Image
+
+        from vis_tpu.ops.preprocess import preprocess_image
+        from vis_tpu.ops.preprocess_device import preprocess_image_device
+
+        rng = np.random.default_rng(3)
+        img = Image.fromarray(
+            rng.integers(0, 255, (120, 200, 3), dtype=np.uint8)
+        )
+        path = tmp_path / "img.png"
+        img.save(path)
+
+        host = preprocess_image(path, max_image_dim=128, use_native=False)
+        dev = preprocess_image_device(path, max_image_dim=128)
+        assert (dev.grid_h, dev.grid_w) == (host.grid_h, host.grid_w)
+        assert dev.num_tokens == host.num_tokens
+        hp, hb = host.padded()
+        dp, db = dev.padded()
+        assert hb == db and hp.shape == dp.shape
+        # bicubic-vs-matmul resampling tolerance (normalized units)
+        assert np.abs(np.asarray(dp) - hp).mean() < 0.05
+
+    def test_engine_prefill_uses_device_preprocess(self, monkeypatch, tmp_path):
+        """DEVICE_PREPROCESS=true routes engine vision prefill through
+        ops/preprocess_device (VERDICT #4: the path must be reachable)."""
+        from PIL import Image
+
+        from vis_tpu.models.common.decoder import DecoderConfig
+        from vis_tpu.models.qwen2_vl.config import Qwen2VLConfig, VisionConfig
+        from vis_tpu.models.qwen2_vl.model import init_params
+        from vis_tpu.serving.engine import Engine
+        from vis_tpu.serving.tokenizer import ByteTokenizer
+        from vis_tpu.utils.config import config as app_config
+
+        cfg = Qwen2VLConfig(
+            vision=VisionConfig(depth=2, embed_dim=64, num_heads=4,
+                                hidden_size=64, dtype=jnp.float32),
+            text=DecoderConfig(
+                vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=128, qkv_bias=True,
+                mrope_section=(2, 3, 3), tie_word_embeddings=True,
+                dtype=jnp.float32,
+            ),
+            image_token_id=261, vision_start_token_id=259,
+            vision_end_token_id=260, eos_token_id=256,
+        )
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        tok = ByteTokenizer(vocab_size=cfg.text.vocab_size)
+        engine = Engine("dev-preproc", cfg.text, None, tok,
+                        vlm_config=cfg, vlm_params=params,
+                        max_cache_tokens=2048)
+        img = Image.fromarray(
+            np.random.default_rng(4).integers(
+                0, 255, (120, 200, 3), dtype=np.uint8
+            )
+        )
+        path = tmp_path / "probe.png"
+        img.save(path)
+
+        calls = {}
+        import vis_tpu.ops.preprocess_device as pdev
+
+        original = pdev.preprocess_image_device
+
+        def spy(*args, **kwargs):
+            calls["hit"] = True
+            return original(*args, **kwargs)
+
+        monkeypatch.setattr(pdev, "preprocess_image_device", spy)
+        monkeypatch.setattr(app_config, "device_preprocess", True)
+        out = engine.generate("inspect", path, max_tokens=4, max_image_dim=128)
+        assert calls.get("hit"), "device preprocessing was not used"
+        assert isinstance(out, str)
+
 
 class TestOrbaxCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):

@@ -1,0 +1,249 @@
+"""Web-app surface added for reference-UI parity: Settings echo, multi-image
+batch sessions (session dashboard / summary / comparison grid data), and the
+human-review queue E2E (interactive review -> park -> approve/reject ->
+pipeline finishes).  Reference: app/ui.py:900 (settings),
+app/components/image_upload.py:113 + results_view.py:284-422 (sessions),
+app/components/sidebar.py:84 + src/orchestration/graph.py:229-266 (reviews).
+"""
+
+import io
+import json
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vis_tpu.agents import reset_agent_cache
+
+
+@pytest.fixture
+def app_server(monkeypatch, tmp_path):
+    monkeypatch.setenv("USE_MOCK_RESPONSES", "true")
+    monkeypatch.setenv("DATABASE_PATH", str(tmp_path / "ext.db"))
+    monkeypatch.setenv("CHAT_HISTORY_DB", str(tmp_path / "chat.db"))
+    monkeypatch.setenv("REPORT_DIR", str(tmp_path / "reports"))
+    monkeypatch.setenv("UPLOAD_DIR", str(tmp_path / "uploads"))
+    monkeypatch.setenv("LOG_DIR", str(tmp_path / "logs"))
+    from vis_tpu.utils.config import get_config
+
+    get_config(reload=True)
+    reset_agent_cache()
+    from vis_tpu.app.server import serve
+
+    server = serve("127.0.0.1", 0)
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+    for var in ("USE_MOCK_RESPONSES", "DATABASE_PATH", "CHAT_HISTORY_DB",
+                "REPORT_DIR", "UPLOAD_DIR", "LOG_DIR"):
+        monkeypatch.delenv(var, raising=False)
+    get_config(reload=True)
+    reset_agent_cache()
+
+
+def _multipart(fields):
+    boundary = "XextX"
+    body = io.BytesIO()
+    for name, value in fields.items():
+        body.write(f"--{boundary}\r\n".encode())
+        if isinstance(value, tuple):
+            filename, data = value
+            body.write(
+                f'Content-Disposition: form-data; name="{name}"; '
+                f'filename="{filename}"\r\n\r\n'.encode()
+            )
+            body.write(data)
+        else:
+            body.write(
+                f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode()
+            )
+            body.write(str(value).encode())
+        body.write(b"\r\n")
+    body.write(f"--{boundary}--\r\n".encode())
+    return body.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def _get_json(url):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def _post_json(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def _jpeg(rng, name_seed=0):
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+    ).save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def test_settings_page_echo(app_server):
+    s = _get_json(f"{app_server}/api/settings")
+    assert s["models"]["inspector"]["model"]
+    assert s["models"]["auditor"]["max_tokens"] > 0
+    assert "confidence_threshold" in s["safety"]
+    assert "mesh_shape" in s["serving"]
+    assert "quantization" in s["serving"]
+    assert "upload_dir" in s["files"]
+    # No secret-looking keys anywhere (reference masked its API keys).
+    blob = json.dumps(s).lower()
+    assert "api_key" not in blob and "token\":" not in blob
+
+
+def test_batch_session_end_to_end(app_server):
+    rng = np.random.default_rng(7)
+    fields = {
+        "criticality": "medium",
+        "domain": "manufacturing",
+        "user_notes": "session test",
+        # filename hints drive mock scenarios: one defect, two clean-ish
+        "image000": ("crack_part.jpg", _jpeg(rng)),
+        "image001": ("widget.jpg", _jpeg(rng)),
+        "image002": ("scratch_case.jpg", _jpeg(rng)),
+    }
+    body, ctype = _multipart(fields)
+    req = urllib.request.Request(
+        f"{app_server}/api/inspect_batch", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        data = json.loads(resp.read())
+    assert data["image_count"] == 3
+    session_id = data["session_id"]
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        snap = _get_json(f"{app_server}/api/session/{session_id}")
+        if snap["status"] != "running":
+            break
+        time.sleep(0.3)
+    assert snap["status"] == "completed", snap.get("error")
+    assert len(snap["images"]) == 3
+
+    result = snap["result"]
+    # session summary (reference results_view.py:284)
+    assert result["aggregate_verdict"] in (
+        "SAFE", "UNSAFE", "REQUIRES_HUMAN_REVIEW",
+    )
+    assert result["session_id"] == session_id
+    assert len(result["per_image_verdicts"]) == 3
+    # crack image must yield an UNSAFE per-image verdict (mock scenario)
+    assert "UNSAFE" in set(result["per_image_verdicts"].values())
+    # comparison-grid data (reference results_view.py:332)
+    for res in result["image_results"].values():
+        assert "safety_verdict" in res and "consensus" in res
+    # gates pass-rate data (reference results_view.py:373)
+    gates = [
+        g for res in result["image_results"].values()
+        for g in ((res["safety_verdict"].get("defect_summary") or {})
+                  .get("all_gate_results") or [])
+    ]
+    assert gates, "per-image gate audit trail must flow into the session"
+
+
+def test_interactive_review_approve_flow(app_server):
+    rng = np.random.default_rng(11)
+    body, ctype = _multipart({
+        "criticality": "high",
+        "domain": "aerospace",
+        "interactive_review": "true",
+        "image": ("failparse_blade.jpg", _jpeg(rng)),
+    })
+    req = urllib.request.Request(
+        f"{app_server}/api/inspect", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        request_id = json.loads(resp.read())["request_id"]
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        snap = _get_json(f"{app_server}/api/progress/{request_id}")
+        if snap["status"] != "running":
+            break
+        time.sleep(0.2)
+    assert snap["status"] == "awaiting_review", snap
+
+    reviews = _get_json(f"{app_server}/api/reviews")
+    assert any(r["thread_id"] == request_id for r in reviews)
+
+    outcome = _post_json(f"{app_server}/api/review", {
+        "thread_id": request_id,
+        "decision": "approve",
+        "notes": "verified visually, accepting",
+    })
+    assert outcome["thread_id"] == request_id
+    assert outcome["verdict"] in ("SAFE", "UNSAFE", "REQUIRES_HUMAN_REVIEW")
+    assert outcome["current_step"] == "completed"
+
+    # Pipeline must have finished: explanation + report now exist.
+    state = _get_json(f"{app_server}/api/result/{request_id}")
+    assert state.get("explanation")
+    assert state.get("report_path")
+    assert state["human_decision"] == "approve"
+    # Queue drained.
+    assert not any(
+        r["thread_id"] == request_id
+        for r in _get_json(f"{app_server}/api/reviews")
+    )
+
+
+def test_review_reject_forces_unsafe(app_server):
+    rng = np.random.default_rng(13)
+    body, ctype = _multipart({
+        "criticality": "high",
+        "interactive_review": "true",
+        "image": ("failparse_rotor.jpg", _jpeg(rng)),
+    })
+    req = urllib.request.Request(
+        f"{app_server}/api/inspect", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        request_id = json.loads(resp.read())["request_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        snap = _get_json(f"{app_server}/api/progress/{request_id}")
+        if snap["status"] != "running":
+            break
+        time.sleep(0.2)
+    assert snap["status"] == "awaiting_review"
+
+    outcome = _post_json(f"{app_server}/api/review", {
+        "thread_id": request_id, "decision": "reject", "notes": "scrap it",
+    })
+    assert outcome["verdict"] == "UNSAFE"
+    state = _get_json(f"{app_server}/api/result/{request_id}")
+    assert "rejected" in (state["safety_verdict"].get("reason") or "").lower()
+
+
+def test_review_endpoint_validation(app_server):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post_json(f"{app_server}/api/review", {
+            "thread_id": "nope", "decision": "approve",
+        })
+    assert err.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post_json(f"{app_server}/api/review", {
+            "thread_id": "nope", "decision": "maybe",
+        })
+    assert err.value.code == 400
+
+
+def test_ui_pages_served(app_server):
+    with urllib.request.urlopen(app_server, timeout=30) as resp:
+        html = resp.read().decode()
+    for anchor in ("page-batch", "page-reviews", "page-settings",
+                   "inspect_batch", "api/reviews", "api/settings"):
+        assert anchor in html

@@ -51,9 +51,10 @@ class ExplainerAgent(BaseVLMAgent):
             max_tokens=config.explainer_max_tokens,
         )
 
-    def _call_llm(self, prompt: str, json_mode: bool = False) -> str:
+    def _call_llm(self, prompt: str, json_mode: bool = False,
+                  max_tokens: Optional[int] = None) -> str:
         return self.backend.generate(
-            prompt, None, max_tokens=self.max_tokens,
+            prompt, None, max_tokens=max_tokens or self.max_tokens,
             temperature=self.temperature,
             json_mode=json_mode and config.constrained_json,
         )
@@ -167,7 +168,10 @@ class ExplainerAgent(BaseVLMAgent):
         )
         prompt = _DECISION_SUPPORT_PROMPT.format(defects=defect_summary, verdict=verdict)
         try:
-            response = self._call_llm(prompt, json_mode=True).strip()
+            # Small fixed-shape JSON (7 fields) — cap the decode budget.
+            response = self._call_llm(
+                prompt, json_mode=True, max_tokens=min(256, self.max_tokens)
+            ).strip()
             if "```json" in response:
                 response = response.split("```json")[1].split("```")[0].strip()
             elif "```" in response:
@@ -220,7 +224,11 @@ class ExplainerAgent(BaseVLMAgent):
                 f"absent or less severe: {listed}."
             )
         try:
-            return self._call_llm(prompt).strip()
+            # The prompt asks for 2-3 sentences; cap the decode accordingly
+            # instead of paying the full report budget.
+            return self._call_llm(
+                prompt, max_tokens=min(192, self.max_tokens)
+            ).strip()
         except Exception as exc:
             self.logger.warning(f"Counterfactual generation failed: {exc}")
             return ""

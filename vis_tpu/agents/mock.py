@@ -255,6 +255,11 @@ class MockVLMBackend:
                 "you need the location or severity of a specific finding."
             )
 
+        if "failparse" in Path(image_path).name.lower():
+            # Test hook: unparseable model output end-to-end (drives the
+            # robust-parse failure -> Gate 0 -> human review path without
+            # monkeypatching, e.g. through the HTTP surface).
+            return "GARBLED <<<not json at all>>>"
         scenario = self.scenario or _pick_scenario(image_path)
         return json.dumps(SCENARIOS[scenario])
 

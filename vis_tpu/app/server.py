@@ -21,7 +21,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-from vis_tpu.app.state import create_job, get_job, list_jobs
+from vis_tpu.app.state import (
+    create_job,
+    create_session_job,
+    get_job,
+    get_session_job,
+    list_jobs,
+)
 from vis_tpu.utils.config import config
 from vis_tpu.utils.logger import setup_logger
 from vis_tpu.utils.validators import sanitize_filename
@@ -32,7 +38,8 @@ _UI_HTML = (Path(__file__).parent / "ui.html").read_bytes()
 
 
 def _start_inspection(image_path: str, criticality: str, domain: Optional[str],
-                      user_notes: Optional[str]) -> str:
+                      user_notes: Optional[str],
+                      interactive_review: bool = False) -> str:
     from vis_tpu.orchestration import run_inspection
 
     job = create_job(image_path)
@@ -42,6 +49,7 @@ def _start_inspection(image_path: str, criticality: str, domain: Optional[str],
             state = run_inspection(
                 image_path, criticality=criticality, domain=domain,
                 user_notes=user_notes, request_id=job.request_id,
+                interactive_review=interactive_review,
                 on_event=lambda ev: job.events.append(
                     {k: v for k, v in ev.items() if k != "state"}
                 ),
@@ -58,6 +66,37 @@ def _start_inspection(image_path: str, criticality: str, domain: Optional[str],
 
     threading.Thread(target=worker, daemon=True).start()
     return job.request_id
+
+
+def _start_batch_inspection(image_paths, criticality: str,
+                            domain: Optional[str],
+                            user_notes: Optional[str]) -> str:
+    """Multi-image session through run_batch_inspection (concurrent per
+    config.max_concurrent_calls; reference ran images sequentially)."""
+    from vis_tpu.orchestration import run_batch_inspection
+
+    job = create_session_job(image_paths)
+
+    def worker() -> None:
+        try:
+            job.result = run_batch_inspection(
+                image_paths, criticality=criticality, domain=domain,
+                user_notes=user_notes, session_id=job.session_id,
+                on_event=lambda ev: job.events.append(
+                    {k: v for k, v in ev.items() if k != "state"}
+                ),
+            )
+        except Exception as exc:
+            logger.error(f"Session {job.session_id} failed: {exc}",
+                         exc_info=True)
+            job.error = str(exc)
+        finally:
+            import time
+
+            job.finished_at = time.time()
+
+    threading.Thread(target=worker, daemon=True).start()
+    return job.session_id
 
 
 def _chat_context(state: Dict[str, Any]) -> str:
@@ -178,6 +217,12 @@ class AppHandler(BaseHTTPRequestHandler):
                 self._history()
             elif path == "/api/health":
                 self._health()
+            elif path == "/api/settings":
+                self._settings()
+            elif path == "/api/reviews":
+                self._reviews()
+            elif path.startswith("/api/session/"):
+                self._session(path.rsplit("/", 1)[1])
             else:
                 self._json({"error": "not found"}, 404)
         except Exception as exc:
@@ -189,6 +234,10 @@ class AppHandler(BaseHTTPRequestHandler):
             path = self.path.split("?")[0]
             if path == "/api/inspect":
                 self._inspect()
+            elif path == "/api/inspect_batch":
+                self._inspect_batch()
+            elif path == "/api/review":
+                self._review()
             elif path == "/api/chat":
                 self._chat()
             else:
@@ -198,17 +247,13 @@ class AppHandler(BaseHTTPRequestHandler):
             self._json({"error": str(exc)}, 500)
 
     # -- endpoint implementations ---------------------------------------
-    def _inspect(self) -> None:
-        fields = self._parse_multipart()
-        image = fields.get("image")
-        if not isinstance(image, dict) or not image.get("data"):
-            self._json({"error": "no image uploaded"}, 400)
-            return
-        filename = sanitize_filename(image["filename"] or "upload.jpg")
-        upload_dir = config.get_upload_dir()
+    def _save_upload(self, image: Dict[str, Any]) -> Tuple[Optional[Path], Optional[str]]:
+        """Validate + persist one uploaded image; returns (path, error)."""
         import hashlib
         import time as _time
 
+        filename = sanitize_filename(image["filename"] or "upload.jpg")
+        upload_dir = config.get_upload_dir()
         digest = hashlib.md5(image["data"]).hexdigest()[:8]
         stamp = _time.strftime("%Y%m%d_%H%M%S")
         dest = upload_dir / f"{stamp}_{digest}_{filename}"
@@ -219,6 +264,17 @@ class AppHandler(BaseHTTPRequestHandler):
         ok, err = validate_image(dest)
         if not ok:
             dest.unlink(missing_ok=True)
+            return None, err
+        return dest, None
+
+    def _inspect(self) -> None:
+        fields = self._parse_multipart()
+        image = fields.get("image")
+        if not isinstance(image, dict) or not image.get("data"):
+            self._json({"error": "no image uploaded"}, 400)
+            return
+        dest, err = self._save_upload(image)
+        if dest is None:
             self._json({"error": err}, 400)
             return
 
@@ -227,8 +283,149 @@ class AppHandler(BaseHTTPRequestHandler):
             criticality=fields.get("criticality", config.default_criticality),
             domain=fields.get("domain") or None,
             user_notes=fields.get("user_notes") or None,
+            interactive_review=(
+                str(fields.get("interactive_review", "")).lower()
+                in ("1", "true", "on", "yes")
+            ),
         )
         self._json({"request_id": request_id})
+
+    def _inspect_batch(self) -> None:
+        """Multi-image session upload (reference
+        app/components/image_upload.py:113 batch config form)."""
+        fields = self._parse_multipart()
+        images = [
+            v for k, v in sorted(fields.items())
+            if k.startswith("image") and isinstance(v, dict) and v.get("data")
+        ]
+        if not images:
+            self._json({"error": "no images uploaded"}, 400)
+            return
+        paths = []
+        for image in images:
+            dest, err = self._save_upload(image)
+            if dest is None:
+                self._json({"error": err}, 400)
+                return
+            paths.append(str(dest))
+        session_id = _start_batch_inspection(
+            paths,
+            criticality=fields.get("criticality", config.default_criticality),
+            domain=fields.get("domain") or None,
+            user_notes=fields.get("user_notes") or None,
+        )
+        self._json({"session_id": session_id, "image_count": len(paths)})
+
+    def _session(self, session_id: str) -> None:
+        job = get_session_job(session_id)
+        if job is None:
+            self._json({"error": "unknown session"}, 404)
+            return
+        snapshot = job.snapshot()
+        if job.result is not None:
+            snapshot["result"] = job.result
+        self._json(snapshot)
+
+    def _settings(self) -> None:
+        """Config echo (reference app/ui.py:900-941 settings page).
+        Secrets never reach the Config object; everything else is shown."""
+        self._json({
+            "models": {
+                "inspector": {
+                    "model": config.vlm_inspector_model,
+                    "provider": config.vlm_inspector_provider,
+                    "temperature": config.vlm_inspector_temperature,
+                    "max_tokens": config.vlm_inspector_max_tokens,
+                    "max_image_dim": config.max_image_dimension,
+                },
+                "auditor": {
+                    "model": config.vlm_auditor_model,
+                    "provider": config.vlm_auditor_provider,
+                    "temperature": config.vlm_auditor_temperature,
+                    "max_tokens": config.vlm_auditor_max_tokens,
+                    "max_image_dim": config.auditor_max_image_dimension,
+                },
+                "explainer": {
+                    "model": config.explainer_model,
+                    "provider": config.explainer_provider,
+                    "temperature": config.explainer_temperature,
+                    "max_tokens": config.explainer_max_tokens,
+                },
+            },
+            "safety": {
+                "confidence_threshold": config.confidence_threshold,
+                "max_defects_auto": config.max_defects_auto,
+                "vlm_agreement_required": config.vlm_agreement_required,
+                "high_criticality_requires_review":
+                    config.high_criticality_requires_review,
+                "low_confidence_threshold": config.low_confidence_threshold,
+                "critical_defect_types": config.critical_defect_types,
+            },
+            "serving": {
+                "mesh_shape": config.mesh_shape,
+                "quantization": config.quantization,
+                "dev_profile": config.dev_profile,
+                "kv_cache_max_tokens": config.kv_cache_max_tokens,
+                "paged_kv_cache": config.paged_kv_cache,
+                "continuous_batching": config.continuous_batching,
+                "speculative_decoding": config.speculative_decoding,
+                "prefix_caching": config.prefix_caching,
+                "constrained_json": config.constrained_json,
+                "device_preprocess": config.device_preprocess,
+                "checkpoint_dir": config.checkpoint_dir,
+                "use_mock_responses": config.use_mock_responses,
+            },
+            "files": {
+                "upload_dir": config.upload_dir,
+                "report_dir": config.report_dir,
+                "database_path": config.database_path,
+                "max_file_size_mb": config.max_file_size_mb,
+                "allowed_extensions": config.allowed_extensions,
+            },
+        })
+
+    def _reviews(self) -> None:
+        """Pending human reviews (reference app/components/sidebar.py:84)."""
+        from vis_tpu.orchestration import get_pending_reviews
+
+        self._json(get_pending_reviews())
+
+    def _review(self) -> None:
+        """Apply a human decision to a parked run and finish its pipeline
+        (reference src/orchestration/graph.py:229-266)."""
+        length = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(length))
+        thread_id = str(payload.get("thread_id", ""))
+        decision = str(payload.get("decision", ""))
+        notes = payload.get("notes")
+        if decision not in ("approve", "reject"):
+            self._json({"error": "decision must be approve|reject"}, 400)
+            return
+
+        from vis_tpu.orchestration import resume_inspection
+
+        job = get_job(thread_id)
+        try:
+            state = resume_inspection(
+                thread_id, decision, notes,
+                on_event=(
+                    None if job is None else
+                    lambda ev: job.events.append(
+                        {k: v for k, v in ev.items() if k != "state"}
+                    )
+                ),
+            )
+        except KeyError:
+            self._json({"error": "no pending review for thread"}, 404)
+            return
+        if job is not None:
+            job.state = state
+        self._json({
+            "thread_id": thread_id,
+            "decision": decision,
+            "verdict": (state.get("safety_verdict") or {}).get("verdict"),
+            "current_step": state.get("current_step"),
+        })
 
     def _progress(self, request_id: str) -> None:
         job = get_job(request_id)

@@ -35,6 +35,8 @@ class InspectionJob:
         if self.error:
             return "failed"
         if self.state is not None:
+            if self.state.get("current_step") == "awaiting_human_review":
+                return "awaiting_review"
             return "completed"
         return "running"
 
@@ -50,7 +52,60 @@ class InspectionJob:
         }
 
 
+class SessionJob:
+    """Tracks one running/completed multi-image session
+    (reference: app/components/inspection_progress.py:61 session dashboard)."""
+
+    def __init__(self, session_id: str, image_paths: List[str]):
+        self.session_id = session_id
+        self.image_paths = list(image_paths)
+        self.image_ids = [
+            f"{session_id}-img{i:03d}" for i in range(len(image_paths))
+        ]
+        self.events: Deque[Dict[str, Any]] = deque(maxlen=2000)
+        self.result: Optional[Dict[str, Any]] = None
+        self.error: Optional[str] = None
+        self.started_at = time.time()
+        self.finished_at: Optional[float] = None
+
+    @property
+    def status(self) -> str:
+        if self.error:
+            return "failed"
+        if self.result is not None:
+            return "completed"
+        return "running"
+
+    def snapshot(self) -> Dict[str, Any]:
+        # Per-image progress: latest node each image has reached.
+        progress: Dict[str, Dict[str, Any]] = {
+            iid: {"image_path": path, "node": None, "phase": "pending"}
+            for iid, path in zip(self.image_ids, self.image_paths)
+        }
+        for ev in list(self.events):
+            iid = ev.get("image_id")
+            if iid not in progress:
+                continue
+            if ev.get("event") in ("node_start", "node_end"):
+                progress[iid]["node"] = ev.get("node")
+                progress[iid]["phase"] = (
+                    "running" if ev["event"] == "node_start" else "processing"
+                )
+            if ev.get("event") == "complete":
+                progress[iid]["phase"] = "completed"
+        return {
+            "session_id": self.session_id,
+            "status": self.status,
+            "error": self.error,
+            "images": progress,
+            "elapsed": round(
+                (self.finished_at or time.time()) - self.started_at, 2
+            ),
+        }
+
+
 _jobs: Dict[str, InspectionJob] = {}
+_sessions: Dict[str, SessionJob] = {}
 
 
 def create_job(image_path: str, request_id: Optional[str] = None) -> InspectionJob:
@@ -72,4 +127,25 @@ def list_jobs(limit: int = 50) -> List[InspectionJob]:
     return jobs[:limit]
 
 
-__all__ = ["InspectionJob", "create_job", "get_job", "list_jobs"]
+def create_session_job(image_paths: List[str]) -> SessionJob:
+    session_id = str(uuid.uuid4())[:8]
+    job = SessionJob(session_id, image_paths)
+    with _lock:
+        _sessions[session_id] = job
+    return job
+
+
+def get_session_job(session_id: str) -> Optional[SessionJob]:
+    with _lock:
+        return _sessions.get(session_id)
+
+
+__all__ = [
+    "InspectionJob",
+    "SessionJob",
+    "create_job",
+    "get_job",
+    "list_jobs",
+    "create_session_job",
+    "get_session_job",
+]

@@ -10,6 +10,7 @@ HF-parity reference.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Tuple
 
@@ -138,4 +139,87 @@ def preprocess_batch_device(
     )
 
 
-__all__ = ["preprocess_frame_device", "preprocess_batch_device", "patchify_device"]
+@dataclass
+class DeviceImagePatches:
+    """ImagePatches twin whose patch tensor lives in HBM.
+
+    Produced by preprocess_image_device: the host only JPEG-decodes and
+    ships the u8 frame (3 bytes/px); resize/normalize/patchify run on
+    device, so the transfer is ~8x smaller than shipping f32 patches and
+    the MXU does the resampling.  Interface-compatible with
+    ops.preprocess.ImagePatches where the engine consumes it.
+    """
+
+    patches: jnp.ndarray         # [num_patches, C*T*P*P] f32, on device
+    grid_t: int
+    grid_h: int
+    grid_w: int
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_t * self.grid_h * self.grid_w
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_patches // (MERGE_SIZE * MERGE_SIZE)
+
+    def padded(self, bucket=None) -> Tuple[jnp.ndarray, int]:
+        from vis_tpu.ops.preprocess import PATCH_BUCKETS
+
+        n = self.num_patches
+        if bucket is None:
+            bucket = next((b for b in PATCH_BUCKETS if b >= n), None)
+            if bucket is None:
+                bucket = ((n + 255) // 256) * 256
+        if n > bucket:
+            raise ValueError(f"{n} patches exceed bucket {bucket}")
+        return (
+            jnp.pad(self.patches, ((0, bucket - n), (0, 0))),
+            bucket,
+        )
+
+
+def preprocess_image_device(
+    image_path,
+    max_image_dim=None,
+    min_pixels: int = None,
+    max_pixels: int = None,
+) -> DeviceImagePatches:
+    """Device-path drop-in for ops.preprocess.preprocess_image (serving uses
+    it when DEVICE_PREPROCESS=true): host JPEG-decode + smart_resize sizing,
+    then resize-as-matmul -> CLIP-normalize -> patchify in one jit program.
+    Numerics match the PIL path to resampling tolerance (tests pin it); the
+    host paths remain the HF-bit-exact reference."""
+    from PIL import Image
+
+    from vis_tpu.ops.preprocess import (
+        DEFAULT_MAX_PIXELS,
+        DEFAULT_MIN_PIXELS,
+        FACTOR,
+        smart_resize,
+    )
+
+    min_pixels = DEFAULT_MIN_PIXELS if min_pixels is None else min_pixels
+    max_pixels = DEFAULT_MAX_PIXELS if max_pixels is None else max_pixels
+    with Image.open(image_path) as im:
+        image = im.convert("RGB")
+    if max_image_dim is not None:
+        max_pixels = min(max_pixels, max_image_dim * max_image_dim)
+    h_bar, w_bar = smart_resize(
+        image.height, image.width, FACTOR, min_pixels, max_pixels
+    )
+    rgb = np.asarray(image, dtype=np.uint8)
+    patches = preprocess_frame_device(jnp.asarray(rgb), h_bar, w_bar)
+    return DeviceImagePatches(
+        patches=patches, grid_t=1,
+        grid_h=h_bar // PATCH_SIZE, grid_w=w_bar // PATCH_SIZE,
+    )
+
+
+__all__ = [
+    "preprocess_frame_device",
+    "preprocess_batch_device",
+    "patchify_device",
+    "preprocess_image_device",
+    "DeviceImagePatches",
+]

@@ -317,10 +317,15 @@ def run_multi_image_inspection(
     def inspect_one(idx_path):
         idx, path = idx_path
         image_id = f"{session_id}-img{idx:03d}"
+        # Tag events so session consumers can track per-image progress.
+        tagged = (
+            None if on_event is None
+            else (lambda ev, _iid=image_id: on_event({**ev, "image_id": _iid}))
+        )
         try:
             final = run_inspection(
                 path, criticality, domain, user_notes,
-                request_id=image_id, on_event=on_event,
+                request_id=image_id, on_event=tagged,
             )
             return image_id, {
                 "completed": final.get("safety_verdict") is not None,

@@ -189,7 +189,9 @@ class Engine:
         self._decode_jit = jax.jit(partial(decode_step_scan, text_config))
         # Fused greedy decode: one device dispatch per chunk instead of per
         # token (lax.scan inside jit) — host only checks EOS between chunks.
-        self.decode_chunk = 64
+        # Config-tunable: on high-RTT links (tunneled dev chips) the per-chunk
+        # host sync dominates, so the bench raises it to the full budget.
+        self.decode_chunk = app_config.decode_chunk
         self._decode_loop_jit = jax.jit(
             partial(decode_loop_scan, text_config),
             static_argnames=("num_steps",), donate_argnums=(3,),
@@ -424,7 +426,21 @@ class Engine:
         vision_embeds = None
         if image_path is not None and self.vlm_config is not None:
             with span("engine.preprocess", logger):
-                image = preprocess_image(image_path, max_image_dim=max_image_dim)
+                if app_config.device_preprocess:
+                    # Ship the u8 frame, do resize/normalize/patchify on
+                    # the MXU (ops/preprocess_device.py) — ~8x less
+                    # host->HBM traffic than f32 patches.
+                    from vis_tpu.ops.preprocess_device import (
+                        preprocess_image_device,
+                    )
+
+                    image = preprocess_image_device(
+                        image_path, max_image_dim=max_image_dim
+                    )
+                else:
+                    image = preprocess_image(
+                        image_path, max_image_dim=max_image_dim
+                    )
             padded, bucket = image.padded()
             cos, sin = vision_rotary_tables(
                 self.vlm_config.vision, image.grid_h, image.grid_w
@@ -725,6 +741,7 @@ class Engine:
                         params, emb, step_positions, cache
                     )
 
+        self.last_decode_tokens = len(generated)
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]

@@ -68,7 +68,7 @@ class MllamaEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.max_cache_tokens = max_cache_tokens or app_config.kv_cache_max_tokens
-        self.decode_chunk = 64
+        self.decode_chunk = app_config.decode_chunk
         self._lock = threading.Lock()
 
         self._vision_jit = jax.jit(partial(vision_forward, config.vision))
@@ -276,6 +276,7 @@ class MllamaEngine:
                     emitted = text
                 remaining -= steps
                 pos += steps
+        self.last_decode_tokens = len(generated)
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]
