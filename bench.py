@@ -59,8 +59,15 @@ _BENCH_ENV = {
     # One device dispatch per decode (the dev chip is tunneled: per-chunk
     # host RTT dominates at the default chunk of 64).
     "DECODE_CHUNK": "512",
-    "PREFIX_CACHING": "true",
+    # Prefix caching pins up to ~1 GB of prompt-head KV per text engine;
+    # with 13.5 GB of int4 weights resident on a 16 GB chip, HBM headroom
+    # goes to per-request KV instead.
+    "PREFIX_CACHING": "false",
+    "KV_CACHE_MAX_TOKENS": "3072",
     "DEVICE_PREPROCESS": "true",
+    # Random weights close `{}` greedily in 2 tokens; the floor makes the
+    # constrained JSON match the reference's ~400-500-token verdict size.
+    "CONSTRAINED_JSON_MIN_TOKENS": "384",
     "LOG_TO_FILE": "false",
     "DATABASE_PATH": "/tmp/bench_inspections.db",
     "CHAT_HISTORY_DB": "/tmp/bench_chat.db",
@@ -90,8 +97,11 @@ def main() -> None:
 
     image = str(REPO / "assets" / "sample.jpg")
 
+    from vis_tpu.utils.logger import get_timings
+
     def timed_run(tag):
         events = []
+        get_timings(reset=True)
         t0 = time.perf_counter()
         state = run_inspection(
             image, criticality="medium", domain="manufacturing",
@@ -106,9 +116,14 @@ def main() -> None:
             role: getattr(eng, "last_decode_tokens", None)
             for role, eng in list(_engines.items())
         }
+        spans = {
+            k: [len(v), round(sum(v), 2)]
+            for k, v in get_timings(reset=True).items()
+        }
         print(
             f"# {tag}: {total:.3f}s verdict={state['safety_verdict']['verdict']}"
-            f" nodes={json.dumps(nodes)} decode_tokens={json.dumps(tokens)}",
+            f" nodes={json.dumps(nodes)} decode_tokens={json.dumps(tokens)}"
+            f" spans[n,sum_s]={json.dumps(spans)}",
             file=sys.stderr,
         )
         assert state.get("report_path"), "pipeline must produce the PDF"

@@ -173,12 +173,92 @@ class TestEngineJsonMode:
         )
         json.loads(out)
 
+    def test_min_tokens_floor(self, text_engine, monkeypatch):
+        """CONSTRAINED_JSON_MIN_TOKENS blocks closing the root early: the
+        document grows to at least the floor, still parses, still ends."""
+        from vis_tpu.utils.config import config as app_config
+
+        monkeypatch.setattr(app_config, "constrained_json_min_tokens", 64)
+        out = text_engine.generate("grow", None, max_tokens=128, json_mode=True)
+        json.loads(out)
+        assert text_engine.last_decode_tokens >= 64
+        # Floor off: output still parses (length is weight-dependent).
+        monkeypatch.setattr(app_config, "constrained_json_min_tokens", 0)
+        json.loads(
+            text_engine.generate("grow", None, max_tokens=128, json_mode=True)
+        )
+
     def test_unconstrained_output_differs(self, text_engine):
         """Sanity: random weights without the mask do NOT emit valid JSON
         (otherwise these tests prove nothing)."""
         out = text_engine.generate("Return inspection JSON.", None, max_tokens=96)
         with pytest.raises(Exception):
             json.loads(out)
+
+
+class TestSchedulerJsonMode:
+    """json_mode composes with continuous batching: per-slot DFA rows in the
+    shared batched chunk; plain rows stay mask-free (token-exact)."""
+
+    def _engine(self, paged: bool):
+        config = DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(0))
+        tok = ByteTokenizer(vocab_size=config.vocab_size)
+        engine = Engine("sched-json", config, params, tok,
+                        max_cache_tokens=512)
+        engine.attach_scheduler(num_slots=2, paged=paged)
+        return engine
+
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_mixed_batch(self, paged, monkeypatch):
+        if paged:
+            monkeypatch.setenv("KV_PAGE_SIZE", "64")
+            monkeypatch.setenv("KV_POOL_TOKENS", "2048")
+            from vis_tpu.utils.config import get_config
+
+            get_config(reload=True)
+        engine = self._engine(paged)
+        try:
+            # Reference output: plain request without any scheduler
+            # (_finish is idempotent on the already-stacked params).
+            plain_ref = Engine(
+                "plain-ref", engine.text_config,
+                engine.text_params, engine.tokenizer, max_cache_tokens=512,
+            )
+            baseline = "".join(plain_ref._generate_locked(
+                "free-form request", None, max_tokens=48,
+                temperature=0.0, max_image_dim=2048,
+            ))
+
+            import threading
+
+            results = {}
+
+            def run(tag, prompt, **kwargs):
+                results[tag] = engine.generate(prompt, **kwargs)
+
+            t1 = threading.Thread(
+                target=run, args=("json", "emit JSON"),
+                kwargs={"max_tokens": 64, "json_mode": True},
+            )
+            t2 = threading.Thread(
+                target=run, args=("plain", "free-form request"),
+                kwargs={"max_tokens": 48},
+            )
+            t1.start(); t2.start(); t1.join(60); t2.join(60)
+
+            doc = json.loads(results["json"])  # parses as-is
+            assert isinstance(doc, dict)
+            assert results["plain"] == baseline  # mask-free row untouched
+        finally:
+            engine.detach_scheduler()
+            from vis_tpu.utils.config import get_config
+
+            get_config(reload=True)
 
 
 class TestMllamaJsonMode:

@@ -816,45 +816,94 @@ class DecodeConstraint(NamedTuple):
     cost_after: jnp.ndarray   # [S, K] int32
     state: jnp.ndarray        # [b] int32
     remaining: jnp.ndarray    # [b] int32
+    active: jnp.ndarray       # [b] bool — rows with the mask applied
+    # Document-length floor: completing the root (cost_after == 0) is
+    # blocked while remaining > min_remaining, so a greedy model can't
+    # close `{}` after two tokens; every state keeps a cost>0 continuation
+    # (verified at table build), so this never dead-ends.
+    min_remaining: jnp.ndarray  # [b] int32
 
 
-def constrained_argmax(
-    logits: jnp.ndarray, constraint: DecodeConstraint
+def constrained_pick(
+    logits: jnp.ndarray, constraint: DecodeConstraint, pick_fn
 ) -> Tuple[jnp.ndarray, DecodeConstraint]:
-    """Grammar-masked greedy pick + DFA advance; returns (token, constraint')."""
+    """Grammar-mask the logits, pick a token with `pick_fn(masked_logits)`
+    (argmax or a sampler), and advance the DFA; returns (token, constraint').
+
+    Inactive rows see the raw logits (scheduler slots mixing JSON and
+    free-form requests share one batched step); active rows are restricted
+    to grammar-legal, budget-feasible tokens."""
     k = constraint.token_ok.shape[1]
+    cost_row = constraint.cost_after[constraint.state]
     allowed = constraint.token_ok[constraint.state] & (
-        constraint.cost_after[constraint.state]
-        < constraint.remaining[:, None]
+        cost_row < constraint.remaining[:, None]
     )
-    masked = jnp.where(allowed, logits[:, :k], -1e30)
-    token = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    new_state = constraint.token_trans[constraint.state, token]
+    allowed &= (cost_row > 0) | (
+        constraint.remaining <= constraint.min_remaining
+    )[:, None]
+    allowed = allowed | ~constraint.active[:, None]
+    head = jnp.where(allowed, logits[:, :k], -1e30)
+    if logits.shape[-1] > k:
+        tail = jnp.where(constraint.active[:, None], -1e30, logits[:, k:])
+        masked = jnp.concatenate([head, tail], axis=-1)
+    else:
+        masked = head
+    token = pick_fn(masked).astype(jnp.int32)
+    clipped = jnp.minimum(token, k - 1)
+    new_state = jnp.where(
+        constraint.active,
+        constraint.token_trans[constraint.state, clipped],
+        constraint.state,
+    )
     return token, constraint._replace(
         state=new_state, remaining=constraint.remaining - 1
     )
 
 
-def decode_loop_scan_constrained(
+def constrained_argmax(
+    logits: jnp.ndarray, constraint: DecodeConstraint
+) -> Tuple[jnp.ndarray, DecodeConstraint]:
+    """Greedy constrained_pick (see above)."""
+    return constrained_pick(
+        logits, constraint, lambda masked: jnp.argmax(masked, axis=-1)
+    )
+
+
+def gumbel_sample_token(
+    logits: jnp.ndarray, key: jnp.ndarray, temperature: jnp.ndarray
+) -> jnp.ndarray:
+    """Categorical sampling via the Gumbel-max trick — runs INSIDE the fused
+    decode scan, so sampled decode costs the same device dispatches as
+    greedy (the old per-token host loop paid one tunnel round-trip per
+    token).  Already-masked logits (-1e30 for disallowed) stay unpickable."""
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
+    ))
+    return jnp.argmax(
+        logits / jnp.maximum(temperature, 1e-6) + gumbel, axis=-1
+    ).astype(jnp.int32)
+
+
+def decode_loop_scan_sampled(
     config: DecoderConfig,
     params: Params,
     first_logits: jnp.ndarray,
     start_position: jnp.ndarray,
     cache: KVCache,
-    constraint: DecodeConstraint,
+    key: jnp.ndarray,
+    temperature: jnp.ndarray,
     num_steps: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
-    """decode_loop_scan with a JSON-grammar logit mask per step (SURVEY §7
-    hard part 6: constrained decoding instead of parse-and-repair).  Same
-    fused per-step structure; adds two table gathers + one compare.
-    Returns the constraint carry so chunked callers continue the DFA."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray]:
+    """decode_loop_scan with in-scan temperature sampling (Gumbel-max);
+    returns the advanced PRNG key so chunked callers continue the stream."""
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
     max_len = cache.k.shape[2]
 
     def step(carry, step_idx):
-        logits, k_buf, v_buf, lengths, con = carry
-        token, con = constrained_argmax(logits, con)
+        logits, k_buf, v_buf, lengths, key = carry
+        key, sub = jax.random.split(key)
+        token = gumbel_sample_token(logits, sub, temperature)
         pos_vec = start_vec + step_idx
         if config.mrope_section is not None:
             positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
@@ -881,13 +930,92 @@ def decode_loop_scan_constrained(
         x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
         logits = lm_logits(config, params, x)[:, 0]
         k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
-        return (logits, k_buf, v_buf, lengths + 1, con), token
+        return (logits, k_buf, v_buf, lengths + 1, key), token
 
-    (logits, k_buf, v_buf, lengths, constraint), tokens = lax.scan(
+    (logits, k_buf, v_buf, lengths, key), tokens = lax.scan(
         step,
-        (first_logits, cache.k, cache.v, cache.lengths, constraint),
+        (first_logits, cache.k, cache.v, cache.lengths, key),
         jnp.arange(num_steps),
     )
+    cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+    return tokens.T, logits, cache, key
+
+
+def decode_loop_scan_constrained(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    cache: KVCache,
+    constraint: DecodeConstraint,
+    num_steps: int,
+    key: Optional[jnp.ndarray] = None,
+    temperature: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
+    """decode_loop_scan with a JSON-grammar logit mask per step (SURVEY §7
+    hard part 6: constrained decoding instead of parse-and-repair).  Same
+    fused per-step structure; adds two table gathers + one compare.
+    Returns the constraint carry so chunked callers continue the DFA.
+    With key/temperature, picks are sampled (Gumbel-max over the masked
+    logits) instead of greedy — same device cost either way."""
+    b = first_logits.shape[0]
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
+    max_len = cache.k.shape[2]
+    sampled = key is not None
+
+    def step(carry, step_idx):
+        if sampled:
+            logits, k_buf, v_buf, lengths, con, rng = carry
+            rng, sub = jax.random.split(rng)
+            token, con = constrained_pick(
+                logits, con,
+                lambda masked: gumbel_sample_token(masked, sub, temperature),
+            )
+        else:
+            logits, k_buf, v_buf, lengths, con = carry
+            token, con = constrained_argmax(logits, con)
+        pos_vec = start_vec + step_idx
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
+        else:
+            positions = pos_vec[:, None]
+        cos, sin = _position_tables(config, positions)
+        x = embed(token[:, None], params["embed_tokens"])
+
+        kj = jnp.arange(max_len)[None, None, None, :]
+        cache_mask = jnp.where(
+            kj < lengths[:, None, None, None], 0.0, -1e30
+        ).astype(jnp.float32)
+
+        def body(x, layer_and_cache):
+            layer, ck, cv = layer_and_cache
+            x, k, v = _layer_body(
+                config, x, layer, cos, sin, None, ck, cv, cache_mask
+            )
+            return x, (k, v)
+
+        x, (k_new, v_new) = lax.scan(
+            body, x, (params["layers_stacked"], k_buf, v_buf)
+        )
+        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+        logits = lm_logits(config, params, x)[:, 0]
+        k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
+        if sampled:
+            return (logits, k_buf, v_buf, lengths + 1, con, rng), token
+        return (logits, k_buf, v_buf, lengths + 1, con), token
+
+    if sampled:
+        (logits, k_buf, v_buf, lengths, constraint, _), tokens = lax.scan(
+            step,
+            (first_logits, cache.k, cache.v, cache.lengths, constraint, key),
+            jnp.arange(num_steps),
+        )
+    else:
+        (logits, k_buf, v_buf, lengths, constraint), tokens = lax.scan(
+            step,
+            (first_logits, cache.k, cache.v, cache.lengths, constraint),
+            jnp.arange(num_steps),
+        )
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
     return tokens.T, logits, cache, constraint
 
@@ -971,6 +1099,74 @@ def decode_loop_paged(
         step, (first_logits, pool_k, pool_v, lengths), jnp.arange(num_steps)
     )
     return tokens.T, logits, pool_k, pool_v, lengths
+
+
+def decode_loop_paged_constrained(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    page_tables: jnp.ndarray,
+    lengths: jnp.ndarray,
+    constraint: DecodeConstraint,
+    num_steps: int,
+):
+    """decode_loop_paged with the per-row JSON-grammar mask (scheduler slots
+    in json_mode carry a DFA row; free-form slots pass active=False)."""
+    slots, max_pages = page_tables.shape
+    page = pool_k.shape[2]
+    width = max_pages * page
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (slots,))
+
+    def step(carry, step_idx):
+        logits, pool_k, pool_v, lengths, con = carry
+        token, con = constrained_argmax(logits, con)
+        pos_vec = start_vec + step_idx
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, slots, 1))
+        else:
+            positions = pos_vec[:, None]
+        cos, sin = _position_tables(config, positions)
+        x = embed(token[:, None], params["embed_tokens"])
+
+        kj = jnp.arange(width)[None, None, None, :]
+        cache_mask = jnp.where(
+            kj < lengths[:, None, None, None], 0.0, -1e30
+        ).astype(jnp.float32)
+
+        def body(x, layer_and_pool):
+            layer, pk, pv = layer_and_pool
+            ck = pk[page_tables].reshape(slots, width, *pk.shape[2:])
+            cv = pv[page_tables].reshape(slots, width, *pv.shape[2:])
+            x, k, v = _layer_body(
+                config, x, layer, cos, sin, None, ck, cv, cache_mask
+            )
+            return x, (k, v)
+
+        x, (k_new, v_new) = lax.scan(
+            body, x, (params["layers_stacked"], pool_k, pool_v)
+        )
+        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+        logits = lm_logits(config, params, x)[:, 0]
+
+        rows = jnp.arange(slots)
+        page_idx = page_tables[rows, lengths // page]
+        offset = lengths % page
+        pool_k = pool_k.at[:, page_idx, offset].set(
+            k_new[:, :, 0].astype(pool_k.dtype)
+        )
+        pool_v = pool_v.at[:, page_idx, offset].set(
+            v_new[:, :, 0].astype(pool_v.dtype)
+        )
+        return (logits, pool_k, pool_v, lengths + 1, con), token
+
+    (logits, pool_k, pool_v, lengths, constraint), tokens = lax.scan(
+        step, (first_logits, pool_k, pool_v, lengths, constraint),
+        jnp.arange(num_steps),
+    )
+    return tokens.T, logits, pool_k, pool_v, lengths, constraint
 
 
 __all__ = [

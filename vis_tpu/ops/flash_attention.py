@@ -136,8 +136,8 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Tiled flash attention.
 
@@ -149,6 +149,20 @@ def flash_attention(
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
+    # Auto-tile: larger blocks amortize per-grid-step overhead and give the
+    # MXU wider dots (the d=80 vision heads under-fill the lane dim, so the
+    # kv-axis width is where utilization comes from).  VMEM stays small at
+    # d<=128: scores 256x512 f32 = 512 KB.
+    if block_q is None:
+        block_q = next(
+            (c for c in (256, DEFAULT_BLOCK_Q) if sq % c == 0),
+            DEFAULT_BLOCK_Q,
+        )
+    if block_k is None:
+        block_k = next(
+            (c for c in (512, 256, DEFAULT_BLOCK_K) if skv % c == 0),
+            DEFAULT_BLOCK_K,
+        )
     if sq % block_q or skv % block_k:
         raise ValueError(
             f"seq lengths ({sq}, {skv}) must be multiples of blocks "

@@ -95,36 +95,27 @@ def _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w):
     return _preprocess_frame_impl(rgb_u8, wh, ww, dst_h, dst_w)
 
 
+@lru_cache(maxsize=64)
+def _resize_weights_dev(src: int, dst: int):
+    """Device-resident copy of the interpolation matrix — re-shipping the
+    (up to ~10 MB) weight matrix per frame would dominate on slow links."""
+    return jnp.asarray(resize_weights(src, dst))
+
+
 def preprocess_frame_device(
     rgb_u8: jnp.ndarray, dst_h: int, dst_w: int
 ) -> jnp.ndarray:
     """uint8 [H, W, 3] frame -> [grid_h*grid_w, C*T*P*P] f32 patches.
 
     Resize runs as two separable interpolation MATMULS (host-cached PIL-style
-    bicubic weight matrices) — jax.image's gather-based cubic resampling is
-    ~100x slower on TPU.  Normalization and patchify fuse into the same
-    program.
+    bicubic weight matrices, staged on device once per shape) — jax.image's
+    gather-based cubic resampling is ~100x slower on TPU.  Normalization and
+    patchify fuse into the same program.
     """
     src_h, src_w = rgb_u8.shape[:2]
-    wh = jnp.asarray(resize_weights(src_h, dst_h))
-    ww = jnp.asarray(resize_weights(src_w, dst_w))
+    wh = _resize_weights_dev(src_h, dst_h)
+    ww = _resize_weights_dev(src_w, dst_w)
     return _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w)
-
-
-def preprocess_batch_device(
-    frames_u8: jnp.ndarray, dst_h: int, dst_w: int
-) -> jnp.ndarray:
-    """Batched device preprocessing: [B, H, W, 3] u8 -> [B, patches, dim].
-    One jit program, weight matrices shared across the batch."""
-    src_h, src_w = frames_u8.shape[1:3]
-    wh = jnp.asarray(resize_weights(src_h, dst_h))
-    ww = jnp.asarray(resize_weights(src_w, dst_w))
-    fn = jax.jit(
-        jax.vmap(partial(_preprocess_frame_impl, dst_h=dst_h, dst_w=dst_w),
-                 in_axes=(0, None, None)),
-        static_argnums=(),
-    )
-    return fn(frames_u8, wh, ww)
 
 
 @partial(jax.jit, static_argnames=("dst_h", "dst_w"))

@@ -100,7 +100,10 @@ def quantized_matmul(
     # pays fixed DMA-setup/pipeline overhead): pick the LARGEST tile that
     # divides out_dim and fits VMEM comfortably (~6 MB per int8 block,
     # double-buffered by Mosaic).
-    max_rows = max(128, (6 * 1024 * 1024) // max(1, in_dim))
+    # int8 block + its bf16 VMEM copy are 3 bytes/element (+ double
+    # buffering); a 3 MB int8 block keeps the working set inside the 16 MB
+    # VMEM scope at 7B/8B dims (down_proj in_dim ~19k -> block 128).
+    max_rows = max(128, (3 * 1024 * 1024) // max(1, in_dim))
     for candidate in (1024, 512, 256, 128):
         if candidate <= max_rows and out_dim % candidate == 0:
             block_o = candidate
@@ -322,7 +325,12 @@ def _q4_matmul_kernel(x_ref, qp_ref, scale_ref, o_ref):
     """
     x = x_ref[...]
     half = qp_ref.shape[1]
-    b = qp_ref[...].astype(jnp.int32)
+    b = qp_ref[...]
+    # Unpack through int32 (Mosaic legalizes neither u8->bf16 casts nor u8
+    # shifts); the int32 staging copy is 4 bytes/nibble-pair of VMEM, which
+    # is why the block budget below is sized so the whole working set
+    # (u8 + int32 + 2x bf16 planes) stays inside the 16 MB scope.
+    b = b.astype(jnp.int32)
     w_lo = ((b & 15) - 8).astype(jnp.bfloat16)
     w_hi = (((b >> 4) & 15) - 8).astype(jnp.bfloat16)
     y_lo = jax.lax.dot_general(
@@ -343,10 +351,11 @@ def quantized_matmul4(
     out_dim, half = qw.q.shape
     in_dim = half * 2
     batch = x.shape[0]
-    # Packed blocks are half the bytes of int8 — twice the rows fit the same
-    # VMEM budget, halving grid-step count (fixed per-step overhead matters
-    # on the latency-bound decode path).
-    max_rows = max(128, (6 * 1024 * 1024) // max(1, half))
+    # Per block row the kernel stages ~1 byte (packed u8, double-buffered)
+    # + 2x2 bytes (bf16 nibble planes) per input-half element; a 2 MB u8
+    # block keeps the whole working set ~10 MB, inside the 16 MB VMEM scope
+    # at any model scale (7B down_proj: block 128 x 9472).
+    max_rows = max(128, (2 * 1024 * 1024) // max(1, half))
     block_o = 0
     for candidate in (2048, 1024, 512, 256, 128):
         if candidate <= max_rows and out_dim % candidate == 0:

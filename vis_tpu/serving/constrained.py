@@ -408,7 +408,11 @@ def json_constraint_tables(
     need = reachable & finite & (np.arange(S) != dfa.accept_id)
     best_after = np.where(token_ok, cost_after, _INF).min(axis=1)
     ok = best_after[need] < dfa.close_cost[need]
-    if not bool(np.all(ok)):
+    # Min-length support: every non-accept state must also have a token
+    # that KEEPS the document open (cost_after > 0), or the completion
+    # floor in constrained_argmax could dead-end.
+    open_ok = ((cost_after > 0) & (cost_after < _INF)).any(axis=1)
+    if not bool(np.all(ok)) or not bool(np.all(open_ok[need])):
         with _tables_lock:
             _tables_cache[key] = None
         return None

@@ -40,6 +40,7 @@ from vis_tpu.models.common.decoder import (
     DecoderConfig,
     decode_loop_scan,
     decode_loop_scan_constrained,
+    decode_loop_scan_sampled,
     decode_step_scan,
     extend_scan,
     init_decoder_params,
@@ -59,7 +60,6 @@ from vis_tpu.ops.preprocess import (
     build_mrope_positions,
     preprocess_image,
 )
-from vis_tpu.serving.sampling import sample_token
 from vis_tpu.serving.tokenizer import ByteTokenizer, Tokenizer, load_tokenizer
 from vis_tpu.utils.config import config as app_config
 from vis_tpu.utils.logger import setup_logger, span
@@ -202,6 +202,13 @@ class Engine:
             partial(decode_loop_scan_constrained, text_config),
             static_argnames=("num_steps",), donate_argnums=(3,),
         )
+        # Fused SAMPLED decode (in-scan Gumbel-max): temperature>0 costs the
+        # same chunked dispatches as greedy.  The per-token host sampling
+        # loop this replaces paid one tunnel round-trip per token.
+        self._decode_loop_sampled_jit = jax.jit(
+            partial(decode_loop_scan_sampled, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3,),
+        )
         self._json_constraint: Any = None
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
         self._verify_jit = jax.jit(partial(verify_scan, text_config))
@@ -332,6 +339,7 @@ class Engine:
         decode step's weight reads.  paged=None follows
         config.paged_kv_cache (slot KV from a shared page pool instead of
         dense decode_batch_size x kv_cache_max_tokens buffers)."""
+        from vis_tpu.serving.constrained import json_constraint_tables
         from vis_tpu.serving.scheduler import ContinuousBatchingScheduler
 
         params = (
@@ -341,6 +349,9 @@ class Engine:
         self.scheduler = ContinuousBatchingScheduler(
             self.text_config, params, self.tokenizer,
             num_slots=num_slots, max_len=self.max_cache_tokens, paged=paged,
+            json_tables=json_constraint_tables(
+                self.tokenizer, self.text_config.vocab_size
+            ),
         )
         self.scheduler.start()
 
@@ -363,15 +374,21 @@ class Engine:
         scheduler = getattr(self, "scheduler", None)
         if json_mode and self._json_tables() is None:
             json_mode = False  # tokenizer unsupported; robust parser catches
-        if scheduler is not None and temperature <= 0.0 and not json_mode:
-            # Prefill under the lock, decode batched in the scheduler.
+        if scheduler is not None and temperature <= 0.0 and (
+            not json_mode or scheduler._json_dev is not None
+        ):
+            # Prefill under the lock, decode batched in the scheduler
+            # (json_mode rows carry a per-slot DFA in the shared chunk).
+            if json_mode:
+                max_tokens = max(max_tokens, self._json_tables()[3].min_budget)
             with self._lock:
                 cache, logits, next_pos, kv_len, _ = self._prefill_request(
                     prompt, image_path, max_tokens=max_tokens,
                     max_image_dim=max_image_dim,
                 )
             request = scheduler.submit_prefilled(
-                cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len
+                cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len,
+                json_mode=json_mode,
             )
             while True:
                 chunk = request.out.get()
@@ -630,6 +647,7 @@ class Engine:
         tc = self.text_config
         params = self.text_params if self.vlm_config is None else self.vlm_params["text"]
         json_tables = self._json_tables() if json_mode else None
+        sampled = temperature > 0.0
         if json_tables is not None:
             max_tokens = max(max_tokens, json_tables[3].min_budget)
         cache, logits, next_pos, _, ids = self._prefill_request(
@@ -650,25 +668,42 @@ class Engine:
                 yield chunk_text
 
         with span("engine.decode", logger):
-            if json_tables is not None and temperature <= 0.0:
-                # Grammar-constrained greedy: fused chunks with a DFA carry;
-                # the budget-feasibility mask guarantees the emitted JSON
-                # closes before the budget runs out, ending at EOS.
+            if json_tables is not None:
+                # Grammar-constrained decode (greedy or in-scan sampled):
+                # fused chunks with a DFA carry; the budget-feasibility mask
+                # guarantees the emitted JSON closes before the budget runs
+                # out, ending at EOS.
                 ok_t, trans_t, cost_t, tables = json_tables
+                min_tok = min(
+                    max(app_config.constrained_json_min_tokens, 0),
+                    max_tokens - 32,
+                )
                 constraint = DecodeConstraint(
                     token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
                     state=jnp.full((1,), tables.init_state, jnp.int32),
                     remaining=jnp.full((1,), max_tokens, jnp.int32),
+                    active=jnp.ones((1,), bool),
+                    min_remaining=jnp.full(
+                        (1,), max_tokens - max(min_tok, 0), jnp.int32
+                    ),
                 )
                 remaining = max_tokens
                 step0 = 0
                 done = False
+                chunk_idx = 0
+                temp_arr = jnp.float32(temperature)
                 while remaining > 0 and not done:
                     steps = min(self.decode_chunk, remaining)
+                    kwargs = {}
+                    if sampled:
+                        kwargs = dict(
+                            key=jax.random.fold_in(key, chunk_idx),
+                            temperature=temp_arr,
+                        )
                     tokens, logits, cache, constraint = (
                         self._decode_loop_json_jit(
                             params, logits, jnp.int32(next_pos + step0),
-                            cache, constraint, num_steps=steps,
+                            cache, constraint, num_steps=steps, **kwargs,
                         )
                     )
                     for token_id in np.asarray(tokens)[0].tolist():
@@ -679,6 +714,7 @@ class Engine:
                     yield from emit_progress()
                     remaining -= steps
                     step0 += steps
+                    chunk_idx += 1
             elif temperature <= 0.0 and app_config.speculative_decoding == "pld":
                 # Prompt-lookup speculative decoding: draft continuations by
                 # n-gram lookup in (prompt + generated), verify the whole
@@ -709,37 +745,30 @@ class Engine:
                     remaining -= steps
                     step0 += steps
             else:
-                con_state = json_tables[3].init_state if json_tables else 0
-                for step in range(max_tokens):
-                    key, sub = jax.random.split(key)
-                    if json_tables is not None:
-                        tables = json_tables[3]
-                        width = tables.token_ok.shape[1]
-                        row = tables.token_ok[con_state] & (
-                            tables.cost_after[con_state] < max_tokens - step
-                        )
-                        bias = np.full(logits.shape[-1], -1e30, np.float32)
-                        bias[:width][row] = 0.0
-                        logits = logits + jnp.asarray(bias)
-                    token = sample_token(logits, sub, temperature=temperature)
-                    token_id = int(token[0])
-                    if json_tables is not None:
-                        con_state = int(json_tables[3].token_trans[con_state, token_id])
-                    if token_id == self.tokenizer.eos_id:
-                        break
-                    generated.append(token_id)
+                # Temperature sampling, fused: in-scan Gumbel-max chunks —
+                # one device dispatch per chunk like greedy (the previous
+                # per-token host loop paid one tunnel RTT per token).
+                remaining = max_tokens
+                step0 = 0
+                done = False
+                chunk_idx = 0
+                temp_arr = jnp.float32(temperature)
+                while remaining > 0 and not done:
+                    steps = min(self.decode_chunk, remaining)
+                    tokens, logits, cache, _ = self._decode_loop_sampled_jit(
+                        params, logits, jnp.int32(next_pos + step0), cache,
+                        jax.random.fold_in(key, chunk_idx), temp_arr,
+                        num_steps=steps,
+                    )
+                    for token_id in np.asarray(tokens)[0].tolist():
+                        if token_id == self.tokenizer.eos_id:
+                            done = True
+                            break
+                        generated.append(token_id)
                     yield from emit_progress()
-                    pos_value = next_pos + step
-                    if tc.mrope_section is not None:
-                        step_positions = jnp.full((3, 1, 1), pos_value, jnp.int32)
-                    else:
-                        step_positions = jnp.full((1, 1), pos_value, jnp.int32)
-                    emb = self._embed_jit(
-                        params["embed_tokens"], jnp.asarray([[token_id]])
-                    )
-                    logits, cache = self._decode_jit(
-                        params, emb, step_positions, cache
-                    )
+                    remaining -= steps
+                    step0 += steps
+                    chunk_idx += 1
 
         self.last_decode_tokens = len(generated)
         final = self.tokenizer.decode(generated)
@@ -973,14 +1002,48 @@ def _byte_token_ids(cfg: Qwen2VLConfig) -> Qwen2VLConfig:
     )
 
 
+def _materialize_like(shape_tree, seed: int):
+    """Materialize random arrays matching a pytree of ShapeDtypeStructs —
+    WITHOUT running the computation that defined it.
+
+    jax.eval_shape over the init+quantize composition yields the exact
+    quantized parameter structure; generating each leaf directly keeps the
+    peak footprint at the OUTPUT size (int4: ~4-5 GB per model) instead of
+    staging bf16 intermediates (a 7B init+quantize program peaks at ~21 GB
+    — past one v5e chip's 16 GB HBM).  Values are random: latency is
+    weight-value independent.  Scales are small positive constants so
+    activations stay finite through deep stacks.
+    """
+    leaves, treedef = jax.tree.flatten(shape_tree)
+
+    def make(key):
+        out = []
+        keys = jax.random.split(key, len(leaves))
+        for k, leaf in zip(keys, leaves):
+            if jnp.issubdtype(leaf.dtype, jnp.unsignedinteger) or jnp.issubdtype(
+                leaf.dtype, jnp.signedinteger
+            ):
+                out.append(jax.random.bits(k, leaf.shape, jnp.uint32 if
+                           leaf.dtype == jnp.uint32 else jnp.uint8
+                           ).astype(leaf.dtype))
+            else:
+                out.append(
+                    (jax.random.normal(k, leaf.shape, jnp.float32) * 0.005
+                     + 0.01).astype(leaf.dtype)
+                )
+        return treedef.unflatten(out)
+
+    return jax.jit(make)(jax.random.PRNGKey(seed))
+
+
 def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
     """Weightless engines at TARGET model scale (DEV_PROFILE=target).
 
     Real 7B/11B/8B dimensions with random weights — the honest latency
     profile for BASELINE comparisons (weight values don't change timing).
-    Init and quantization compose inside ONE jit per model so the
-    full-precision tensors are XLA temporaries: three roles at bf16 would
-    be ~52 GB, far past one v5e chip's 16 GB; int4 + fused init fits.
+    The quantized parameter structure comes from jax.eval_shape over the
+    production init+quantize composition; leaves are materialized directly
+    (see _materialize_like) so no bf16 intermediate ever touches HBM.
     """
     mode = app_config.quantization
     quantize = mode in ("int8", "int4")
@@ -1006,7 +1069,9 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
                 }
             return p
 
-        params = jax.jit(make_mllama)(key)
+        params = _materialize_like(
+            jax.eval_shape(make_mllama, key), hash(role) % (2**31)
+        )
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         logger.info(f"{role}: target-scale Mllama-11B dev profile ({mode})")
         return MllamaEngine(
@@ -1034,7 +1099,9 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
             p["text"] = text
             return p
 
-        params = jax.jit(make_qwen)(key)
+        params = _materialize_like(
+            jax.eval_shape(make_qwen, key), hash(role) % (2**31)
+        )
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         logger.info(f"{role}: target-scale Qwen2-VL-7B dev profile ({mode})")
         return Engine(
@@ -1059,7 +1126,9 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
             )
         return text
 
-    params = jax.jit(make_llama)(key)
+    params = _materialize_like(
+        jax.eval_shape(make_llama, key), hash(role) % (2**31)
+    )
     tokenizer = ByteTokenizer(vocab_size=cfg.vocab_size)
     logger.info(f"{role}: target-scale Llama-3.1-8B dev profile ({mode})")
     return Engine(f"target-{role}-llama31-8b", cfg, params, tokenizer, mesh=mesh)

@@ -224,8 +224,13 @@ class MllamaEngine:
         embeds = embed(jnp.asarray(padded), self.params["text"]["embed_tokens"])
         positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
         n_self = len(self.config.self_layer_indices)
+        # Right-size the per-request KV buffer to this request's budget
+        # (128-aligned) — a dense max_cache_tokens buffer at 11B dims is
+        # ~1 GB of HBM per generate call.
+        need = bucket + max_tokens + 1
+        cache_len = min(self.max_cache_tokens, ((need + 127) // 128) * 128)
         cache = KVCache.create(
-            n_self, 1, self.max_cache_tokens, tc.num_kv_heads, tc.head_dim_,
+            n_self, 1, cache_len, tc.num_kv_heads, tc.head_dim_,
             dtype=tc.dtype,
         )
         with span("mllama.prefill", logger):
@@ -239,10 +244,18 @@ class MllamaEngine:
         if json_tables is not None:
             ok_t, trans_t, cost_t, tables = json_tables
             max_tokens = max(max_tokens, tables.min_budget)
+            min_tok = min(
+                max(app_config.constrained_json_min_tokens, 0),
+                max_tokens - 32,
+            )
             constraint = DecodeConstraint(
                 token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
                 state=jnp.full((1,), tables.init_state, jnp.int32),
                 remaining=jnp.full((1,), max_tokens, jnp.int32),
+                active=jnp.ones((1,), bool),
+                min_remaining=jnp.full(
+                    (1,), max_tokens - max(min_tok, 0), jnp.int32
+                ),
             )
 
         generated: List[int] = []

@@ -31,9 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from vis_tpu.models.common.decoder import (
+    DecodeConstraint,
     DecoderConfig,
     decode_loop_paged,
+    decode_loop_paged_constrained,
     decode_loop_scan,
+    decode_loop_scan_constrained,
     decode_step_scan,
     prefill_scan,
     stack_decoder_layers,
@@ -65,6 +68,9 @@ class Request:
     # decode): (src_cache KVCache[b=1], logits [1, v], next_position int,
     # kv_len int|None).
     prefilled: Optional[Any] = None
+    # JSON-grammar-constrained decode for this request (requires the
+    # scheduler to have been built with constraint tables).
+    json_mode: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +96,7 @@ class ContinuousBatchingScheduler:
         num_slots: Optional[int] = None,
         max_len: Optional[int] = None,
         paged: Optional[bool] = None,
+        json_tables: Optional[Any] = None,
     ):
         self.config = text_config
         # Scan-execution layout (stacked layer params).
@@ -138,6 +145,23 @@ class ContinuousBatchingScheduler:
         self._logits = jnp.zeros(
             (self.num_slots, text_config.vocab_size), jnp.float32
         )
+        # Per-slot JSON-grammar DFA rows (vis_tpu.serving.constrained): when
+        # tables are provided, every chunk runs the constrained loop — rows
+        # without json_mode stay inactive (raw argmax), so mixed batches
+        # share one compiled program.
+        self._json_tables = json_tables  # ConstraintTables or None
+        if json_tables is not None:
+            self._json_dev = (
+                jnp.asarray(json_tables.token_ok),
+                jnp.asarray(json_tables.token_trans),
+                jnp.asarray(json_tables.cost_after),
+            )
+        else:
+            self._json_dev = None
+        self._fsm_state = jnp.zeros((self.num_slots,), jnp.int32)
+        self._fsm_remaining = jnp.ones((self.num_slots,), jnp.int32)
+        self._fsm_active = jnp.zeros((self.num_slots,), bool)
+        self._fsm_min_remaining = jnp.zeros((self.num_slots,), jnp.int32)
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._shutdown = threading.Event()
@@ -165,6 +189,14 @@ class ContinuousBatchingScheduler:
         self._insert_paged_jit = jax.jit(
             self._insert_pages, donate_argnums=(0, 1, 5),
             static_argnames=("page",),
+        )
+        self._decode_loop_con_jit = jax.jit(
+            partial(decode_loop_scan_constrained, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3,),
+        )
+        self._decode_paged_con_jit = jax.jit(
+            partial(decode_loop_paged_constrained, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3, 4),
         )
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
 
@@ -223,8 +255,15 @@ class ContinuousBatchingScheduler:
             self._thread.join(timeout=10)
             self._thread = None
 
-    def submit(self, prompt: str, max_tokens: int = 512) -> Request:
-        request = Request(prompt=prompt, max_tokens=max_tokens)
+    def submit(self, prompt: str, max_tokens: int = 512,
+               json_mode: bool = False) -> Request:
+        if json_mode and self._json_dev is None:
+            raise ValueError(
+                "json_mode requires the scheduler to be built with "
+                "constraint tables (json_tables=)"
+            )
+        request = Request(prompt=prompt, max_tokens=max_tokens,
+                          json_mode=json_mode)
         self._pending.put(request)
         return request
 
@@ -235,6 +274,7 @@ class ContinuousBatchingScheduler:
         next_position: int,
         max_tokens: int = 512,
         kv_len: Optional[int] = None,
+        json_mode: bool = False,
     ) -> Request:
         """Hand off an externally prefilled request (e.g. a VLM engine's
         vision+multimodal prefill) for batched decode.  src_cache must be a
@@ -242,7 +282,13 @@ class ContinuousBatchingScheduler:
         Pass kv_len (the cursor value) when known host-side — it saves a
         blocking device read at admission (kv_len != next_position for
         M-RoPE models, where rope positions run ahead of cache slots)."""
-        request = Request(prompt="", max_tokens=max_tokens)
+        if json_mode and self._json_dev is None:
+            raise ValueError(
+                "json_mode requires the scheduler to be built with "
+                "constraint tables (json_tables=)"
+            )
+        request = Request(prompt="", max_tokens=max_tokens,
+                          json_mode=json_mode)
         request.prefilled = (src_cache, first_logits, int(next_position), kv_len)
         self._pending.put(request)
         return request
@@ -372,6 +418,24 @@ class ContinuousBatchingScheduler:
             slot.position = seq_len
             slot.remaining = request.max_tokens
             self._lengths_host[free] = kv_len
+            if self._json_dev is not None:
+                init_state = (
+                    self._json_tables.init_state if request.json_mode else 0
+                )
+                min_tok = min(
+                    max(app_config.constrained_json_min_tokens, 0),
+                    request.max_tokens - 32,
+                )
+                self._fsm_state = self._fsm_state.at[free].set(init_state)
+                self._fsm_remaining = self._fsm_remaining.at[free].set(
+                    request.max_tokens
+                )
+                self._fsm_active = self._fsm_active.at[free].set(
+                    bool(request.json_mode)
+                )
+                self._fsm_min_remaining = self._fsm_min_remaining.at[free].set(
+                    request.max_tokens - max(min_tok, 0)
+                )
             logger.info(
                 f"Admitted {request.request_id} into slot {free} "
                 f"(prompt {seq_len} tokens, active {self.active_count})"
@@ -405,19 +469,49 @@ class ContinuousBatchingScheduler:
         # device would add a blocking round-trip per chunk.
         prev_lengths = self._lengths_host.copy()
 
+        constraint = None
+        if self._json_dev is not None:
+            ok_t, trans_t, cost_t = self._json_dev
+            constraint = DecodeConstraint(
+                token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
+                state=self._fsm_state, remaining=self._fsm_remaining,
+                active=self._fsm_active,
+                min_remaining=self._fsm_min_remaining,
+            )
         if self.paged:
-            tokens, self._logits, self.pool.k, self.pool.v, _ = (
-                self._decode_paged_jit(
+            if constraint is not None:
+                (tokens, self._logits, self.pool.k, self.pool.v, _,
+                 constraint) = self._decode_paged_con_jit(
                     self.params, self._logits, jnp.asarray(positions_vec),
                     self.pool.k, self.pool.v, self.pool.page_tables,
-                    jnp.asarray(prev_lengths), num_steps=steps,
+                    jnp.asarray(prev_lengths), constraint, num_steps=steps,
                 )
-            )
+            else:
+                tokens, self._logits, self.pool.k, self.pool.v, _ = (
+                    self._decode_paged_jit(
+                        self.params, self._logits, jnp.asarray(positions_vec),
+                        self.pool.k, self.pool.v, self.pool.page_tables,
+                        jnp.asarray(prev_lengths), num_steps=steps,
+                    )
+                )
         else:
-            tokens, self._logits, self.cache = self._decode_loop_jit(
-                self.params, self._logits, jnp.asarray(positions_vec),
-                self.cache, num_steps=steps,
-            )
+            if constraint is not None:
+                tokens, self._logits, self.cache, constraint = (
+                    self._decode_loop_con_jit(
+                        self.params, self._logits, jnp.asarray(positions_vec),
+                        self.cache, constraint, num_steps=steps,
+                    )
+                )
+            else:
+                tokens, self._logits, self.cache = self._decode_loop_jit(
+                    self.params, self._logits, jnp.asarray(positions_vec),
+                    self.cache, num_steps=steps,
+                )
+        if constraint is not None:
+            # Finished slots keep garbage DFA rows until the next admission
+            # resets them — their outputs are discarded, same as KV rows.
+            self._fsm_state = constraint.state
+            self._fsm_remaining = constraint.remaining
         token_matrix = np.asarray(tokens)  # [slots, steps] (the one sync)
 
         lengths = prev_lengths + steps  # what the device-side loop did

@@ -136,6 +136,7 @@ class Config(BaseModel):
     speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
     prefix_caching: bool = False      # reuse shared text-prompt-head KV
     constrained_json: bool = False    # JSON-grammar-masked decode for inspector/auditor/decision-support (serving/constrained.py)
+    constrained_json_min_tokens: int = 0  # block closing the JSON root before this many tokens (0 = no floor)
     device_preprocess: bool = False   # vision preprocessing on device (ops/preprocess_device.py) instead of host PIL
     decode_chunk: int = 64            # fused decode tokens per device dispatch (host EOS check between chunks); raise on high-RTT links
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
