@@ -55,21 +55,35 @@ def _print_state_summary(state: Dict[str, Any]) -> None:
 
 
 def cmd_inspect(args: argparse.Namespace) -> int:
-    from vis_tpu.orchestration import run_inspection_streaming
+    from vis_tpu.orchestration import run_inspection, resume_inspection
 
-    final_state = None
-    for event in run_inspection_streaming(
-        args.image, criticality=args.criticality, domain=args.domain,
-        user_notes=args.notes,
-    ):
-        if event["event"] == "node_end" and not args.json:
+    def on_event(event):
+        if event.get("event") == "node_end" and not args.json:
             print(f"  [{event['index'] + 1}/{event['total']}] {event['node']} "
                   f"({event['elapsed_s']:.2f}s)", file=sys.stderr)
-        elif event["event"] == "complete":
-            final_state = event["state"]
-        elif event["event"] == "error":
-            print(f"error: {event['error']}", file=sys.stderr)
-            return 1
+
+    final_state = run_inspection(
+        args.image, criticality=args.criticality, domain=args.domain,
+        user_notes=args.notes, on_event=on_event,
+        interactive_review=args.interactive_review,
+    )
+    if final_state.get("current_step") == "awaiting_human_review":
+        # Human-in-the-loop (reference sidebar.py:84 review queue, as a CLI
+        # prompt): show the verdict, take a decision, finish the pipeline.
+        verdict = final_state.get("safety_verdict") or {}
+        print(f"\nREVIEW REQUIRED — {verdict.get('verdict')}: "
+              f"{verdict.get('reason')}", file=sys.stderr)
+        decision = args.review_decision
+        notes = args.review_notes
+        if decision is None:
+            answer = ""
+            while answer not in ("approve", "reject"):
+                answer = input("decision [approve/reject]: ").strip().lower()
+            decision = answer
+            notes = input("notes (optional): ").strip() or None
+        final_state = resume_inspection(
+            final_state["request_id"], decision, notes, on_event=on_event
+        )
     if final_state is None:
         return 1
     if args.json:
@@ -184,6 +198,13 @@ def main(argv=None) -> int:
     p.add_argument("--domain", default=None)
     p.add_argument("--notes", default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--interactive-review", action="store_true",
+                   help="pause for a human decision when the verdict "
+                        "requires review")
+    p.add_argument("--review-decision", choices=["approve", "reject"],
+                   default=None,
+                   help="non-interactive decision for --interactive-review")
+    p.add_argument("--review-notes", default=None)
     p.set_defaults(fn=cmd_inspect)
 
     p = sub.add_parser("batch", help="inspect a batch of images")

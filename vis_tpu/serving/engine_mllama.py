@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vis_tpu.models.common.decoder import DecodeConstraint, constrained_argmax
+from vis_tpu.models.common.decoder import (
+    DecodeConstraint,
+    constrained_argmax,
+    constrained_pick,
+    gumbel_sample_token,
+)
 from vis_tpu.models.common.layers import KVCache, causal_mask, embed, length_mask
 from vis_tpu.models.llama.mllama import (
     MllamaConfig,
@@ -80,6 +85,9 @@ class MllamaEngine:
         self._decode_chunk_json_jit = jax.jit(
             self._decode_chunk_json_impl, static_argnames=("steps",)
         )
+        self._decode_chunk_sampled_jit = jax.jit(
+            self._decode_chunk_sampled_impl, static_argnames=("steps",)
+        )
         self._json_constraint: Any = None
 
     # -- jitted impls ----------------------------------------------------
@@ -124,15 +132,26 @@ class MllamaEngine:
         return tokens, logits, cache
 
     def _decode_chunk_json_impl(
-        self, params, logits, cross_kv, cache, start, constraint, steps
+        self, params, logits, cross_kv, cache, start, constraint, steps,
+        key=None, temperature=None,
     ):
         """_decode_chunk_impl with the JSON-grammar logit mask
-        (vis_tpu.serving.constrained) threaded as a DFA carry."""
+        (vis_tpu.serving.constrained) threaded as a DFA carry; with
+        key/temperature picks are in-loop Gumbel-sampled."""
         b = logits.shape[0]
+        sampled = key is not None
 
         def body(step, carry):
-            logits, cache, tokens, con = carry
-            token, con = constrained_argmax(logits, con)
+            if sampled:
+                logits, cache, tokens, con, rng = carry
+                rng, sub = jax.random.split(rng)
+                token, con = constrained_pick(
+                    logits, con,
+                    lambda m: gumbel_sample_token(m, sub, temperature),
+                )
+            else:
+                logits, cache, tokens, con = carry
+                token, con = constrained_argmax(logits, con)
             tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
             positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
             embeds = embed(token[:, None], params["text"]["embed_tokens"])
@@ -141,13 +160,47 @@ class MllamaEngine:
                 cache.decode_mask(),
             )
             logits = mllama_logits(self.config, params, hidden)[:, 0]
+            if sampled:
+                return logits, new_cache, tokens, con, rng
             return logits, new_cache, tokens, con
 
         tokens0 = jnp.zeros((b, steps), jnp.int32)
-        logits, cache, tokens, constraint = jax.lax.fori_loop(
-            0, steps, body, (logits, cache, tokens0, constraint)
-        )
+        if sampled:
+            logits, cache, tokens, constraint, _ = jax.lax.fori_loop(
+                0, steps, body, (logits, cache, tokens0, constraint, key)
+            )
+        else:
+            logits, cache, tokens, constraint = jax.lax.fori_loop(
+                0, steps, body, (logits, cache, tokens0, constraint)
+            )
         return tokens, logits, cache, constraint
+
+    def _decode_chunk_sampled_impl(
+        self, params, logits, cross_kv, cache, start, key, temperature, steps
+    ):
+        """_decode_chunk_impl with in-loop Gumbel-max temperature sampling
+        (the per-token host alternative costs one device RTT per token)."""
+        b = logits.shape[0]
+
+        def body(step, carry):
+            logits, cache, tokens, rng = carry
+            rng, sub = jax.random.split(rng)
+            token = gumbel_sample_token(logits, sub, temperature)
+            tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+            positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
+            embeds = embed(token[:, None], params["text"]["embed_tokens"])
+            hidden, new_cache = text_forward(
+                self.config, params, embeds, positions, cross_kv, cache,
+                cache.decode_mask(),
+            )
+            logits = mllama_logits(self.config, params, hidden)[:, 0]
+            return logits, new_cache, tokens, rng
+
+        tokens0 = jnp.zeros((b, steps), jnp.int32)
+        logits, cache, tokens, _ = jax.lax.fori_loop(
+            0, steps, body, (logits, cache, tokens0, key)
+        )
+        return tokens, logits, cache
 
     def _json_tables(self):
         """Lazily compile + device-place JSON constraint tables (None when
@@ -186,11 +239,13 @@ class MllamaEngine:
     ) -> Iterator[str]:
         with self._lock:
             yield from self._generate(
-                prompt, image_path, max_tokens, json_mode=json_mode
+                prompt, image_path, max_tokens, json_mode=json_mode,
+                temperature=temperature,
             )
 
     def _generate(
-        self, prompt, image_path, max_tokens, json_mode: bool = False
+        self, prompt, image_path, max_tokens, json_mode: bool = False,
+        temperature: float = 0.0,
     ) -> Iterator[str]:
         tc = self.config.text
         cross_kv = None
@@ -263,21 +318,38 @@ class MllamaEngine:
         remaining = max_tokens
         pos = seq_len
         done = False
+        sampled = temperature > 0.0
+        base_key = jax.random.PRNGKey(0)
+        temp_arr = jnp.float32(temperature)
+        chunk_idx = 0
         with span("mllama.decode", logger):
             while remaining > 0 and not done:
                 steps = min(self.decode_chunk, remaining)
                 if constraint is not None:
+                    kwargs = {}
+                    if sampled:
+                        kwargs = dict(
+                            key=jax.random.fold_in(base_key, chunk_idx),
+                            temperature=temp_arr,
+                        )
                     tokens, logits, cache, constraint = (
                         self._decode_chunk_json_jit(
                             self.params, logits, cross_kv, cache,
-                            jnp.int32(pos), constraint, steps=steps,
+                            jnp.int32(pos), constraint, steps=steps, **kwargs,
                         )
+                    )
+                elif sampled:
+                    tokens, logits, cache = self._decode_chunk_sampled_jit(
+                        self.params, logits, cross_kv, cache, jnp.int32(pos),
+                        jax.random.fold_in(base_key, chunk_idx), temp_arr,
+                        steps=steps,
                     )
                 else:
                     tokens, logits, cache = self._decode_chunk_jit(
                         self.params, logits, cross_kv, cache, jnp.int32(pos),
                         steps=steps,
                     )
+                chunk_idx += 1
                 for token_id in np.asarray(tokens)[0].tolist():
                     if token_id == self.tokenizer.eos_id:
                         done = True
@@ -316,7 +388,8 @@ class MllamaEngineBackend:
                  json_mode: bool = False) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
-            max_image_dim=max_image_dim, json_mode=json_mode,
+            temperature=temperature, max_image_dim=max_image_dim,
+            json_mode=json_mode,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
@@ -324,7 +397,8 @@ class MllamaEngineBackend:
                         json_mode: bool = False):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
-            max_image_dim=max_image_dim, json_mode=json_mode,
+            temperature=temperature, max_image_dim=max_image_dim,
+            json_mode=json_mode,
         )
 
     def health_check(self) -> bool:
