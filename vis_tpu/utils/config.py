@@ -139,6 +139,7 @@ class Config(BaseModel):
     constrained_json_min_tokens: int = 0  # block closing the JSON root before this many tokens (0 = no floor)
     device_preprocess: bool = False   # vision preprocessing on device (ops/preprocess_device.py) instead of host PIL
     decode_chunk: int = 64            # fused decode tokens per device dispatch (host EOS check between chunks); raise on high-RTT links
+    vision_parallel: str = "tp"       # multi-chip vision encode: "tp" (head-sharded params) | "sp" (Ulysses sequence-parallel, replicated params)
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
@@ -191,6 +192,14 @@ class Config(BaseModel):
         lower = v.lower()
         if lower not in ("small", "target"):
             raise ValueError(f"dev_profile must be 'small' or 'target', got {v!r}")
+        return lower
+
+    @field_validator("vision_parallel")
+    @classmethod
+    def _check_vision_parallel(cls, v: str) -> str:
+        lower = v.lower()
+        if lower not in ("tp", "sp"):
+            raise ValueError(f"vision_parallel must be 'tp' or 'sp', got {v!r}")
         return lower
 
     @field_validator("mesh_shape")
