@@ -247,3 +247,114 @@ def test_ui_pages_served(app_server):
     for anchor in ("page-batch", "page-reviews", "page-settings",
                    "inspect_batch", "api/reviews", "api/settings"):
         assert anchor in html
+
+
+class TestConfigFlagWirings:
+    """Reference config-surface flags must actually change behavior (the
+    SURVEY flagged declared-but-unread flags as an anti-pattern)."""
+
+    def test_analytics_disabled(self, app_server, monkeypatch):
+        from vis_tpu.utils.config import get_config
+
+        monkeypatch.setenv("ENABLE_ANALYTICS", "false")
+        get_config(reload=True)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as err:
+                _get_json(f"{app_server}/api/analytics")
+            assert err.value.code == 403
+        finally:
+            monkeypatch.delenv("ENABLE_ANALYTICS")
+            get_config(reload=True)
+        assert "verdict_counts" in _get_json(f"{app_server}/api/analytics")
+
+    def test_debug_events_in_result(self, app_server, monkeypatch):
+        from vis_tpu.utils.config import get_config
+
+        rng = np.random.default_rng(21)
+        body, ctype = _multipart({
+            "criticality": "low", "image": ("widget_dbg.jpg", _jpeg(rng)),
+        })
+        req = urllib.request.Request(
+            f"{app_server}/api/inspect", data=body,
+            headers={"Content-Type": ctype}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            rid = json.loads(resp.read())["request_id"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if _get_json(f"{app_server}/api/progress/{rid}")["status"] != "running":
+                break
+            time.sleep(0.2)
+
+        state = _get_json(f"{app_server}/api/result/{rid}")
+        assert "debug_events" not in state
+        monkeypatch.setenv("SHOW_DEBUG_INFO", "true")
+        get_config(reload=True)
+        try:
+            state = _get_json(f"{app_server}/api/result/{rid}")
+            assert any(
+                e.get("event") == "node_end" for e in state["debug_events"]
+            )
+        finally:
+            monkeypatch.delenv("SHOW_DEBUG_INFO")
+            get_config(reload=True)
+
+    def test_verbose_error_traceback(self, app_server, monkeypatch):
+        from vis_tpu.utils.config import get_config
+
+        bad = urllib.request.Request(
+            f"{app_server}/api/inspect", data=b"not multipart",
+            headers={"Content-Type": "text/plain"}, method="POST",
+        )
+        monkeypatch.setenv("VERBOSE_ERRORS", "true")
+        get_config(reload=True)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(bad, timeout=30)
+            payload = json.loads(err.value.read())
+            assert "traceback" in payload and "Traceback" in payload["traceback"]
+        finally:
+            monkeypatch.delenv("VERBOSE_ERRORS")
+            get_config(reload=True)
+
+    def test_chat_unstreamed_and_memoryless(self, app_server, monkeypatch,
+                                            tmp_path):
+        from vis_tpu.utils.config import get_config
+
+        rng = np.random.default_rng(23)
+        body, ctype = _multipart({
+            "criticality": "low", "image": ("widget_chat.jpg", _jpeg(rng)),
+        })
+        req = urllib.request.Request(
+            f"{app_server}/api/inspect", data=body,
+            headers={"Content-Type": ctype}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            rid = json.loads(resp.read())["request_id"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if _get_json(f"{app_server}/api/progress/{rid}")["status"] != "running":
+                break
+            time.sleep(0.2)
+
+        monkeypatch.setenv("ENABLE_STREAMING", "false")
+        monkeypatch.setenv("ENABLE_CHAT_MEMORY", "false")
+        get_config(reload=True)
+        try:
+            chat = urllib.request.Request(
+                f"{app_server}/api/chat",
+                data=json.dumps({"request_id": rid, "question": "verdict?"}
+                                ).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(chat, timeout=60) as resp:
+                assert resp.headers.get("Transfer-Encoding") != "chunked"
+                assert resp.read().decode()
+
+            from vis_tpu.chat_memory import get_session_history
+
+            assert get_session_history(f"chat-{rid}").get_message_count() == 0
+        finally:
+            monkeypatch.delenv("ENABLE_STREAMING")
+            monkeypatch.delenv("ENABLE_CHAT_MEMORY")
+            get_config(reload=True)

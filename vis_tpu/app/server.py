@@ -227,7 +227,7 @@ class AppHandler(BaseHTTPRequestHandler):
                 self._json({"error": "not found"}, 404)
         except Exception as exc:
             logger.error(f"GET {self.path} failed: {exc}", exc_info=True)
-            self._json({"error": str(exc)}, 500)
+            self._json(self._error_payload(exc), 500)
 
     def do_POST(self) -> None:  # noqa: N802
         try:
@@ -244,7 +244,18 @@ class AppHandler(BaseHTTPRequestHandler):
                 self._json({"error": "not found"}, 404)
         except Exception as exc:
             logger.error(f"POST {self.path} failed: {exc}", exc_info=True)
-            self._json({"error": str(exc)}, 500)
+            self._json(self._error_payload(exc), 500)
+
+    @staticmethod
+    def _error_payload(exc: Exception) -> Dict[str, Any]:
+        """VERBOSE_ERRORS=true includes the traceback in API error bodies
+        (reference utils/config.py VERBOSE_ERRORS)."""
+        payload: Dict[str, Any] = {"error": str(exc)}
+        if config.verbose_errors:
+            import traceback
+
+            payload["traceback"] = traceback.format_exc()
+        return payload
 
     # -- endpoint implementations ---------------------------------------
     def _save_upload(self, image: Dict[str, Any]) -> Tuple[Optional[Path], Optional[str]]:
@@ -440,6 +451,10 @@ class AppHandler(BaseHTTPRequestHandler):
             self._json({"error": "result not ready"}, 404)
             return
         state = dict(job.state)
+        if config.show_debug_info:
+            # Reference SHOW_DEBUG_INFO: surface the raw per-node event
+            # stream alongside the result (reference app/ui.py debug pane).
+            state["debug_events"] = list(job.events)
         self._json(state)
 
     def _image(self, request_id: str, kind: str) -> None:
@@ -487,6 +502,10 @@ class AppHandler(BaseHTTPRequestHandler):
         )
 
     def _analytics(self) -> None:
+        if not config.enable_analytics:
+            self._json({"error": "analytics disabled (ENABLE_ANALYTICS=false)"},
+                       403)
+            return
         from vis_tpu.database import InspectionRepository
 
         self._json(InspectionRepository().get_defect_statistics())
@@ -516,32 +535,51 @@ class AppHandler(BaseHTTPRequestHandler):
         from vis_tpu.chat_memory import get_session_history, rewrite_query_with_history
 
         session_id = f"chat-{request_id}"
-        history = get_session_history(session_id)
         explainer = get_explainer()
-        standalone = rewrite_query_with_history(question, history.messages)
+        # ENABLE_CHAT_MEMORY=false: stateless turns, nothing persisted
+        # (reference utils/config.py ENABLE_CHAT_MEMORY).
+        history = (
+            get_session_history(session_id) if config.enable_chat_memory
+            else None
+        )
+        standalone = (
+            rewrite_query_with_history(question, history.messages)
+            if history is not None else question
+        )
         context_block = _chat_context(job.state)
 
-        # Chunked streaming response: tokens flush as they decode.
-        self.send_response(200)
-        self.send_header("Content-Type", "text/plain; charset=utf-8")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.send_header("X-Accel-Buffering", "no")
-        self.end_headers()
-
         answer_parts = []
-        try:
-            for chunk in explainer.chat_session_stream(
-                session_id, context_block, standalone
-            ):
-                answer_parts.append(chunk)
-                data = chunk.encode()
-                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
-                self.wfile.flush()
-        except Exception as exc:
-            logger.error(f"Chat streaming failed: {exc}")
-        self.wfile.write(b"0\r\n\r\n")
-        history.add_user_message(question)
-        history.add_ai_message("".join(answer_parts))
+        if config.enable_streaming:
+            # Chunked streaming response: tokens flush as they decode.
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Accel-Buffering", "no")
+            self.end_headers()
+            try:
+                for chunk in explainer.chat_session_stream(
+                    session_id, context_block, standalone
+                ):
+                    answer_parts.append(chunk)
+                    data = chunk.encode()
+                    self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+                    self.wfile.flush()
+            except Exception as exc:
+                logger.error(f"Chat streaming failed: {exc}")
+            self.wfile.write(b"0\r\n\r\n")
+        else:
+            # ENABLE_STREAMING=false: buffer and send in one response.
+            try:
+                answer_parts = list(explainer.chat_session_stream(
+                    session_id, context_block, standalone
+                ))
+            except Exception as exc:
+                logger.error(f"Chat failed: {exc}")
+            self._send(200, "".join(answer_parts).encode(),
+                       "text/plain; charset=utf-8")
+        if history is not None:
+            history.add_user_message(question)
+            history.add_ai_message("".join(answer_parts))
 
 
 def serve(host: str = "0.0.0.0", port: int = 8501) -> ThreadingHTTPServer:

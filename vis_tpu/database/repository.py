@@ -57,6 +57,12 @@ class InspectionRepository:
         conn.row_factory = sqlite3.Row
         conn.execute("PRAGMA journal_mode=WAL;")
         conn.execute("PRAGMA foreign_keys=ON;")
+        from vis_tpu.utils.config import config as _cfg
+
+        if _cfg.database_echo:
+            # DATABASE_ECHO (reference SQLAlchemy echo=True equivalent):
+            # every executed statement at DEBUG.
+            conn.set_trace_callback(lambda s: logger.debug(f"SQL: {s}"))
         return conn
 
     def _ensure_schema(self) -> None:

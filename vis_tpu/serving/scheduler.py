@@ -294,8 +294,11 @@ class ContinuousBatchingScheduler:
         return request
 
     def generate(self, prompt: str, max_tokens: int = 512,
-                 timeout: float = 600.0) -> str:
-        """Blocking helper: submit and drain the stream."""
+                 timeout: Optional[float] = None) -> str:
+        """Blocking helper: submit and drain the stream.  The default
+        deadline scales the reference's API_TIMEOUT (its per-HTTP-call
+        budget) to a whole on-pod generation."""
+        timeout = timeout or 10.0 * max(60, app_config.api_timeout)
         request = self.submit(prompt, max_tokens)
         chunks = []
         deadline = time.time() + timeout
@@ -309,7 +312,8 @@ class ContinuousBatchingScheduler:
         return "".join(chunks)
 
     def stream(self, prompt: str, max_tokens: int = 512,
-               timeout: float = 600.0) -> Iterator[str]:
+               timeout: Optional[float] = None) -> Iterator[str]:
+        timeout = timeout or 10.0 * max(60, app_config.api_timeout)
         request = self.submit(prompt, max_tokens)
         deadline = time.time() + timeout
         while True:

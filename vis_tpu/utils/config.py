@@ -96,10 +96,14 @@ class Config(BaseModel):
     log_to_file: bool = True
 
     # --- Engine / serving ---------------------------------------------------
+    # api_* existed for the reference's HTTP transport (retry/backoff around
+    # HuggingFace/Groq calls).  On-pod there is no HTTP inference layer;
+    # they are accepted so reference `.env` files load unchanged, and
+    # api_timeout bounds the scheduler's blocking generate() helper.
     api_timeout: int = 60
     api_max_retries: int = 3
     api_retry_backoff: int = 2
-    enable_streaming: bool = True
+    enable_streaming: bool = True     # false => /api/chat sends the whole reply unchunked
     max_concurrent_calls: int = 3
     max_image_dimension: int = 2048
     auditor_max_image_dimension: int = 1024

@@ -140,9 +140,25 @@ def setup_logger(
         logger.addFilter(SensitiveDataFilter())
         logger.addFilter(ContextFilter())
 
+        # Honor LOG_TO_CONSOLE / LOG_TO_FILE / LOG_FORMAT (reference
+        # utils/config.py logging block) unless the caller overrides.
+        json_console = False
+        try:
+            from vis_tpu.utils.config import get_config
+
+            cfg = get_config()
+            to_console = to_console and cfg.log_to_console
+            to_file = to_file and cfg.log_to_file
+            json_console = cfg.log_format.lower() == "json"
+        except Exception:
+            pass
+
         if to_console:
             handler = logging.StreamHandler(sys.stderr)
-            handler.setFormatter(_ConsoleFormatter(component, use_color=sys.stderr.isatty()))
+            handler.setFormatter(
+                _JsonFormatter(component) if json_console
+                else _ConsoleFormatter(component, use_color=sys.stderr.isatty())
+            )
             logger.addHandler(handler)
 
         if to_file:
