@@ -98,3 +98,74 @@ def test_streaming_interface(setup):
     expected = engine.generate(prompt, max_tokens=8)
     chunks = list(scheduler.stream(prompt, max_tokens=8, timeout=120))
     assert "".join(chunks) == expected
+
+
+class TestChunkedPrefill:
+    """SURVEY §7 hard part 3: long prompt admissions fill their slot in
+    segments interleaved with decode chunks — token-exact vs whole-prompt
+    prefill, and the in-flight request keeps streaming."""
+
+    def _scheduler(self, config, params, tok, chunk):
+        import vis_tpu.serving.scheduler as sched_mod
+        from vis_tpu.utils.config import config as app_config
+
+        sched = ContinuousBatchingScheduler(
+            config, params, tok, num_slots=2, max_len=512
+        )
+        sched.chunked_prefill = chunk
+        sched.start()
+        return sched
+
+    def test_token_exact_and_interleaved(self, setup):
+        engine, _ = setup
+        config = engine.text_config
+        params = engine.text_params
+        tok = engine.tokenizer
+
+        long_prompt = ("corrosion on the lower panel near the weld seam " * 8)
+        short_prompt = "short request"
+        expected_long = engine.generate(long_prompt, max_tokens=16)
+        expected_short = engine.generate(short_prompt, max_tokens=300)
+
+        sched = self._scheduler(config, params, tok, chunk=32)
+        try:
+            # Short request first so a slot is actively decoding when the
+            # long prompt arrives (chunked prefill only engages then).
+            short_req = sched.submit(short_prompt, max_tokens=300)
+            import time as _time
+
+            deadline = _time.time() + 60
+            while not any(s.active for s in sched.slots):
+                assert _time.time() < deadline
+                _time.sleep(0.01)
+            long_out = sched.generate(long_prompt, max_tokens=16, timeout=120)
+
+            chunks = []
+            while True:
+                c = short_req.out.get(timeout=60)
+                if c is None:
+                    break
+                chunks.append(c)
+            assert "".join(chunks) == expected_short
+            assert long_out == expected_long
+            assert sched.prefill_segments_done > 1, (
+                "long prompt should have prefilled in multiple segments"
+            )
+        finally:
+            sched.stop()
+
+    def test_whole_prompt_when_idle(self, setup):
+        """With no active decode, the prompt prefills in one shot (chunking
+        only protects in-flight requests)."""
+        engine, _ = setup
+        sched = self._scheduler(
+            engine.text_config, engine.text_params, engine.tokenizer, chunk=32
+        )
+        try:
+            long_prompt = "x" * 200
+            expected = engine.generate(long_prompt, max_tokens=8)
+            out = sched.generate(long_prompt, max_tokens=8, timeout=120)
+            assert out == expected
+            assert sched.prefill_segments_done == 0
+        finally:
+            sched.stop()

@@ -38,6 +38,7 @@ from vis_tpu.models.common.decoder import (
     decode_loop_scan,
     decode_loop_scan_constrained,
     decode_step_scan,
+    extend_scan,
     prefill_scan,
     stack_decoder_layers,
 )
@@ -78,10 +79,13 @@ class _Slot:
     request: Optional[Request] = None
     position: int = 0          # next decode position (rope)
     remaining: int = 0
+    # False while a chunked prefill is still filling this slot's cache
+    # (the slot is reserved but must not join batched decode yet).
+    ready: bool = True
 
     @property
     def active(self) -> bool:
-        return self.request is not None
+        return self.request is not None and self.ready
 
 
 class ContinuousBatchingScheduler:
@@ -199,6 +203,14 @@ class ContinuousBatchingScheduler:
             static_argnames=("num_steps",), donate_argnums=(3, 4),
         )
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
+        # Chunked prefill (SURVEY §7 hard part 3): long prompts fill their
+        # slot's cache in fixed-size segments interleaved with decode
+        # chunks, so an in-flight request's TTFT/throughput is not stalled
+        # behind a multi-thousand-token admission.
+        self.chunked_prefill = app_config.chunked_prefill_tokens
+        self._extend_jit = jax.jit(partial(extend_scan, text_config))
+        self._prefilling: Optional[dict] = None
+        self.prefill_segments_done = 0  # observability/testing
 
     # -- device helpers --------------------------------------------------
     @staticmethod
@@ -358,7 +370,9 @@ class ContinuousBatchingScheduler:
     def _admit_one(self) -> bool:
         """Prefill one waiting request into a free slot.  Returns True if a
         request was admitted."""
-        free = next((i for i, s in enumerate(self.slots) if not s.active), None)
+        free = next(
+            (i for i, s in enumerate(self.slots) if s.request is None), None
+        )
         if free is None:
             return False
         try:
@@ -384,6 +398,34 @@ class ContinuousBatchingScheduler:
                 kv_len = seq_len
                 if not self._reserve_paged(free, request, kv_len):
                     return False  # requeued before spending the prefill
+                if (
+                    self.chunked_prefill > 0
+                    and seq_len > self.chunked_prefill
+                    and self.active_count > 0
+                ):
+                    # Long prompt while others decode: reserve the slot and
+                    # fill it one segment per scheduler iteration instead of
+                    # stalling the decode loop for the whole prefill.
+                    self.slots[free].request = request
+                    self.slots[free].ready = False
+                    self._prefilling = {
+                        "request": request,
+                        "free": free,
+                        "ids": ids,
+                        "done": 0,
+                        "cache": KVCache.create(
+                            self.config.num_layers, 1, self.max_len,
+                            self.config.num_kv_heads, self.config.head_dim_,
+                            dtype=self.config.dtype,
+                        ),
+                        "logits": None,
+                    }
+                    logger.info(
+                        f"Chunked prefill started for {request.request_id}: "
+                        f"{seq_len} tokens in {self.chunked_prefill}-token "
+                        "segments"
+                    )
+                    return True
                 bucket = 128
                 while bucket < seq_len:
                     bucket *= 2
@@ -403,47 +445,8 @@ class ContinuousBatchingScheduler:
                     self.params, embeds, positions, tmp_cache,
                     jnp.asarray([seq_len]),
                 )
-            if self.paged:
-                row = np.zeros((self.pool.max_pages,), np.int32)
-                owned = self.pool._owned[free]
-                row[: len(owned)] = owned
-                self.pool.k, self.pool.v, self._logits = self._insert_paged_jit(
-                    self.pool.k, self.pool.v, tmp_cache, jnp.asarray(row),
-                    jnp.int32(free), self._logits, logits,
-                    page=self.pool.page_size,
-                )
-            else:
-                self.cache, self._logits = self._insert_jit(
-                    self.cache, tmp_cache, jnp.int32(free), jnp.int32(kv_len),
-                    self._logits, logits,
-                )
-            slot = self.slots[free]
-            slot.request = request
-            slot.position = seq_len
-            slot.remaining = request.max_tokens
-            self._lengths_host[free] = kv_len
-            if self._json_dev is not None:
-                init_state = (
-                    self._json_tables.init_state if request.json_mode else 0
-                )
-                min_tok = min(
-                    max(app_config.constrained_json_min_tokens, 0),
-                    request.max_tokens - 32,
-                )
-                self._fsm_state = self._fsm_state.at[free].set(init_state)
-                self._fsm_remaining = self._fsm_remaining.at[free].set(
-                    request.max_tokens
-                )
-                self._fsm_active = self._fsm_active.at[free].set(
-                    bool(request.json_mode)
-                )
-                self._fsm_min_remaining = self._fsm_min_remaining.at[free].set(
-                    request.max_tokens - max(min_tok, 0)
-                )
-            logger.info(
-                f"Admitted {request.request_id} into slot {free} "
-                f"(prompt {seq_len} tokens, active {self.active_count})"
-            )
+            self._activate_slot(free, request, tmp_cache, logits,
+                                seq_len, kv_len)
             return True
         except Exception as exc:
             logger.error(f"Prefill failed for {request.request_id}: {exc}",
@@ -451,6 +454,98 @@ class ContinuousBatchingScheduler:
             request.error = str(exc)
             request.out.put(None)
             return False
+
+    def _activate_slot(self, free: int, request: Request, tmp_cache: KVCache,
+                       logits: jnp.ndarray, seq_len: int, kv_len: int) -> None:
+        """Copy a finished batch-1 prefill into slot `free` and arm it for
+        batched decode (shared by whole-prompt and chunked prefill)."""
+        if self.paged:
+            row = np.zeros((self.pool.max_pages,), np.int32)
+            owned = self.pool._owned[free]
+            row[: len(owned)] = owned
+            self.pool.k, self.pool.v, self._logits = self._insert_paged_jit(
+                self.pool.k, self.pool.v, tmp_cache, jnp.asarray(row),
+                jnp.int32(free), self._logits, logits,
+                page=self.pool.page_size,
+            )
+        else:
+            self.cache, self._logits = self._insert_jit(
+                self.cache, tmp_cache, jnp.int32(free), jnp.int32(kv_len),
+                self._logits, logits,
+            )
+        slot = self.slots[free]
+        slot.request = request
+        slot.position = seq_len
+        slot.remaining = request.max_tokens
+        slot.ready = True
+        self._lengths_host[free] = kv_len
+        if self._json_dev is not None:
+            init_state = (
+                self._json_tables.init_state if request.json_mode else 0
+            )
+            min_tok = min(
+                max(app_config.constrained_json_min_tokens, 0),
+                request.max_tokens - 32,
+            )
+            self._fsm_state = self._fsm_state.at[free].set(init_state)
+            self._fsm_remaining = self._fsm_remaining.at[free].set(
+                request.max_tokens
+            )
+            self._fsm_active = self._fsm_active.at[free].set(
+                bool(request.json_mode)
+            )
+            self._fsm_min_remaining = self._fsm_min_remaining.at[free].set(
+                request.max_tokens - max(min_tok, 0)
+            )
+        logger.info(
+            f"Admitted {request.request_id} into slot {free} "
+            f"(prompt {seq_len} tokens, active {self.active_count})"
+        )
+
+    def _advance_prefill(self) -> None:
+        """Run ONE chunked-prefill segment (extend_scan appends it to the
+        reserved slot's staging cache); activates the slot when the last
+        segment lands.  Called between decode chunks by the run loop."""
+        st = self._prefilling
+        request: Request = st["request"]
+        try:
+            seg_size = self.chunked_prefill
+            ids = st["ids"]
+            start = st["done"]
+            end = min(start + seg_size, len(ids))
+            padded = np.zeros((1, seg_size), np.int32)
+            padded[0, : end - start] = ids[start:end]
+            embeds = self._embed_jit(
+                self.params["embed_tokens"], jnp.asarray(padded)
+            )
+            positions = jnp.asarray(
+                np.arange(seg_size, dtype=np.int32)[None] + start
+            )
+            logits, cache = self._extend_jit(
+                self.params, embeds, positions, st["cache"],
+                jnp.asarray([end - start]),
+            )
+            st["cache"] = cache
+            st["logits"] = logits
+            st["done"] = end
+            self.prefill_segments_done += 1
+            if end == len(ids):
+                self._activate_slot(
+                    st["free"], request, cache, logits, len(ids), len(ids)
+                )
+                self._prefilling = None
+        except Exception as exc:
+            logger.error(
+                f"Chunked prefill failed for {request.request_id}: {exc}",
+                exc_info=True,
+            )
+            self.slots[st["free"]].request = None
+            self.slots[st["free"]].ready = True
+            if self.paged:
+                self.pool.release(st["free"])
+            self._prefilling = None
+            request.error = str(exc)
+            request.out.put(None)
 
     def _decode_once(self) -> None:
         """One CHUNK of batched decode over all slots: `decode_chunk` tokens
@@ -571,15 +666,23 @@ class ContinuousBatchingScheduler:
             f"max_len {self.max_len}"
         )
         while not self._shutdown.is_set():
-            # Drain the pending queue into free slots before decoding —
-            # simultaneous arrivals then share the first chunk instead of
-            # ramping in one admission per chunk (prefill is ~an order of
-            # magnitude cheaper than a decode chunk).
-            admitted = False
-            while self._admit_one():
-                admitted = True
+            advanced = False
+            if self._prefilling is not None:
+                # One chunked-prefill segment per iteration: the in-flight
+                # decode below keeps streaming between segments.
+                self._advance_prefill()
+                advanced = True
+            else:
+                # Drain the pending queue into free slots before decoding —
+                # simultaneous arrivals then share the first chunk instead
+                # of ramping in one admission per chunk (prefill is ~an
+                # order of magnitude cheaper than a decode chunk).
+                while self._admit_one():
+                    advanced = True
+                    if self._prefilling is not None:
+                        break  # a chunked prefill started; stop admitting
             if self.active_count == 0:
-                if not admitted:
+                if not advanced:
                     time.sleep(0.005)
                 continue
             self._decode_once()

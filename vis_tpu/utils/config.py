@@ -144,6 +144,7 @@ class Config(BaseModel):
     device_preprocess: bool = False   # vision preprocessing on device (ops/preprocess_device.py) instead of host PIL
     decode_chunk: int = 64            # fused decode tokens per device dispatch (host EOS check between chunks); raise on high-RTT links
     vision_parallel: str = "tp"       # multi-chip vision encode: "tp" (head-sharded params) | "sp" (Ulysses sequence-parallel, replicated params)
+    chunked_prefill_tokens: int = 0   # scheduler: split long prompt prefills into N-token segments interleaved with decode chunks (0 = whole-prompt prefill)
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
 
     # ------------------------------------------------------------------
