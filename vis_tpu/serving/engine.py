@@ -170,21 +170,32 @@ class Engine:
 
             return shard_stacked_decoder_params(stacked, mesh)
 
+        # Vision variant: Qwen2-VL (full attention) or Qwen2.5-VL (window
+        # attention + RMSNorm/SwiGLU tower — the reference's actual
+        # inspector family, reference vlm_inspector.py:23).
+        from vis_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+
+        self._is_qwen25 = isinstance(vlm_config, Qwen25VLConfig)
         # Multi-chip vision strategy: "tp" shards the tower's heads/MLPs via
         # param shardings (XLA inserts collectives); "sp" keeps params
         # replicated and shards the SEQUENCE, exchanging heads<->sequence
         # with all-to-all (parallel/sp.py) — the right shape for huge
-        # dynamic-resolution grids (SURVEY §5.7).
+        # dynamic-resolution grids (SURVEY §5.7).  SP covers the Qwen2-VL
+        # tower; the 2.5 window tower is already sequence-local per window.
         self._vision_sp = (
             mesh is not None
             and vlm_config is not None
+            and not self._is_qwen25
             and app_config.vision_parallel == "sp"
             and dict(mesh.shape).get("model", 1) > 1
         )
         if vlm_params is not None:
             vlm_params = dict(vlm_params)
             vlm_params["text"] = _finish(vlm_params["text"])
-            if mesh is not None and not self._vision_sp:
+            if mesh is not None and not self._vision_sp and not self._is_qwen25:
+                # TP rules cover the Qwen2-VL tower; the 2.5 window tower
+                # runs replicated under a mesh (window attention is tiny
+                # per-step — TP the 28-layer text stack where the FLOPs are).
                 from vis_tpu.parallel.sharding import shard_vision_params
 
                 vlm_params["vision"] = shard_vision_params(
@@ -225,6 +236,12 @@ class Engine:
         self._verify_jit = jax.jit(partial(verify_scan, text_config))
         if vlm_config is None:
             self._encode_image_jit = None
+        elif self._is_qwen25:
+            from vis_tpu.models.qwen2_5_vl.vision import vision_forward_25
+
+            self._encode_image_jit = jax.jit(
+                partial(vision_forward_25, vlm_config.vision)
+            )
         elif self._vision_sp:
             from vis_tpu.parallel.sp import vision_forward_sp
 
@@ -483,22 +500,52 @@ class Engine:
                         image_path, max_image_dim=max_image_dim
                     )
             padded, bucket = image.padded()
-            cos, sin = vision_rotary_tables(
-                self.vlm_config.vision, image.grid_h, image.grid_w
-            )
-            cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
-            sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
-            cos_p[: cos.shape[0]] = cos
-            sin_p[: sin.shape[0]] = sin
-            with span("engine.vision_encode", logger):
-                vision_embeds = self._encode_image_jit(
-                    self.vlm_params,
-                    jnp.asarray(padded),
-                    jnp.asarray(cos_p),
-                    jnp.asarray(sin_p),
-                    jnp.asarray(image.num_patches),
+            if self._is_qwen25:
+                from vis_tpu.models.qwen2_5_vl.vision import window_layout
+                from vis_tpu.ops.preprocess import PATCH_BUCKETS
+
+                base = window_layout(
+                    self.vlm_config.vision, image.grid_h, image.grid_w,
+                    src_len=bucket,
                 )
-                vision_embeds = vision_embeds[: image.num_tokens]
+                win_bucket = next(
+                    (b for b in PATCH_BUCKETS if b >= base.win_len),
+                    ((base.win_len + 63) // 64) * 64,
+                )
+                layout = window_layout(
+                    self.vlm_config.vision, image.grid_h, image.grid_w,
+                    min_len=win_bucket, src_len=bucket,
+                )
+                with span("engine.vision_encode", logger):
+                    vision_embeds = self._encode_image_jit(
+                        self.vlm_params["vision"],
+                        jnp.asarray(padded),
+                        jnp.asarray(layout.gather_patch),
+                        jnp.asarray(layout.valid),
+                        jnp.asarray(layout.cos),
+                        jnp.asarray(layout.sin),
+                        jnp.asarray(layout.inv_merged),
+                        jnp.asarray(layout.inv_patch),
+                        jnp.asarray(image.num_patches),
+                    )
+                    vision_embeds = vision_embeds[: image.num_tokens]
+            else:
+                cos, sin = vision_rotary_tables(
+                    self.vlm_config.vision, image.grid_h, image.grid_w
+                )
+                cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
+                sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
+                cos_p[: cos.shape[0]] = cos
+                sin_p[: sin.shape[0]] = sin
+                with span("engine.vision_encode", logger):
+                    vision_embeds = self._encode_image_jit(
+                        self.vlm_params,
+                        jnp.asarray(padded),
+                        jnp.asarray(cos_p),
+                        jnp.asarray(sin_p),
+                        jnp.asarray(image.num_patches),
+                    )
+                    vision_embeds = vision_embeds[: image.num_tokens]
 
         ids, mrope_positions, next_pos = self._build_prompt_ids(prompt, image)
         seq_len = ids.shape[1]
@@ -977,6 +1024,11 @@ def _dev_text_config() -> DecoderConfig:
     )
 
 
+def _is_qwen25(model_name: str) -> bool:
+    lower = model_name.lower()
+    return "qwen2.5-vl" in lower or "qwen2_5_vl" in lower or "qwen2.5vl" in lower
+
+
 def _is_mllama(model_name: str) -> bool:
     lname = model_name.lower()
     return "llama" in lname and "vision" in lname
@@ -988,6 +1040,7 @@ def _is_mllama(model_name: str) -> bool:
 _VISION_QUANT_KEYS = frozenset({
     "qkv", "proj", "fc1", "fc2", "patch_embed",
     "q_proj", "k_proj", "v_proj", "o_proj", "projector",
+    "gate_proj", "up_proj", "down_proj",  # Qwen2.5-VL SwiGLU tower
 })
 
 
@@ -1100,6 +1153,45 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
         logger.info(f"{role}: target-scale Mllama-11B dev profile ({mode})")
         return MllamaEngine(
             f"target-{role}-mllama-11b", cfg, params, tokenizer, mesh=mesh
+        )
+
+    if is_vlm and _is_qwen25(model_name):
+        import dataclasses as _dc
+
+        from vis_tpu.models import qwen2_5_vl as q25
+
+        cfg25 = q25.Qwen25VLConfig.qwen2_5_vl_7b()
+        cfg25 = _dc.replace(
+            cfg25, image_token_id=261, vision_start_token_id=259,
+            vision_end_token_id=260, eos_token_id=256,
+        )
+
+        def make_qwen25(k):
+            from vis_tpu.models.common.decoder import (
+                fuse_stacked_projections,
+                quantize_stacked_params,
+            )
+
+            p = q25.init_params(cfg25, k)
+            text = stack_decoder_layers(p["text"])
+            if mesh is None:
+                text = fuse_stacked_projections(text)
+            if quantize:
+                text = quantize_stacked_params(
+                    text, quantize_embeddings=True, mode=mode
+                )
+                p["vision"] = _quantize_vision_tree(p["vision"], mode)
+            p["text"] = text
+            return p
+
+        params = _materialize_like(
+            jax.eval_shape(make_qwen25, key), hash(role) % (2**31)
+        )
+        tokenizer = ByteTokenizer(vocab_size=cfg25.text.vocab_size)
+        logger.info(f"{role}: target-scale Qwen2.5-VL-7B dev profile ({mode})")
+        return Engine(
+            f"target-{role}-qwen25vl-7b", cfg25.text, None, tokenizer,
+            vlm_config=cfg25, vlm_params=params, mesh=mesh,
         )
 
     if is_vlm:
@@ -1220,6 +1312,20 @@ def build_engine(role: str, model_name: str):
             params = convert_mllama(state, cfg)
             logger.info(f"{role}: loaded Mllama {model_name} from {ckpt_dir}")
             return MllamaEngine(model_name, cfg, params, tokenizer, mesh=mesh)
+        if is_vlm and (model_type == "qwen2_5_vl" or
+                       (not model_type and _is_qwen25(model_name))):
+            from vis_tpu.models import qwen2_5_vl as q25
+
+            cfg = (
+                q25.Qwen25VLConfig.from_hf_config(hf_cfg)
+                if hf_cfg is not None else q25.Qwen25VLConfig.qwen2_5_vl_7b()
+            )
+            params = q25.convert_hf_state_dict(state, cfg)
+            logger.info(f"{role}: loaded Qwen2.5-VL {model_name} from {ckpt_dir}")
+            return Engine(
+                model_name, cfg.text, None, tokenizer,
+                vlm_config=cfg, vlm_params=params, mesh=mesh,
+            )
         if is_vlm:
             if hf_cfg is not None:
                 cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
@@ -1278,6 +1384,30 @@ def build_engine(role: str, model_name: str):
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         return MllamaEngine(f"dev-{role}-mllama", cfg, params, tokenizer,
                             mesh=mesh)
+    if is_vlm and _is_qwen25(model_name):
+        from vis_tpu.models import qwen2_5_vl as q25
+
+        cfg = q25.Qwen25VLConfig(
+            vision=q25.Qwen25VisionConfig(
+                depth=4, hidden_size=256, intermediate_size=704, num_heads=4,
+                out_hidden_size=1024, window_size=112,
+                fullatt_block_indexes=(1, 3),
+            ),
+            text=DecoderConfig(
+                vocab_size=1024, hidden_size=1024, num_layers=8, num_heads=8,
+                num_kv_heads=2, intermediate_size=2816,
+                rope_theta=1_000_000.0, qkv_bias=True,
+                mrope_section=(16, 24, 24), tie_word_embeddings=True,
+            ),
+            image_token_id=261, vision_start_token_id=259,
+            vision_end_token_id=260, eos_token_id=256,
+        )
+        params = q25.init_params(cfg, key)
+        tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
+        return Engine(
+            f"dev-{role}-qwen25", cfg.text, None, tokenizer,
+            vlm_config=cfg, vlm_params=params, mesh=mesh,
+        )
     if is_vlm:
         cfg = _dev_vlm_config()
         params = qwen_model.init_params(cfg, key)
