@@ -72,6 +72,21 @@ mllama = MllamaForConditionalGeneration(MllamaConfig(
     image_token_index=250,
 )).eval()
 mllama.save_pretrained(root + "/tiny-mllama-vision", safe_serialization=True)
+
+from transformers import Qwen2_5_VLConfig, Qwen2_5_VLForConditionalGeneration
+torch.manual_seed(5)
+q25 = Qwen2_5_VLForConditionalGeneration(Qwen2_5_VLConfig(
+    text_config=dict(vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        rope_theta=1000000.0, max_position_embeddings=512, rms_norm_eps=1e-6,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+    vision_config=dict(depth=4, hidden_size=64, intermediate_size=128,
+        num_heads=4, patch_size=14, spatial_merge_size=2,
+        temporal_patch_size=2, out_hidden_size=64, in_channels=3,
+        window_size=56, fullatt_block_indexes=[1, 3]),
+    image_token_id=7, vision_start_token_id=5, vision_end_token_id=6,
+)).eval()
+q25.save_pretrained(root + "/tiny-qwen2.5-vl", safe_serialization=True)
 print("written")
 """
 
@@ -151,3 +166,29 @@ class TestCheckpointE2E:
         assert engine.generate("hello", max_tokens=4) == engine.generate(
             "hello", max_tokens=4
         )
+
+    def test_qwen25vl_loads_and_generates(self, engines_from):
+        """Qwen2.5-VL checkpoints route through the window-attention tower;
+        shapes (incl. window config) come from config.json."""
+        from PIL import Image
+
+        from vis_tpu.serving.engine import build_engine
+
+        engine = build_engine("inspector", "tiny-qwen2.5-vl")
+        assert engine._is_qwen25
+        assert engine.vlm_config.vision.window_size == 56
+        assert engine.vlm_config.vision.fullatt_block_indexes == (1, 3)
+        assert engine.text_config.mrope_section == (2, 3, 3)
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            path = Path(td) / "probe.png"
+            Image.fromarray(
+                np.random.default_rng(7).integers(
+                    0, 255, (120, 200, 3), dtype=np.uint8
+                )
+            ).save(path)
+            out = engine.generate("inspect", path, max_tokens=5,
+                                  max_image_dim=128)
+        assert isinstance(out, str)
