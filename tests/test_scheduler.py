@@ -169,3 +169,60 @@ class TestChunkedPrefill:
             assert sched.prefill_segments_done == 0
         finally:
             sched.stop()
+
+
+class TestBatchedSampling:
+    """temperature>0 requests batch with greedy ones in a single chunk:
+    greedy rows stay token-exact, sampled rows draw per-slot gumbel."""
+
+    def test_mixed_greedy_and_sampled(self, setup):
+        engine, scheduler = setup
+        prompt_g = "greedy row prompt about the casing"
+        prompt_s = "sampled row prompt about the weld"
+        expected_greedy = engine.generate(prompt_g, max_tokens=24)
+
+        import threading
+
+        results = {}
+
+        def run(tag, prompt, temp):
+            results[tag] = scheduler.generate(
+                prompt, max_tokens=24, timeout=120
+            ) if temp == 0 else "".join(
+                c for c in iter_stream(prompt, temp)
+            )
+
+        def iter_stream(prompt, temp):
+            req = scheduler.submit(prompt, max_tokens=24, temperature=temp)
+            while True:
+                c = req.out.get(timeout=120)
+                if c is None:
+                    break
+                yield c
+
+        t1 = threading.Thread(target=run, args=("g", prompt_g, 0.0))
+        t2 = threading.Thread(target=run, args=("s", prompt_s, 0.9))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+
+        assert results["g"] == expected_greedy
+        # random tiny-model sampling may hit EOS/special ids immediately;
+        # the contract is completion-without-error, not non-empty text
+        assert isinstance(results["s"], str)
+
+    def test_sampled_request_alone(self, setup):
+        engine, scheduler = setup
+        out = "".join(
+            c for c in scheduler.stream(
+                "solo sampled", max_tokens=16, timeout=120
+            )
+        )
+        # greedy baseline unchanged by the sampling machinery
+        assert out == engine.generate("solo sampled", max_tokens=16)
+        req = scheduler.submit("solo sampled", max_tokens=16, temperature=1.0)
+        chunks = []
+        while True:
+            c = req.out.get(timeout=120)
+            if c is None:
+                break
+            chunks.append(c)
+        assert isinstance("".join(chunks), str)

@@ -875,13 +875,22 @@ def gumbel_sample_token(
     """Categorical sampling via the Gumbel-max trick — runs INSIDE the fused
     decode scan, so sampled decode costs the same device dispatches as
     greedy (the old per-token host loop paid one tunnel round-trip per
-    token).  Already-masked logits (-1e30 for disallowed) stay unpickable."""
+    token).  Already-masked logits (-1e30 for disallowed) stay unpickable.
+
+    temperature may be a scalar or a per-row [b] vector; rows with
+    temperature <= 0 take the EXACT greedy argmax (scheduler slots mix
+    sampled and greedy requests in one batched step)."""
+    temp = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), logits.shape[:1]
+    )
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
     ))
-    return jnp.argmax(
-        logits / jnp.maximum(temperature, 1e-6) + gumbel, axis=-1
-    ).astype(jnp.int32)
+    sampled = jnp.argmax(
+        logits / jnp.maximum(temp, 1e-6)[:, None] + gumbel, axis=-1
+    )
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temp > 0, sampled, greedy).astype(jnp.int32)
 
 
 def decode_loop_scan_sampled(
@@ -1112,17 +1121,30 @@ def decode_loop_paged_constrained(
     lengths: jnp.ndarray,
     constraint: DecodeConstraint,
     num_steps: int,
+    key: Optional[jnp.ndarray] = None,
+    temperature: Optional[jnp.ndarray] = None,
 ):
     """decode_loop_paged with the per-row JSON-grammar mask (scheduler slots
-    in json_mode carry a DFA row; free-form slots pass active=False)."""
+    in json_mode carry a DFA row; free-form slots pass active=False).
+    With key/temperature, picks are per-row Gumbel-sampled (temperature<=0
+    rows stay exact-greedy)."""
     slots, max_pages = page_tables.shape
     page = pool_k.shape[2]
     width = max_pages * page
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (slots,))
+    sampled = key is not None
 
     def step(carry, step_idx):
-        logits, pool_k, pool_v, lengths, con = carry
-        token, con = constrained_argmax(logits, con)
+        if sampled:
+            logits, pool_k, pool_v, lengths, con, rng = carry
+            rng, sub = jax.random.split(rng)
+            token, con = constrained_pick(
+                logits, con,
+                lambda m: gumbel_sample_token(m, sub, temperature),
+            )
+        else:
+            logits, pool_k, pool_v, lengths, con = carry
+            token, con = constrained_argmax(logits, con)
         pos_vec = start_vec + step_idx
         if config.mrope_section is not None:
             positions = jnp.broadcast_to(pos_vec[None, :, None], (3, slots, 1))
@@ -1160,12 +1182,20 @@ def decode_loop_paged_constrained(
         pool_v = pool_v.at[:, page_idx, offset].set(
             v_new[:, :, 0].astype(pool_v.dtype)
         )
+        if sampled:
+            return (logits, pool_k, pool_v, lengths + 1, con, rng), token
         return (logits, pool_k, pool_v, lengths + 1, con), token
 
-    (logits, pool_k, pool_v, lengths, constraint), tokens = lax.scan(
-        step, (first_logits, pool_k, pool_v, lengths, constraint),
-        jnp.arange(num_steps),
-    )
+    if sampled:
+        (logits, pool_k, pool_v, lengths, constraint, _), tokens = lax.scan(
+            step, (first_logits, pool_k, pool_v, lengths, constraint, key),
+            jnp.arange(num_steps),
+        )
+    else:
+        (logits, pool_k, pool_v, lengths, constraint), tokens = lax.scan(
+            step, (first_logits, pool_k, pool_v, lengths, constraint),
+            jnp.arange(num_steps),
+        )
     return tokens.T, logits, pool_k, pool_v, lengths, constraint
 
 

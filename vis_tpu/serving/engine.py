@@ -415,11 +415,16 @@ class Engine:
         scheduler = getattr(self, "scheduler", None)
         if json_mode and self._json_tables() is None:
             json_mode = False  # tokenizer unsupported; robust parser catches
-        if scheduler is not None and temperature <= 0.0 and (
-            not json_mode or scheduler._json_dev is not None
-        ):
+        sched_ok = scheduler is not None
+        if sched_ok and json_mode and scheduler._json_dev is None:
+            sched_ok = False
+        if (sched_ok and temperature > 0.0 and scheduler.paged
+                and scheduler._json_dev is None):
+            sched_ok = False  # sampled paged rides the constrained path
+        if sched_ok:
             # Prefill under the lock, decode batched in the scheduler
-            # (json_mode rows carry a per-slot DFA in the shared chunk).
+            # (json_mode rows carry a per-slot DFA, temp>0 rows sample
+            # in-chunk; greedy rows stay token-exact in mixed batches).
             if json_mode:
                 max_tokens = max(max_tokens, self._json_tables()[3].min_budget)
             with self._lock:
@@ -429,7 +434,7 @@ class Engine:
                 )
             request = scheduler.submit_prefilled(
                 cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len,
-                json_mode=json_mode,
+                json_mode=json_mode, temperature=temperature,
             )
             while True:
                 chunk = request.out.get()

@@ -37,6 +37,7 @@ from vis_tpu.models.common.decoder import (
     decode_loop_paged_constrained,
     decode_loop_scan,
     decode_loop_scan_constrained,
+    decode_loop_scan_sampled,
     decode_step_scan,
     extend_scan,
     prefill_scan,
@@ -72,6 +73,8 @@ class Request:
     # JSON-grammar-constrained decode for this request (requires the
     # scheduler to have been built with constraint tables).
     json_mode: bool = False
+    # Sampling temperature (0 = greedy); per-slot in the batched chunk.
+    temperature: float = 0.0
 
 
 @dataclasses.dataclass
@@ -166,6 +169,12 @@ class ContinuousBatchingScheduler:
         self._fsm_remaining = jnp.ones((self.num_slots,), jnp.int32)
         self._fsm_active = jnp.zeros((self.num_slots,), bool)
         self._fsm_min_remaining = jnp.zeros((self.num_slots,), jnp.int32)
+        # Per-slot sampling temperatures (0 = greedy); rows mix freely in
+        # one batched chunk (gumbel_sample_token keeps temp<=0 rows
+        # exact-greedy).
+        self._temps_host = np.zeros((self.num_slots,), np.float32)
+        self._sample_base_key = jax.random.PRNGKey(0)
+        self._chunk_counter = 0
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._shutdown = threading.Event()
@@ -201,6 +210,10 @@ class ContinuousBatchingScheduler:
         self._decode_paged_con_jit = jax.jit(
             partial(decode_loop_paged_constrained, text_config),
             static_argnames=("num_steps",), donate_argnums=(3, 4),
+        )
+        self._decode_loop_sampled_jit = jax.jit(
+            partial(decode_loop_scan_sampled, text_config),
+            static_argnames=("num_steps",), donate_argnums=(3,),
         )
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
         # Chunked prefill (SURVEY §7 hard part 3): long prompts fill their
@@ -268,16 +281,25 @@ class ContinuousBatchingScheduler:
             self._thread = None
 
     def submit(self, prompt: str, max_tokens: int = 512,
-               json_mode: bool = False) -> Request:
+               json_mode: bool = False,
+               temperature: float = 0.0) -> Request:
+        self._check_modes(json_mode, temperature)
+        request = Request(prompt=prompt, max_tokens=max_tokens,
+                          json_mode=json_mode, temperature=temperature)
+        self._pending.put(request)
+        return request
+
+    def _check_modes(self, json_mode: bool, temperature: float) -> None:
         if json_mode and self._json_dev is None:
             raise ValueError(
                 "json_mode requires the scheduler to be built with "
                 "constraint tables (json_tables=)"
             )
-        request = Request(prompt=prompt, max_tokens=max_tokens,
-                          json_mode=json_mode)
-        self._pending.put(request)
-        return request
+        if temperature > 0.0 and self.paged and self._json_dev is None:
+            raise ValueError(
+                "sampled decode over the paged pool requires constraint "
+                "tables (the sampled paged loop rides the constrained path)"
+            )
 
     def submit_prefilled(
         self,
@@ -287,6 +309,7 @@ class ContinuousBatchingScheduler:
         max_tokens: int = 512,
         kv_len: Optional[int] = None,
         json_mode: bool = False,
+        temperature: float = 0.0,
     ) -> Request:
         """Hand off an externally prefilled request (e.g. a VLM engine's
         vision+multimodal prefill) for batched decode.  src_cache must be a
@@ -294,13 +317,9 @@ class ContinuousBatchingScheduler:
         Pass kv_len (the cursor value) when known host-side — it saves a
         blocking device read at admission (kv_len != next_position for
         M-RoPE models, where rope positions run ahead of cache slots)."""
-        if json_mode and self._json_dev is None:
-            raise ValueError(
-                "json_mode requires the scheduler to be built with "
-                "constraint tables (json_tables=)"
-            )
+        self._check_modes(json_mode, temperature)
         request = Request(prompt="", max_tokens=max_tokens,
-                          json_mode=json_mode)
+                          json_mode=json_mode, temperature=temperature)
         request.prefilled = (src_cache, first_logits, int(next_position), kv_len)
         self._pending.put(request)
         return request
@@ -479,6 +498,7 @@ class ContinuousBatchingScheduler:
         slot.remaining = request.max_tokens
         slot.ready = True
         self._lengths_host[free] = kv_len
+        self._temps_host[free] = max(0.0, request.temperature)
         if self._json_dev is not None:
             init_state = (
                 self._json_tables.init_state if request.json_mode else 0
@@ -577,6 +597,21 @@ class ContinuousBatchingScheduler:
                 active=self._fsm_active,
                 min_remaining=self._fsm_min_remaining,
             )
+        # Per-slot sampling: any temp>0 row switches the chunk to the
+        # sampled program (greedy rows stay EXACT via the in-kernel where).
+        any_sampled = bool(
+            any(s.active and self._temps_host[i] > 0
+                for i, s in enumerate(self.slots))
+        )
+        sample_kwargs = {}
+        if any_sampled:
+            self._chunk_counter += 1
+            sample_kwargs = dict(
+                key=jax.random.fold_in(
+                    self._sample_base_key, self._chunk_counter
+                ),
+                temperature=jnp.asarray(self._temps_host),
+            )
         if self.paged:
             if constraint is not None:
                 (tokens, self._logits, self.pool.k, self.pool.v, _,
@@ -584,8 +619,10 @@ class ContinuousBatchingScheduler:
                     self.params, self._logits, jnp.asarray(positions_vec),
                     self.pool.k, self.pool.v, self.pool.page_tables,
                     jnp.asarray(prev_lengths), constraint, num_steps=steps,
+                    **sample_kwargs,
                 )
             else:
+                # _check_modes rejects sampled paged requests w/o tables.
                 tokens, self._logits, self.pool.k, self.pool.v, _ = (
                     self._decode_paged_jit(
                         self.params, self._logits, jnp.asarray(positions_vec),
@@ -599,6 +636,15 @@ class ContinuousBatchingScheduler:
                     self._decode_loop_con_jit(
                         self.params, self._logits, jnp.asarray(positions_vec),
                         self.cache, constraint, num_steps=steps,
+                        **sample_kwargs,
+                    )
+                )
+            elif any_sampled:
+                tokens, self._logits, self.cache, _ = (
+                    self._decode_loop_sampled_jit(
+                        self.params, self._logits, jnp.asarray(positions_vec),
+                        self.cache, sample_kwargs["key"],
+                        sample_kwargs["temperature"], num_steps=steps,
                     )
                 )
             else:
@@ -641,6 +687,7 @@ class ContinuousBatchingScheduler:
             if finished:
                 slot.request = None
                 lengths[i] = 0
+                self._temps_host[i] = 0.0
                 if self.paged:
                     # Release BEFORE signalling completion so a caller that
                     # observes the end of its stream also observes its pages
