@@ -187,7 +187,7 @@ class TestBatchedSampling:
 
         def run(tag, prompt, temp):
             results[tag] = scheduler.generate(
-                prompt, max_tokens=24, timeout=120
+                prompt, max_tokens=24, timeout=300
             ) if temp == 0 else "".join(
                 c for c in iter_stream(prompt, temp)
             )
@@ -195,15 +195,18 @@ class TestBatchedSampling:
         def iter_stream(prompt, temp):
             req = scheduler.submit(prompt, max_tokens=24, temperature=temp)
             while True:
-                c = req.out.get(timeout=120)
+                c = req.out.get(timeout=300)
                 if c is None:
                     break
                 yield c
 
         t1 = threading.Thread(target=run, args=("g", prompt_g, 0.0))
         t2 = threading.Thread(target=run, args=("s", prompt_s, 0.9))
-        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        t1.start(); t2.start(); t1.join(300); t2.join(300)
 
+        # a missing key means a worker thread timed out (slow shared-CPU
+        # host), not a batching bug — fail with that distinction visible
+        assert "g" in results and "s" in results, "worker thread timed out"
         assert results["g"] == expected_greedy
         # random tiny-model sampling may hit EOS/special ids immediately;
         # the contract is completion-without-error, not non-empty text
