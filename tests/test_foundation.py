@@ -44,6 +44,53 @@ class TestConfig:
         monkeypatch.delenv("USE_MOCK_RESPONSES")
         get_config(reload=True)
 
+    def test_models_yaml_layer(self, tmp_path, monkeypatch):
+        """configs/models.yaml feeds per-agent fields; env vars beat it."""
+        from vis_tpu.utils import config as config_mod
+
+        yml = tmp_path / "models.yaml"
+        yml.write_text(
+            "inspector:\n"
+            "  model_id: yaml/inspector\n"
+            "  temperature: 0.42\n"
+            "  max_tokens: 123\n"
+            "explainer:\n"
+            "  provider: mock\n"
+        )
+        loaded = config_mod._load_models_yaml(yml)
+        assert loaded["VLM_INSPECTOR_MODEL"] == "yaml/inspector"
+        assert loaded["VLM_INSPECTOR_MAX_TOKENS"] == "123"
+        assert loaded["EXPLAINER_PROVIDER"] == "mock"
+
+        monkeypatch.setattr(config_mod, "MODELS_YAML_PATH", yml)
+        cfg = get_config(reload=True)
+        assert cfg.vlm_inspector_model == "yaml/inspector"
+        assert cfg.vlm_inspector_temperature == 0.42
+        assert cfg.vlm_inspector_max_tokens == 123
+        assert cfg.explainer_provider == "mock"
+        # env var wins over the yaml layer
+        monkeypatch.setenv("VLM_INSPECTOR_MODEL", "env/inspector")
+        cfg = get_config(reload=True)
+        assert cfg.vlm_inspector_model == "env/inspector"
+        assert cfg.vlm_inspector_max_tokens == 123
+        monkeypatch.delenv("VLM_INSPECTOR_MODEL")
+        # malformed yaml is a warning, not a crash
+        yml.write_text("inspector: [not-a-mapping\n")
+        assert config_mod._load_models_yaml(yml) == {}
+        monkeypatch.setattr(config_mod, "MODELS_YAML_PATH", yml)
+        get_config(reload=True)
+
+    def test_repo_models_yaml_matches_defaults(self):
+        """The shipped configs/models.yaml mirrors the built-in defaults so
+        a fresh checkout behaves identically with or without the file."""
+        from vis_tpu.utils.config import _load_models_yaml, MODELS_YAML_PATH
+
+        loaded = _load_models_yaml(MODELS_YAML_PATH)
+        assert loaded  # file exists in-repo
+        defaults = Config()
+        for env_key, value in loaded.items():
+            assert str(getattr(defaults, env_key.lower())) == value
+
 
 class TestValidators:
     def test_criticality(self):

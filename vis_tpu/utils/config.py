@@ -263,10 +263,66 @@ class Config(BaseModel):
         return p
 
 
+# configs/models.yaml — per-agent model/temperature/max_tokens/provider.
+# The reference ships config/models.yaml but never reads it (SURVEY §2 #34);
+# here it is a real config layer: defaults < models.yaml < .env < env vars.
+MODELS_YAML_PATH = (
+    Path(__file__).resolve().parent.parent.parent / "configs" / "models.yaml"
+)
+
+_MODELS_YAML_FIELDS = {
+    # yaml section -> {yaml key: Config field}
+    "inspector": {
+        "model_id": "vlm_inspector_model",
+        "temperature": "vlm_inspector_temperature",
+        "max_tokens": "vlm_inspector_max_tokens",
+        "provider": "vlm_inspector_provider",
+    },
+    "auditor": {
+        "model_id": "vlm_auditor_model",
+        "temperature": "vlm_auditor_temperature",
+        "max_tokens": "vlm_auditor_max_tokens",
+        "provider": "vlm_auditor_provider",
+    },
+    "explainer": {
+        "model_id": "explainer_model",
+        "temperature": "explainer_temperature",
+        "max_tokens": "explainer_max_tokens",
+        "provider": "explainer_provider",
+    },
+}
+
+
+def _load_models_yaml(path: Optional[Path] = None) -> Dict[str, str]:
+    """Per-agent settings from configs/models.yaml as UPPER_CASE source
+    entries; {} when the file is absent or malformed (never fatal)."""
+    yaml_path = path or MODELS_YAML_PATH
+    try:
+        if not yaml_path.exists():
+            return {}
+        import yaml
+
+        with open(yaml_path) as fh:
+            doc = yaml.safe_load(fh) or {}
+    except Exception as exc:  # malformed yaml never blocks startup
+        print(f"Warning: could not load {yaml_path}: {exc}", file=sys.stderr)
+        return {}
+    out: Dict[str, str] = {}
+    for section, mapping in _MODELS_YAML_FIELDS.items():
+        entries = doc.get(section)
+        if not isinstance(entries, dict):
+            continue
+        for yaml_key, field_name in mapping.items():
+            if yaml_key in entries and entries[yaml_key] is not None:
+                out[field_name.upper()] = str(entries[yaml_key])
+    return out
+
+
 def _load_from_env(env_file: Optional[Path] = None, **overrides: Any) -> Config:
-    """Build a Config from (lowest→highest precedence) defaults, `.env`,
-    process env, explicit overrides."""
+    """Build a Config from (lowest→highest precedence) defaults,
+    `configs/models.yaml`, `.env`, process env, explicit overrides."""
     source: Dict[str, str] = {}
+    source.update(_load_models_yaml())
     env_path = env_file or Path(".env")
     source.update(_parse_env_file(env_path))
     for field_name in Config.model_fields:
