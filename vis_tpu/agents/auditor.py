@@ -54,6 +54,9 @@ class VLMAuditorAgent(BaseVLMAgent):
                 temperature=self.temperature,
                 max_image_dim=self.max_image_dim,
                 json_mode=config.constrained_json,
+                json_schema=(
+                    "inspection" if config.constrained_schema else None
+                ),
             )
             parsed = self._parse_json_robust(raw)
             fixed = self._validate_and_fix_result(parsed)

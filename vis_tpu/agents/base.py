@@ -42,6 +42,7 @@ class InferenceBackend(Protocol):
         temperature: float = 0.0,
         max_image_dim: int = 2048,
         json_mode: bool = False,
+        json_schema: "Optional[str]" = None,
     ) -> str:
         ...
 
@@ -54,6 +55,7 @@ class InferenceBackend(Protocol):
         temperature: float = 0.0,
         max_image_dim: int = 2048,
         json_mode: bool = False,
+        json_schema: "Optional[str]" = None,
     ) -> Iterator[str]:
         ...
 

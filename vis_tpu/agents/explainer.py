@@ -52,11 +52,17 @@ class ExplainerAgent(BaseVLMAgent):
         )
 
     def _call_llm(self, prompt: str, json_mode: bool = False,
-                  max_tokens: Optional[int] = None) -> str:
+                  max_tokens: Optional[int] = None,
+                  json_schema: Optional[str] = None) -> str:
+        use_json = json_mode and config.constrained_json
         return self.backend.generate(
             prompt, None, max_tokens=max_tokens or self.max_tokens,
             temperature=self.temperature,
-            json_mode=json_mode and config.constrained_json,
+            json_mode=use_json,
+            json_schema=(
+                json_schema
+                if use_json and config.constrained_schema else None
+            ),
         )
 
     def _format_reasoning_chain(
@@ -170,7 +176,8 @@ class ExplainerAgent(BaseVLMAgent):
         try:
             # Small fixed-shape JSON (7 fields) — cap the decode budget.
             response = self._call_llm(
-                prompt, json_mode=True, max_tokens=min(256, self.max_tokens)
+                prompt, json_mode=True, max_tokens=min(256, self.max_tokens),
+                json_schema="decision_support",
             ).strip()
             if "```json" in response:
                 response = response.split("```json")[1].split("```")[0].strip()

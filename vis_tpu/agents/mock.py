@@ -216,6 +216,7 @@ class MockVLMBackend:
         temperature: float = 0.0,
         max_image_dim: int = 2048,
         json_mode: bool = False,
+        json_schema: Optional[str] = None,
     ) -> str:
         self._calls += 1
         if self.fail_every and self._calls % self.fail_every == 0:
@@ -272,6 +273,7 @@ class MockVLMBackend:
         temperature: float = 0.0,
         max_image_dim: int = 2048,
         json_mode: bool = False,
+        json_schema: Optional[str] = None,
     ) -> Iterator[str]:
         text = self.generate(
             prompt,

@@ -835,12 +835,17 @@ def constrained_pick(
     to grammar-legal, budget-feasible tokens."""
     k = constraint.token_ok.shape[1]
     cost_row = constraint.cost_after[constraint.state]
-    allowed = constraint.token_ok[constraint.state] & (
+    feasible = constraint.token_ok[constraint.state] & (
         cost_row < constraint.remaining[:, None]
     )
-    allowed &= (cost_row > 0) | (
-        constraint.remaining <= constraint.min_remaining
-    )[:, None]
+    # Document-length floor: block closing moves (cost_after == 0) while
+    # above the floor — but only where an open continuation exists at all
+    # (schema DFAs have forced-close states, e.g. the final '}').
+    open_opts = feasible & (cost_row > 0)
+    floor_on = (constraint.remaining > constraint.min_remaining) & (
+        open_opts.any(axis=-1)
+    )
+    allowed = jnp.where(floor_on[:, None], open_opts, feasible)
     allowed = allowed | ~constraint.active[:, None]
     head = jnp.where(allowed, logits[:, :k], -1e30)
     if logits.shape[-1] > k:

@@ -265,20 +265,23 @@ class _JsonDfa:
         self._close_costs()
 
     def _close_costs(self) -> None:
-        """close_cost[s] = min bytes from s to accept (fixpoint)."""
-        cost = np.full(self.n_states, _INF, np.int64)
-        cost[self.accept_id] = 0
-        # Bellman-Ford style relaxation; DFA diameter is small (< ~40).
-        for _ in range(self.n_states):
-            valid = self.trans_table >= 0  # [S, 256]
-            nxt_cost = np.where(
-                valid, cost[np.clip(self.trans_table, 0, None)], _INF
-            )
-            new = np.minimum(cost, 1 + nxt_cost.min(axis=1))
-            if np.array_equal(new, cost):
-                break
-            cost = new
-        self.close_cost = np.minimum(cost, _INF).astype(np.int32)
+        self.close_cost = _close_costs_table(self.trans_table, self.accept_id)
+
+
+def _close_costs_table(trans_table: np.ndarray, accept_id: int) -> np.ndarray:
+    """close_cost[s] = min bytes from s to accept (fixpoint relaxation;
+    shared by the generic-JSON and schema DFAs)."""
+    n_states = trans_table.shape[0]
+    cost = np.full(n_states, _INF, np.int64)
+    cost[accept_id] = 0
+    for _ in range(n_states):
+        valid = trans_table >= 0  # [S, 256]
+        nxt_cost = np.where(valid, cost[np.clip(trans_table, 0, None)], _INF)
+        new = np.minimum(cost, 1 + nxt_cost.min(axis=1))
+        if np.array_equal(new, cost):
+            break
+        cost = new
+    return np.minimum(cost, _INF).astype(np.int32)
 
 
 _dfa_lock = threading.Lock()
@@ -352,6 +355,22 @@ def json_constraint_tables(
             return _tables_cache[key]
 
     dfa = _get_dfa(max_depth)
+    tables = _compile_tables(dfa, tokenizer, vocab_size, require_open=True)
+    with _tables_lock:
+        _tables_cache[key] = tables
+    return tables
+
+
+def _compile_tables(
+    dfa, tokenizer, vocab_size: int, require_open: bool
+) -> Optional[ConstraintTables]:
+    """Compile any byte-DFA (generic JSON or a schema DFA — anything with
+    trans_table/close_cost/start_id/accept_id) to per-tokenizer tables.
+
+    require_open: demand every reachable state keep a cost>0 continuation
+    (needed for the generic DFA's min-length floor; schema DFAs have
+    forced-close states, so they compile with require_open=False and the
+    decoder's floor mask falls through to the forced move there)."""
     # ByteTokenizer: only ids < 262 carry content/specials, so the tables
     # can be narrow even when the model's logits are padded to a real
     # model's vocab width — the decoder arg-maxes over the masked head and
@@ -359,8 +378,6 @@ def json_constraint_tables(
     if type(tokenizer).__name__ == "ByteTokenizer":
         vocab_size = min(vocab_size, 262)
     if dfa.n_states * vocab_size > _MAX_TABLE_ENTRIES:
-        with _tables_lock:
-            _tables_cache[key] = None
         return None
 
     S, V = dfa.n_states, vocab_size
@@ -408,16 +425,17 @@ def json_constraint_tables(
     need = reachable & finite & (np.arange(S) != dfa.accept_id)
     best_after = np.where(token_ok, cost_after, _INF).min(axis=1)
     ok = best_after[need] < dfa.close_cost[need]
-    # Min-length support: every non-accept state must also have a token
-    # that KEEPS the document open (cost_after > 0), or the completion
-    # floor in constrained_argmax could dead-end.
-    open_ok = ((cost_after > 0) & (cost_after < _INF)).any(axis=1)
-    if not bool(np.all(ok)) or not bool(np.all(open_ok[need])):
-        with _tables_lock:
-            _tables_cache[key] = None
+    if not bool(np.all(ok)):
         return None
+    if require_open:
+        # Min-length support: every non-accept state must also have a token
+        # that KEEPS the document open (cost_after > 0), or the completion
+        # floor in constrained_argmax could dead-end.
+        open_ok = ((cost_after > 0) & (cost_after < _INF)).any(axis=1)
+        if not bool(np.all(open_ok[need])):
+            return None
 
-    tables = ConstraintTables(
+    return ConstraintTables(
         token_ok=token_ok,
         token_trans=np.where(token_ok, token_trans, 0).astype(np.int32),
         cost_after=cost_after,
@@ -426,9 +444,6 @@ def json_constraint_tables(
         eos_id=eos_id,
         min_budget=int(dfa.close_cost[dfa.start_id]) + 1,
     )
-    with _tables_lock:
-        _tables_cache[key] = tables
-    return tables
 
 
 def walk_document(tables: ConstraintTables, token_ids, start_state=None) -> int:

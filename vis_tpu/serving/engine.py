@@ -74,6 +74,37 @@ def _bucket_for(n: int, buckets: List[int]) -> int:
     return ((n + 127) // 128) * 128
 
 
+def load_constraint_tables(
+    tokenizer, vocab_size: int, schema: Optional[str] = None,
+    engine_name: str = "engine",
+):
+    """Compile + device-place constraint tables (generic JSON when
+    schema=None, else the registered schema's exact-document tables).
+    Returns (token_ok, token_trans, cost_after, host ConstraintTables) or
+    None when the tokenizer/vocab is unsupported."""
+    if schema is not None:
+        from vis_tpu.serving.schema import schema_constraint_tables
+
+        tables = schema_constraint_tables(tokenizer, vocab_size, schema)
+    else:
+        from vis_tpu.serving.constrained import json_constraint_tables
+
+        tables = json_constraint_tables(tokenizer, vocab_size)
+    if tables is None:
+        logger.warning(
+            f"{engine_name}: constrained decoding "
+            f"({'schema ' + schema if schema else 'generic JSON'}) "
+            "unavailable for this tokenizer/vocab; falling back"
+        )
+        return None
+    return (
+        jnp.asarray(tables.token_ok),
+        jnp.asarray(tables.token_trans),
+        jnp.asarray(tables.cost_after),
+        tables,
+    )
+
+
 def _pld_draft(context: List[int], k: int, ngram: int = 2) -> List[int]:
     """Prompt-lookup draft: the continuation after the most recent earlier
     occurrence of the trailing `ngram` (up to k tokens; [] when no match).
@@ -231,7 +262,7 @@ class Engine:
             partial(decode_loop_scan_sampled, text_config),
             static_argnames=("num_steps",), donate_argnums=(3,),
         )
-        self._json_constraint: Any = None
+        self._json_constraint: Dict[Optional[str], Any] = {}
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
         self._verify_jit = jax.jit(partial(verify_scan, text_config))
         if vlm_config is None:
@@ -411,11 +442,21 @@ class Engine:
         temperature: float = 0.0,
         max_image_dim: int = 2048,
         json_mode: bool = False,
+        json_schema: Optional[str] = None,
     ) -> Iterator[str]:
         scheduler = getattr(self, "scheduler", None)
-        if json_mode and self._json_tables() is None:
+        if not json_mode:
+            json_schema = None
+        if json_mode and self._json_tables(json_schema) is None:
             json_mode = False  # tokenizer unsupported; robust parser catches
+            json_schema = None
+        if json_schema is not None and self._json_constraint.get(json_schema) is None:
+            json_schema = None  # schema tables unavailable; generic fallback
         sched_ok = scheduler is not None
+        if sched_ok and json_schema is not None:
+            # Scheduler slots share ONE generic-JSON table set; schema
+            # requests take the unbatched fused path.
+            sched_ok = False
         if sched_ok and json_mode and scheduler._json_dev is None:
             sched_ok = False
         if (sched_ok and temperature > 0.0 and scheduler.paged
@@ -448,32 +489,25 @@ class Engine:
             yield from self._generate_locked(
                 prompt, image_path, max_tokens=max_tokens,
                 temperature=temperature, max_image_dim=max_image_dim,
-                json_mode=json_mode,
+                json_mode=json_mode, json_schema=json_schema,
             )
 
-    def _json_tables(self):
-        """Lazily compile + device-place the JSON constraint tables; None
-        when the tokenizer/vocab is unsupported (dense tables too large)."""
-        if self._json_constraint is None:
-            from vis_tpu.serving.constrained import json_constraint_tables
+    def _json_tables(self, schema: Optional[str] = None):
+        """Lazily compile + device-place constraint tables; None when the
+        tokenizer/vocab is unsupported (dense tables too large).
 
-            tables = json_constraint_tables(
-                self.tokenizer, self.text_config.vocab_size
+        schema=None gives the generic JSON grammar; a registered schema
+        name (serving/schema.py) gives the exact-document-shape tables —
+        same format, so the fused decode path is identical either way."""
+        if schema not in self._json_constraint:
+            self._json_constraint[schema] = load_constraint_tables(
+                self.tokenizer, self.text_config.vocab_size, schema,
+                engine_name=self.name,
             )
-            if tables is None:
-                logger.warning(
-                    f"{self.name}: JSON-constrained decoding unavailable for "
-                    "this tokenizer/vocab; relying on robust parsing"
-                )
-                self._json_constraint = False
-            else:
-                self._json_constraint = (
-                    jnp.asarray(tables.token_ok),
-                    jnp.asarray(tables.token_trans),
-                    jnp.asarray(tables.cost_after),
-                    tables,
-                )
-        return None if self._json_constraint is False else self._json_constraint
+        cached = self._json_constraint[schema]
+        if cached is None and schema is not None:
+            return self._json_tables(None)  # fall back to generic JSON
+        return cached
 
     def _prefill_request(
         self, prompt, image_path, *, max_tokens, max_image_dim,
@@ -718,11 +752,11 @@ class Engine:
 
     def _generate_locked(
         self, prompt, image_path, *, max_tokens, temperature, max_image_dim,
-        json_mode: bool = False,
+        json_mode: bool = False, json_schema: Optional[str] = None,
     ) -> Iterator[str]:
         tc = self.text_config
         params = self.text_params if self.vlm_config is None else self.vlm_params["text"]
-        json_tables = self._json_tables() if json_mode else None
+        json_tables = self._json_tables(json_schema) if json_mode else None
         sampled = temperature > 0.0
         if json_tables is not None:
             max_tokens = max(max_tokens, json_tables[3].min_budget)
@@ -974,20 +1008,22 @@ class EngineBackend:
 
     def generate(self, prompt, image_path=None, *, max_tokens=1024,
                  temperature=0.0, max_image_dim=2048,
-                 json_mode: bool = False) -> str:
+                 json_mode: bool = False,
+                 json_schema: Optional[str] = None) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
-            json_mode=json_mode,
+            json_mode=json_mode, json_schema=json_schema,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
                         temperature=0.0, max_image_dim=2048,
-                        json_mode: bool = False):
+                        json_mode: bool = False,
+                        json_schema: Optional[str] = None):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
-            json_mode=json_mode,
+            json_mode=json_mode, json_schema=json_schema,
         )
 
     def health_check(self) -> bool:

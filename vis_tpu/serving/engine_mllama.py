@@ -12,7 +12,7 @@ from __future__ import annotations
 import threading
 from functools import partial
 from pathlib import Path
-from typing import Any, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,7 +88,7 @@ class MllamaEngine:
         self._decode_chunk_sampled_jit = jax.jit(
             self._decode_chunk_sampled_impl, static_argnames=("steps",)
         )
-        self._json_constraint: Any = None
+        self._json_constraint: Dict[Optional[str], Any] = {}
 
     # -- jitted impls ----------------------------------------------------
     def _prefill_impl(self, params, embeds, positions, cross_kv, cache,
@@ -202,29 +202,20 @@ class MllamaEngine:
         )
         return tokens, logits, cache
 
-    def _json_tables(self):
-        """Lazily compile + device-place JSON constraint tables (None when
-        the tokenizer/vocab is unsupported)."""
-        if self._json_constraint is None:
-            from vis_tpu.serving.constrained import json_constraint_tables
+    def _json_tables(self, schema: Optional[str] = None):
+        """Lazily compile + device-place constraint tables (generic JSON or
+        a registered schema; None when the tokenizer/vocab is unsupported)."""
+        from vis_tpu.serving.engine import load_constraint_tables
 
-            tables = json_constraint_tables(
-                self.tokenizer, self.config.text.vocab_size
+        if schema not in self._json_constraint:
+            self._json_constraint[schema] = load_constraint_tables(
+                self.tokenizer, self.config.text.vocab_size, schema,
+                engine_name=self.name,
             )
-            if tables is None:
-                logger.warning(
-                    f"{self.name}: JSON-constrained decoding unavailable for "
-                    "this tokenizer/vocab; relying on robust parsing"
-                )
-                self._json_constraint = False
-            else:
-                self._json_constraint = (
-                    jnp.asarray(tables.token_ok),
-                    jnp.asarray(tables.token_trans),
-                    jnp.asarray(tables.cost_after),
-                    tables,
-                )
-        return None if self._json_constraint is False else self._json_constraint
+        cached = self._json_constraint[schema]
+        if cached is None and schema is not None:
+            return self._json_tables(None)
+        return cached
 
     # -- public API ------------------------------------------------------
     def generate_stream(
@@ -236,16 +227,17 @@ class MllamaEngine:
         temperature: float = 0.0,
         max_image_dim: int = 1024,
         json_mode: bool = False,
+        json_schema: Optional[str] = None,
     ) -> Iterator[str]:
         with self._lock:
             yield from self._generate(
                 prompt, image_path, max_tokens, json_mode=json_mode,
-                temperature=temperature,
+                temperature=temperature, json_schema=json_schema,
             )
 
     def _generate(
         self, prompt, image_path, max_tokens, json_mode: bool = False,
-        temperature: float = 0.0,
+        temperature: float = 0.0, json_schema: Optional[str] = None,
     ) -> Iterator[str]:
         tc = self.config.text
         cross_kv = None
@@ -294,7 +286,7 @@ class MllamaEngine:
                 jnp.asarray([seq_len]),
             )
 
-        json_tables = self._json_tables() if json_mode else None
+        json_tables = self._json_tables(json_schema) if json_mode else None
         constraint = None
         if json_tables is not None:
             ok_t, trans_t, cost_t, tables = json_tables
@@ -385,20 +377,22 @@ class MllamaEngineBackend:
 
     def generate(self, prompt, image_path=None, *, max_tokens=1024,
                  temperature=0.0, max_image_dim=1024,
-                 json_mode: bool = False) -> str:
+                 json_mode: bool = False,
+                 json_schema: Optional[str] = None) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
-            json_mode=json_mode,
+            json_mode=json_mode, json_schema=json_schema,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
                         temperature=0.0, max_image_dim=1024,
-                        json_mode: bool = False):
+                        json_mode: bool = False,
+                        json_schema: Optional[str] = None):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
-            json_mode=json_mode,
+            json_mode=json_mode, json_schema=json_schema,
         )
 
     def health_check(self) -> bool:
