@@ -253,6 +253,74 @@ class TestEngineSchemaMode:
         assert list(json.loads(out).keys()) == INSPECTION_KEYS
 
 
+class TestLookaheadDecode:
+    """CONSTRAINED_LOOKAHEAD: forced-run fast-forward windows must change
+    the dispatch structure, not the output."""
+
+    def test_matches_step_by_step(self, schema_engine, monkeypatch):
+        from vis_tpu.utils.config import config as app_config
+
+        base = schema_engine.generate(
+            "Inspect.", None, max_tokens=300, json_mode=True,
+            json_schema="inspection",
+        )
+        monkeypatch.setattr(app_config, "constrained_lookahead", 8)
+        look = schema_engine.generate(
+            "Inspect.", None, max_tokens=300, json_mode=True,
+            json_schema="inspection",
+        )
+        assert look == base
+
+    def test_chunk_boundaries_stable(self, schema_engine, monkeypatch):
+        from vis_tpu.utils.config import config as app_config
+
+        monkeypatch.setattr(app_config, "constrained_lookahead", 4)
+        wide = schema_engine.generate(
+            "chunks", None, max_tokens=260, json_mode=True,
+            json_schema="inspection",
+        )
+        old = schema_engine.decode_chunk
+        try:
+            schema_engine.decode_chunk = 5  # many dispatch hand-offs
+            narrow = schema_engine.generate(
+                "chunks", None, max_tokens=260, json_mode=True,
+                json_schema="inspection",
+            )
+        finally:
+            schema_engine.decode_chunk = old
+        assert wide == narrow
+
+    def test_sampled_lookahead_parses(self, schema_engine, monkeypatch):
+        from vis_tpu.utils.config import config as app_config
+
+        monkeypatch.setattr(app_config, "constrained_lookahead", 8)
+        out = schema_engine.generate(
+            "sampled", None, max_tokens=300, temperature=0.7,
+            json_mode=True, json_schema="inspection",
+        )
+        assert list(json.loads(out).keys()) == INSPECTION_KEYS
+
+    def test_generic_json_lookahead(self, schema_engine, monkeypatch):
+        """Lookahead composes with the generic grammar too (few forced
+        states — accept-EOS mainly — but must stay correct)."""
+        from vis_tpu.utils.config import config as app_config
+
+        monkeypatch.setattr(app_config, "constrained_lookahead", 4)
+        out = schema_engine.generate(
+            "generic", None, max_tokens=96, json_mode=True,
+        )
+        assert isinstance(json.loads(out), dict)
+
+    def test_forced_tables_cover_skeleton(self):
+        """Most schema states are forced (that is the whole point)."""
+        tok = ByteTokenizer(vocab_size=512)
+        tables = schema_constraint_tables(tok, 512, "inspection")
+        frac = (tables.forced_token >= 0).mean()
+        assert frac > 0.3
+        # the accept state forces EOS
+        assert tables.forced_token[tables.accept_state] == tok.eos_id
+
+
 class TestAgentSchemaMode:
     def test_inspector_through_schema_engine(self, schema_engine, monkeypatch):
         """CONSTRAINED_SCHEMA=true end-to-end through the inspector agent:

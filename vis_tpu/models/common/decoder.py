@@ -955,6 +955,109 @@ def decode_loop_scan_sampled(
     return tokens.T, logits, cache, key
 
 
+def decode_loop_lookahead(
+    config: DecoderConfig,
+    params: Params,
+    first_logits: jnp.ndarray,
+    start_position: jnp.ndarray,
+    cache: KVCache,
+    constraint: DecodeConstraint,
+    forced_token: jnp.ndarray,
+    forced_state: jnp.ndarray,
+    num_windows: int,
+    window: int,
+    key: Optional[jnp.ndarray] = None,
+    temperature: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
+    """Constrained decode emitting up to `window` tokens per weight pass.
+
+    Schema-constrained documents (serving/schema.py) are dominated by
+    FORCED runs — keys, punctuation, enum bodies — where the DFA allows
+    exactly one token and the model has no choice.  Decoding those one
+    step at a time reads all the weights once per token for a foregone
+    conclusion.  Here every step is a `window`-token extend_scan: position
+    0 is the model-chosen (grammar-masked) token, positions 1.. follow
+    ``forced_token``/``forced_state`` ([S] int32, -1 where the state has a
+    real choice).  Bandwidth-bound decode reads the weights ONCE for the
+    whole window, so skeleton runs cost ~1/window of their step-by-step
+    time; free regions degrade to 1 token per pass of the same price.
+
+    Returns (tokens [b, num_windows, window], valid [b, num_windows,
+    window], last_logits, cache, constraint).  Only positions with valid
+    True were emitted; the KV cursor advanced per-row by the valid count
+    (padding KV is overwritten by the next window).  EOS at the ACCEPT
+    state is itself a forced move, so the document's closing run ends with
+    EOS in the same pass.
+    """
+    b = first_logits.shape[0]
+    start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
+    sampled = key is not None
+
+    def step(carry, _):
+        if sampled:
+            logits, k_buf, v_buf, lengths, pos, con, rng = carry
+            rng, sub = jax.random.split(rng)
+            t0, con = constrained_pick(
+                logits, con,
+                lambda m: gumbel_sample_token(m, sub, temperature),
+            )
+        else:
+            logits, k_buf, v_buf, lengths, pos, con = carry
+            t0, con = constrained_argmax(logits, con)
+
+        def chain(cc, _):
+            state, remaining, alive = cc
+            ft = forced_token[state]
+            ok = alive & (ft >= 0)
+            tok = jnp.where(ok, ft, 0)
+            nxt = jnp.where(ok, forced_state[state], state)
+            return (nxt, remaining - ok.astype(jnp.int32), ok), (tok, ok)
+
+        (cstate, cremaining, _), (ctoks, cok) = lax.scan(
+            chain,
+            (con.state, con.remaining, jnp.ones((b,), bool)),
+            None,
+            length=window - 1,
+        )
+        w_tokens = jnp.concatenate([t0[:, None], ctoks.T], axis=1)
+        w_valid = jnp.concatenate(
+            [jnp.ones((b, 1), bool), cok.T], axis=1
+        )
+        valid_len = w_valid.sum(axis=1).astype(jnp.int32)
+        con = con._replace(state=cstate, remaining=cremaining)
+
+        embeds = embed(w_tokens, params["embed_tokens"])
+        offs = jnp.arange(window, dtype=jnp.int32)
+        pos_mat = pos[:, None] + offs[None, :]
+        if config.mrope_section is not None:
+            positions = jnp.broadcast_to(pos_mat[None], (3, b, window))
+        else:
+            positions = pos_mat
+        logits, new_cache = extend_scan(
+            config, params, embeds, positions,
+            KVCache(k=k_buf, v=v_buf, lengths=lengths), valid_len,
+        )
+        out = (logits, new_cache.k, new_cache.v, new_cache.lengths,
+               pos + valid_len, con)
+        if sampled:
+            out = out + (rng,)
+        return out, (w_tokens, w_valid)
+
+    init = (first_logits, cache.k, cache.v, cache.lengths, start_vec,
+            constraint)
+    if sampled:
+        init = init + (key,)
+    carry, (tokens, valid) = lax.scan(step, init, None, length=num_windows)
+    logits, k_buf, v_buf, lengths = carry[0], carry[1], carry[2], carry[3]
+    constraint = carry[5]
+    cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+    # [n, b, w] -> [b, n, w]
+    return (
+        tokens.transpose(1, 0, 2), valid.transpose(1, 0, 2),
+        logits, cache, constraint,
+    )
+
+
 def decode_loop_scan_constrained(
     config: DecoderConfig,
     params: Params,

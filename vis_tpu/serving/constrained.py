@@ -307,6 +307,10 @@ class ConstraintTables:
     accept_state: int
     eos_id: int
     min_budget: int          # smallest max_tokens that can complete a document
+    # Forced-move tables for lookahead decode: states whose allowed set is a
+    # single token (schema skeleton runs; EOS at accept).  -1 where free.
+    forced_token: np.ndarray = None   # [S] int32
+    forced_state: np.ndarray = None   # [S] int32
 
     @property
     def num_states(self) -> int:
@@ -435,6 +439,18 @@ def _compile_tables(
         if not bool(np.all(open_ok[need])):
             return None
 
+    # Forced-move tables: a state with exactly one allowed token has no
+    # model choice — lookahead decode emits the whole forced run in one
+    # weight pass (models/common/decoder.py decode_loop_lookahead).
+    n_allowed = token_ok.sum(axis=1)
+    only = np.argmax(token_ok, axis=1).astype(np.int32)
+    forced_token = np.where(n_allowed == 1, only, -1).astype(np.int32)
+    forced_state = np.where(
+        n_allowed == 1,
+        token_trans[np.arange(S), np.clip(only, 0, None)],
+        -1,
+    ).astype(np.int32)
+
     return ConstraintTables(
         token_ok=token_ok,
         token_trans=np.where(token_ok, token_trans, 0).astype(np.int32),
@@ -443,6 +459,8 @@ def _compile_tables(
         accept_state=dfa.accept_id,
         eos_id=eos_id,
         min_budget=int(dfa.close_cost[dfa.start_id]) + 1,
+        forced_token=forced_token,
+        forced_state=forced_state,
     )
 
 

@@ -39,6 +39,7 @@ from vis_tpu.models.common.decoder import (
     DecodeConstraint,
     DecoderConfig,
     decode_loop_scan,
+    decode_loop_lookahead,
     decode_loop_scan_constrained,
     decode_loop_scan_sampled,
     decode_step_scan,
@@ -261,6 +262,13 @@ class Engine:
         self._decode_loop_sampled_jit = jax.jit(
             partial(decode_loop_scan_sampled, text_config),
             static_argnames=("num_steps",), donate_argnums=(3,),
+        )
+        # Forced-run fast-forward (CONSTRAINED_LOOKAHEAD>=2): window-token
+        # extend passes emit the model-chosen token plus the DFA-forced
+        # continuation — schema skeletons ride one weight read per window.
+        self._decode_loop_lookahead_jit = jax.jit(
+            partial(decode_loop_lookahead, text_config),
+            static_argnames=("num_windows", "window"), donate_argnums=(3,),
         )
         self._json_constraint: Dict[Optional[str], Any] = {}
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
@@ -802,14 +810,57 @@ class Engine:
                 done = False
                 chunk_idx = 0
                 temp_arr = jnp.float32(temperature)
+                window = max(0, int(app_config.constrained_lookahead))
+                use_lookahead = (
+                    2 <= window <= 16
+                    and tables.forced_token is not None
+                )
+                if use_lookahead:
+                    forced_tok_dev = jnp.asarray(tables.forced_token)
+                    forced_state_dev = jnp.asarray(tables.forced_state)
                 while remaining > 0 and not done:
-                    steps = min(self.decode_chunk, remaining)
                     kwargs = {}
                     if sampled:
                         kwargs = dict(
                             key=jax.random.fold_in(key, chunk_idx),
                             temperature=temp_arr,
                         )
+                    if use_lookahead:
+                        # Each window emits >= 1 token, so `remaining`
+                        # windows always cover the rest of the budget.
+                        n_win = min(self.decode_chunk, remaining)
+                        tokens, valid, logits, cache, constraint = (
+                            self._decode_loop_lookahead_jit(
+                                params, logits, jnp.int32(next_pos + step0),
+                                cache, constraint, forced_tok_dev,
+                                forced_state_dev, num_windows=n_win,
+                                window=window, **kwargs,
+                            )
+                        )
+                        tok_mat = np.asarray(tokens)[0]
+                        val_mat = np.asarray(valid)[0]
+                        emitted_n = 0
+                        for wi in range(tok_mat.shape[0]):
+                            for token_id, ok in zip(
+                                tok_mat[wi].tolist(), val_mat[wi].tolist()
+                            ):
+                                if not ok:
+                                    break
+                                emitted_n += 1
+                                if token_id == self.tokenizer.eos_id:
+                                    done = True
+                                    break
+                                generated.append(token_id)
+                                if emitted_n >= remaining:
+                                    done = True
+                            if done:
+                                break
+                        yield from emit_progress()
+                        remaining -= emitted_n
+                        step0 += emitted_n
+                        chunk_idx += 1
+                        continue
+                    steps = min(self.decode_chunk, remaining)
                     tokens, logits, cache, constraint = (
                         self._decode_loop_json_jit(
                             params, logits, jnp.int32(next_pos + step0),

@@ -142,6 +142,7 @@ class Config(BaseModel):
     constrained_json: bool = False    # JSON-grammar-masked decode for inspector/auditor/decision-support (serving/constrained.py)
     constrained_json_min_tokens: int = 0  # block closing the JSON root before this many tokens (0 = no floor)
     constrained_schema: bool = False  # schema-exact decode: agents' outputs forced to the full key skeleton + typed values (serving/schema.py); implies constrained_json per call
+    constrained_lookahead: int = 0    # >=2: window size for forced-run fast-forward decode (skeleton tokens ride one weight pass; 0/1 = off)
     device_preprocess: bool = False   # vision preprocessing on device (ops/preprocess_device.py) instead of host PIL
     decode_chunk: int = 64            # fused decode tokens per device dispatch (host EOS check between chunks); raise on high-RTT links
     vision_parallel: str = "tp"       # multi-chip vision encode: "tp" (head-sharded params) | "sp" (Ulysses sequence-parallel, replicated params)
