@@ -68,6 +68,12 @@ _BENCH_ENV = {
     # Random weights close `{}` greedily in 2 tokens; the floor makes the
     # constrained JSON match the reference's ~400-500-token verdict size.
     "CONSTRAINED_JSON_MIN_TOKENS": "384",
+    # Schema-exact decode + forced-run fast-forward: skeleton tokens (keys,
+    # punctuation, enums — DFA-forced moves) ride one weight pass per
+    # 8-token window, and chunks exit on device at EOS (1.93x measured on
+    # the 8B decision-support decode).
+    "CONSTRAINED_SCHEMA": "true",
+    "CONSTRAINED_LOOKAHEAD": "8",
     "LOG_TO_FILE": "false",
     "DATABASE_PATH": "/tmp/bench_inspections.db",
     "CHAT_HISTORY_DB": "/tmp/bench_chat.db",

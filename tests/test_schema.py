@@ -321,6 +321,61 @@ class TestLookaheadDecode:
         assert tables.forced_token[tables.accept_state] == tok.eos_id
 
 
+class TestMllamaSchemaLookahead:
+    @pytest.fixture(scope="class")
+    def mllama_engine(self):
+        from vis_tpu.models.llama.mllama import (
+            MllamaConfig,
+            MllamaVisionConfig,
+            init_params,
+        )
+        from vis_tpu.serving.engine_mllama import MllamaEngine
+
+        cfg = MllamaConfig(
+            vision=MllamaVisionConfig(
+                hidden_size=64, num_layers=2, num_global_layers=1,
+                attention_heads=4, intermediate_size=128,
+                intermediate_layers_indices=(1,),
+            ),
+            text=DecoderConfig(
+                vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=128, rope_theta=500000.0,
+                qkv_bias=False, tie_word_embeddings=True, dtype=jnp.float32,
+            ),
+            cross_attention_layers=(1,),
+            image_token_id=261, eos_token_id=256,
+        )
+        params = init_params(cfg, jax.random.PRNGKey(5))
+        from vis_tpu.serving.engine_mllama import MllamaEngine
+
+        return MllamaEngine(
+            "tiny-mllama-schema", cfg, params,
+            ByteTokenizer(vocab_size=cfg.text.vocab_size),
+            max_cache_tokens=1024,
+        )
+
+    def test_schema_exact(self, mllama_engine):
+        out = mllama_engine.generate(
+            "audit", None, max_tokens=300, json_mode=True,
+            json_schema="inspection",
+        )
+        assert list(json.loads(out).keys()) == INSPECTION_KEYS
+
+    def test_lookahead_matches_step_by_step(self, mllama_engine, monkeypatch):
+        from vis_tpu.utils.config import config as app_config
+
+        base = mllama_engine.generate(
+            "audit", None, max_tokens=300, json_mode=True,
+            json_schema="inspection",
+        )
+        monkeypatch.setattr(app_config, "constrained_lookahead", 8)
+        look = mllama_engine.generate(
+            "audit", None, max_tokens=300, json_mode=True,
+            json_schema="inspection",
+        )
+        assert look == base
+
+
 class TestAgentSchemaMode:
     def test_inspector_through_schema_engine(self, schema_engine, monkeypatch):
         """CONSTRAINED_SCHEMA=true end-to-end through the inspector agent:

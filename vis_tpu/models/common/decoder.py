@@ -748,19 +748,28 @@ def decode_loop_scan(
     start_position: jnp.ndarray,
     cache: KVCache,
     num_steps: int,
+    eos_id: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
-    """Scan-based fused greedy decode of `num_steps` tokens.
+    """Fused greedy decode of up to `num_steps` tokens.
 
     Per step: scan over layers reading the cache (read-only xs) with the new
     token's K/V handled out-of-cache, then ONE fused write of all layers'
     new K/V at the per-row cursors.
+
+    eos_id: when given, the loop is a lax.while_loop that EXITS ON DEVICE
+    once every row has emitted EOS — a request that finishes at token 190
+    of a 512-token chunk stops paying weight passes there instead of
+    decoding 322 garbage tokens (the dominant waste on chunked decode over
+    high-RTT links, where chunks are sized to the whole budget).  Token
+    slots past a row's EOS read eos_id.  With eos_id=None the loop is the
+    original fixed-trip scan (the scheduler's batched chunks keep it:
+    mixed slots rarely finish together, and garbage rows never emit EOS).
     """
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
     max_len = cache.k.shape[2]
 
-    def step(carry, step_idx):
-        logits, k_buf, v_buf, lengths = carry
+    def forward(logits, k_buf, v_buf, lengths, step_idx):
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos_vec = start_vec + step_idx
         if config.mrope_section is not None:
@@ -786,18 +795,54 @@ def decode_loop_scan(
             body, x, (params["layers_stacked"], k_buf, v_buf)
         )
         x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        logits = lm_logits(config, params, x)[:, 0]
+        new_logits = lm_logits(config, params, x)[:, 0]
 
         # Fused write of all layers' new K/V at the per-row cursors.
         k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
-        return (logits, k_buf, v_buf, lengths + 1), token
+        return token, new_logits, k_buf, v_buf, lengths + 1
 
-    (logits, k_buf, v_buf, lengths), tokens = lax.scan(
-        step, (first_logits, cache.k, cache.v, cache.lengths),
-        jnp.arange(num_steps),
+    if eos_id is None:
+        def step(carry, step_idx):
+            logits, k_buf, v_buf, lengths = carry
+            token, logits, k_buf, v_buf, lengths = forward(
+                logits, k_buf, v_buf, lengths, step_idx
+            )
+            return (logits, k_buf, v_buf, lengths), token
+
+        (logits, k_buf, v_buf, lengths), tokens = lax.scan(
+            step, (first_logits, cache.k, cache.v, cache.lengths),
+            jnp.arange(num_steps),
+        )
+        cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+        return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
+
+    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def cond(carry):
+        step_idx, done = carry[0], carry[1]
+        return (step_idx < num_steps) & ~jnp.all(done)
+
+    def while_body(carry):
+        step_idx, done, logits, k_buf, v_buf, lengths, tokens = carry
+        token, logits, k_buf, v_buf, lengths = forward(
+            logits, k_buf, v_buf, lengths, step_idx
+        )
+        token = jnp.where(done, eos_id, token)
+        tokens = lax.dynamic_update_slice(
+            tokens, token[:, None], (0, step_idx)
+        )
+        done = done | (token == eos_id)
+        return (step_idx + 1, done, logits, k_buf, v_buf, lengths, tokens)
+
+    (_, _, logits, k_buf, v_buf, lengths, tokens) = lax.while_loop(
+        cond,
+        while_body,
+        (jnp.int32(0), done0, first_logits, cache.k, cache.v,
+         cache.lengths, tokens0),
     )
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
-    return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
+    return tokens, logits, cache
 
 
 class DecodeConstraint(NamedTuple):
@@ -907,15 +952,17 @@ def decode_loop_scan_sampled(
     key: jnp.ndarray,
     temperature: jnp.ndarray,
     num_steps: int,
+    eos_id: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray]:
     """decode_loop_scan with in-scan temperature sampling (Gumbel-max);
-    returns the advanced PRNG key so chunked callers continue the stream."""
+    returns the advanced PRNG key so chunked callers continue the stream.
+    eos_id: device-side early exit once every row emitted EOS (see
+    decode_loop_scan)."""
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
     max_len = cache.k.shape[2]
 
-    def step(carry, step_idx):
-        logits, k_buf, v_buf, lengths, key = carry
+    def forward(logits, k_buf, v_buf, lengths, key, step_idx):
         key, sub = jax.random.split(key)
         token = gumbel_sample_token(logits, sub, temperature)
         pos_vec = start_vec + step_idx
@@ -942,17 +989,52 @@ def decode_loop_scan_sampled(
             body, x, (params["layers_stacked"], k_buf, v_buf)
         )
         x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        logits = lm_logits(config, params, x)[:, 0]
+        new_logits = lm_logits(config, params, x)[:, 0]
         k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
-        return (logits, k_buf, v_buf, lengths + 1, key), token
+        return token, new_logits, k_buf, v_buf, lengths + 1, key
 
-    (logits, k_buf, v_buf, lengths, key), tokens = lax.scan(
-        step,
-        (first_logits, cache.k, cache.v, cache.lengths, key),
-        jnp.arange(num_steps),
+    if eos_id is None:
+        def step(carry, step_idx):
+            logits, k_buf, v_buf, lengths, key = carry
+            token, logits, k_buf, v_buf, lengths, key = forward(
+                logits, k_buf, v_buf, lengths, key, step_idx
+            )
+            return (logits, k_buf, v_buf, lengths, key), token
+
+        (logits, k_buf, v_buf, lengths, key), tokens = lax.scan(
+            step,
+            (first_logits, cache.k, cache.v, cache.lengths, key),
+            jnp.arange(num_steps),
+        )
+        cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+        return tokens.T, logits, cache, key
+
+    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
+
+    def cond(carry):
+        return (carry[0] < num_steps) & ~jnp.all(carry[1])
+
+    def while_body(carry):
+        step_idx, done, logits, k_buf, v_buf, lengths, key, tokens = carry
+        token, logits, k_buf, v_buf, lengths, key = forward(
+            logits, k_buf, v_buf, lengths, key, step_idx
+        )
+        token = jnp.where(done, eos_id, token)
+        tokens = lax.dynamic_update_slice(
+            tokens, token[:, None], (0, step_idx)
+        )
+        done = done | (token == eos_id)
+        return (step_idx + 1, done, logits, k_buf, v_buf, lengths, key,
+                tokens)
+
+    (_, _, logits, k_buf, v_buf, lengths, key, tokens) = lax.while_loop(
+        cond,
+        while_body,
+        (jnp.int32(0), jnp.zeros((b,), bool), first_logits, cache.k,
+         cache.v, cache.lengths, key, tokens0),
     )
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
-    return tokens.T, logits, cache, key
+    return tokens, logits, cache, key
 
 
 def decode_loop_lookahead(
@@ -968,6 +1050,7 @@ def decode_loop_lookahead(
     window: int,
     key: Optional[jnp.ndarray] = None,
     temperature: Optional[jnp.ndarray] = None,
+    eos_id: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
     """Constrained decode emitting up to `window` tokens per weight pass.
 
@@ -1047,11 +1130,54 @@ def decode_loop_lookahead(
             constraint)
     if sampled:
         init = init + (key,)
-    carry, (tokens, valid) = lax.scan(step, init, None, length=num_windows)
-    logits, k_buf, v_buf, lengths = carry[0], carry[1], carry[2], carry[3]
-    constraint = carry[5]
+
+    if eos_id is None:
+        carry, (tokens, valid) = lax.scan(
+            step, init, None, length=num_windows
+        )
+        logits, k_buf, v_buf, lengths = (
+            carry[0], carry[1], carry[2], carry[3]
+        )
+        constraint = carry[5]
+        cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+        # [n, b, w] -> [b, n, w]
+        return (
+            tokens.transpose(1, 0, 2), valid.transpose(1, 0, 2),
+            logits, cache, constraint,
+        )
+
+    # Device-side early exit: a window whose valid span contains EOS ends
+    # that row (EOS is the forced move at ACCEPT, so finishing documents
+    # stop paying weight passes the moment they close).
+    tokens0 = jnp.full((num_windows, b, window), eos_id, jnp.int32)
+    valid0 = jnp.zeros((num_windows, b, window), bool)
+
+    def cond(carry):
+        return (carry[0] < num_windows) & ~jnp.all(carry[1])
+
+    def while_body(carry):
+        win_idx, done, tokens_buf, valid_buf = (
+            carry[0], carry[1], carry[2], carry[3]
+        )
+        inner, (w_tokens, w_valid) = step(carry[4:], None)
+        w_valid = w_valid & ~done[:, None]
+        tokens_buf = lax.dynamic_update_slice(
+            tokens_buf, w_tokens[None], (win_idx, 0, 0)
+        )
+        valid_buf = lax.dynamic_update_slice(
+            valid_buf, w_valid[None], (win_idx, 0, 0)
+        )
+        done = done | (w_valid & (w_tokens == eos_id)).any(axis=1)
+        return (win_idx + 1, done, tokens_buf, valid_buf) + inner
+
+    out = lax.while_loop(
+        cond, while_body,
+        (jnp.int32(0), jnp.zeros((b,), bool), tokens0, valid0) + init,
+    )
+    tokens, valid = out[2], out[3]
+    logits, k_buf, v_buf, lengths = out[4], out[5], out[6], out[7]
+    constraint = out[9]
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
-    # [n, b, w] -> [b, n, w]
     return (
         tokens.transpose(1, 0, 2), valid.transpose(1, 0, 2),
         logits, cache, constraint,
@@ -1068,19 +1194,22 @@ def decode_loop_scan_constrained(
     num_steps: int,
     key: Optional[jnp.ndarray] = None,
     temperature: Optional[jnp.ndarray] = None,
+    eos_id: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
     """decode_loop_scan with a JSON-grammar logit mask per step (SURVEY §7
     hard part 6: constrained decoding instead of parse-and-repair).  Same
     fused per-step structure; adds two table gathers + one compare.
     Returns the constraint carry so chunked callers continue the DFA.
     With key/temperature, picks are sampled (Gumbel-max over the masked
-    logits) instead of greedy — same device cost either way."""
+    logits) instead of greedy — same device cost either way.
+    eos_id: device-side early exit once every row emitted EOS (see
+    decode_loop_scan)."""
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
     max_len = cache.k.shape[2]
     sampled = key is not None
 
-    def step(carry, step_idx):
+    def forward(carry, step_idx):
         if sampled:
             logits, k_buf, v_buf, lengths, con, rng = carry
             rng, sub = jax.random.split(rng)
@@ -1121,20 +1250,39 @@ def decode_loop_scan_constrained(
             return (logits, k_buf, v_buf, lengths + 1, con, rng), token
         return (logits, k_buf, v_buf, lengths + 1, con), token
 
+    init = (first_logits, cache.k, cache.v, cache.lengths, constraint)
     if sampled:
-        (logits, k_buf, v_buf, lengths, constraint, _), tokens = lax.scan(
-            step,
-            (first_logits, cache.k, cache.v, cache.lengths, constraint, key),
-            jnp.arange(num_steps),
+        init = init + (key,)
+
+    if eos_id is None:
+        carry, tokens = lax.scan(forward, init, jnp.arange(num_steps))
+        logits, k_buf, v_buf, lengths, constraint = carry[:5]
+        cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
+        return tokens.T, logits, cache, constraint
+
+    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
+
+    def cond(carry):
+        return (carry[0] < num_steps) & ~jnp.all(carry[1])
+
+    def while_body(carry):
+        step_idx, done, tokens = carry[0], carry[1], carry[2]
+        inner, token = forward(carry[3:], step_idx)
+        token = jnp.where(done, eos_id, token)
+        tokens = lax.dynamic_update_slice(
+            tokens, token[:, None], (0, step_idx)
         )
-    else:
-        (logits, k_buf, v_buf, lengths, constraint), tokens = lax.scan(
-            step,
-            (first_logits, cache.k, cache.v, cache.lengths, constraint),
-            jnp.arange(num_steps),
-        )
+        done = done | (token == eos_id)
+        return (step_idx + 1, done, tokens) + inner
+
+    out = lax.while_loop(
+        cond, while_body,
+        (jnp.int32(0), jnp.zeros((b,), bool), tokens0) + init,
+    )
+    tokens = out[2]
+    logits, k_buf, v_buf, lengths, constraint = out[3:8]
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
-    return tokens.T, logits, cache, constraint
+    return tokens, logits, cache, constraint
 
 
 def decode_loop_paged(

@@ -248,27 +248,28 @@ class Engine:
         self.decode_chunk = app_config.decode_chunk
         self._decode_loop_jit = jax.jit(
             partial(decode_loop_scan, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3,),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3,),
         )
         # JSON-grammar constrained decode (vis_tpu.serving.constrained):
         # same fused chunk loop with a DFA carry; tables compiled lazily.
         self._decode_loop_json_jit = jax.jit(
             partial(decode_loop_scan_constrained, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3,),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3,),
         )
         # Fused SAMPLED decode (in-scan Gumbel-max): temperature>0 costs the
         # same chunked dispatches as greedy.  The per-token host sampling
         # loop this replaces paid one tunnel round-trip per token.
         self._decode_loop_sampled_jit = jax.jit(
             partial(decode_loop_scan_sampled, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3,),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3,),
         )
         # Forced-run fast-forward (CONSTRAINED_LOOKAHEAD>=2): window-token
         # extend passes emit the model-chosen token plus the DFA-forced
         # continuation — schema skeletons ride one weight read per window.
         self._decode_loop_lookahead_jit = jax.jit(
             partial(decode_loop_lookahead, text_config),
-            static_argnames=("num_windows", "window"), donate_argnums=(3,),
+            static_argnames=("num_windows", "window", "eos_id"),
+            donate_argnums=(3,),
         )
         self._json_constraint: Dict[Optional[str], Any] = {}
         self._extend_jit = jax.jit(partial(extend_scan, text_config))
@@ -356,7 +357,7 @@ class Engine:
                 chunk_start = int(np.asarray(cache.lengths)[0])
                 tokens, logits, cache = self._decode_loop_jit(
                     params, logits, jnp.int32(session.position), cache,
-                    num_steps=steps,
+                    num_steps=steps, eos_id=self.tokenizer.eos_id,
                 )
                 token_list = np.asarray(tokens)[0].tolist()
                 kept = 0
@@ -834,7 +835,8 @@ class Engine:
                                 params, logits, jnp.int32(next_pos + step0),
                                 cache, constraint, forced_tok_dev,
                                 forced_state_dev, num_windows=n_win,
-                                window=window, **kwargs,
+                                window=window,
+                                eos_id=self.tokenizer.eos_id, **kwargs,
                             )
                         )
                         tok_mat = np.asarray(tokens)[0]
@@ -864,7 +866,8 @@ class Engine:
                     tokens, logits, cache, constraint = (
                         self._decode_loop_json_jit(
                             params, logits, jnp.int32(next_pos + step0),
-                            cache, constraint, num_steps=steps, **kwargs,
+                            cache, constraint, num_steps=steps,
+                            eos_id=self.tokenizer.eos_id, **kwargs,
                         )
                     )
                     for token_id in np.asarray(tokens)[0].tolist():
@@ -895,7 +898,7 @@ class Engine:
                     steps = min(self.decode_chunk, remaining)
                     tokens, logits, cache = self._decode_loop_jit(
                         params, logits, jnp.int32(next_pos + step0), cache,
-                        num_steps=steps,
+                        num_steps=steps, eos_id=self.tokenizer.eos_id,
                     )
                     for token_id in np.asarray(tokens)[0].tolist():
                         if token_id == self.tokenizer.eos_id:
@@ -919,7 +922,7 @@ class Engine:
                     tokens, logits, cache, _ = self._decode_loop_sampled_jit(
                         params, logits, jnp.int32(next_pos + step0), cache,
                         jax.random.fold_in(key, chunk_idx), temp_arr,
-                        num_steps=steps,
+                        num_steps=steps, eos_id=self.tokenizer.eos_id,
                     )
                     for token_id in np.asarray(tokens)[0].tolist():
                         if token_id == self.tokenizer.eos_id:
@@ -1025,7 +1028,7 @@ class Engine:
             steps = min(self.decode_chunk, remaining)
             tokens, logits, cache = self._decode_loop_jit(
                 params, logits, jnp.int32(rope + step0), cache,
-                num_steps=steps,
+                num_steps=steps, eos_id=self.tokenizer.eos_id,
             )
             for token_id in np.asarray(tokens)[0].tolist():
                 if token_id == self.tokenizer.eos_id:

@@ -85,6 +85,10 @@ class MllamaEngine:
         self._decode_chunk_json_jit = jax.jit(
             self._decode_chunk_json_impl, static_argnames=("steps",)
         )
+        self._decode_window_json_jit = jax.jit(
+            self._decode_window_json_impl,
+            static_argnames=("n_windows", "window"),
+        )
         self._decode_chunk_sampled_jit = jax.jit(
             self._decode_chunk_sampled_impl, static_argnames=("steps",)
         )
@@ -111,11 +115,18 @@ class MllamaEngine:
 
     def _decode_chunk_impl(self, params, logits, cross_kv, cache, start, steps):
         b = logits.shape[0]
+        eos = self.tokenizer.eos_id
 
-        def body(step, carry):
-            logits, cache, tokens = carry
+        def cond(carry):
+            step, done = carry[0], carry[1]
+            return (step < steps) & ~jnp.all(done)
+
+        def body(carry):
+            step, done, logits, cache, tokens = carry
             token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            token = jnp.where(done, eos, token)
             tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+            done = done | (token == eos)
             positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
             embeds = embed(token[:, None], params["text"]["embed_tokens"])
             hidden, new_cache = text_forward(
@@ -123,13 +134,131 @@ class MllamaEngine:
                 cache.decode_mask(),
             )
             logits = mllama_logits(self.config, params, hidden)[:, 0]
-            return logits, new_cache, tokens
+            return step + 1, done, logits, new_cache, tokens
 
-        tokens0 = jnp.zeros((b, steps), jnp.int32)
-        logits, cache, tokens = jax.lax.fori_loop(
-            0, steps, body, (logits, cache, tokens0)
+        # Early device exit at EOS: a 192-token answer inside a 512-token
+        # chunk stops paying 11B weight passes at token 193.
+        tokens0 = jnp.full((b, steps), eos, jnp.int32)
+        _, _, logits, cache, tokens = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((b,), bool), logits, cache, tokens0),
         )
         return tokens, logits, cache
+
+    def _decode_window_json_impl(
+        self, params, logits, cross_kv, cache, start, constraint,
+        forced_token, forced_state, n_windows, window,
+        key=None, temperature=None,
+    ):
+        """Forced-run fast-forward for the cross-attention decoder: each
+        pass extends the cache by a `window`-token chunk — the grammar-
+        masked model pick plus the DFA-forced continuation (singleton
+        allowed sets: schema skeleton runs, EOS at accept) — reading the
+        11B weight set ONCE per window (models/common/decoder.py
+        decode_loop_lookahead is the self-attention-only analog)."""
+        b = logits.shape[0]
+        max_len = cache.k.shape[2]
+        sampled = key is not None
+
+        def step(carry, _):
+            if sampled:
+                logits, cache, pos, con, rng = carry
+                rng, sub = jax.random.split(rng)
+                t0, con = constrained_pick(
+                    logits, con,
+                    lambda m: gumbel_sample_token(m, sub, temperature),
+                )
+            else:
+                logits, cache, pos, con = carry
+                t0, con = constrained_argmax(logits, con)
+
+            def chain(cc, _):
+                state, alive = cc
+                ft = forced_token[state]
+                ok = alive & (ft >= 0)
+                tok = jnp.where(ok, ft, 0)
+                nxt = jnp.where(ok, forced_state[state], state)
+                return (nxt, ok), (tok, ok)
+
+            (cstate, _), (ctoks, cok) = jax.lax.scan(
+                chain, (con.state, jnp.ones((b,), bool)), None,
+                length=window - 1,
+            )
+            w_tokens = jnp.concatenate([t0[:, None], ctoks.T], axis=1)
+            w_valid = jnp.concatenate(
+                [jnp.ones((b, 1), bool), cok.T], axis=1
+            )
+            valid_len = w_valid.sum(axis=1).astype(jnp.int32)
+            con = con._replace(
+                state=cstate,
+                remaining=con.remaining - (valid_len - 1),
+            )
+
+            lengths0 = cache.lengths
+            embeds = embed(w_tokens, params["text"]["embed_tokens"])
+            positions = pos[:, None] + jnp.arange(window, dtype=jnp.int32)
+            mask = causal_mask(window, max_len, offset=lengths0[0]) + (
+                length_mask(max_len, lengths0 + valid_len)
+            )
+            hidden, new_cache = text_forward(
+                self.config, params, embeds, positions, cross_kv, cache,
+                mask,
+            )
+            # text_forward advanced cursors by the padded window; rewind to
+            # the true valid length (padding KV overwritten next pass).
+            new_cache = KVCache(
+                k=new_cache.k, v=new_cache.v, lengths=lengths0 + valid_len
+            )
+            logits_all = mllama_logits(self.config, params, hidden)
+            last = jnp.maximum(valid_len - 1, 0)
+            logits = jnp.take_along_axis(
+                logits_all, last[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            out = (logits, new_cache, pos + valid_len, con)
+            if sampled:
+                out = out + (rng,)
+            return out, (w_tokens, w_valid)
+
+        pos0 = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
+        init = (logits, cache, pos0, constraint)
+        if sampled:
+            init = init + (key,)
+
+        # Device-side early exit: EOS is the forced move at ACCEPT, so a
+        # closing document ends its windows (and the 11B weight passes)
+        # right there.
+        eos = self.tokenizer.eos_id
+        tokens0 = jnp.full((n_windows, b, window), eos, jnp.int32)
+        valid0 = jnp.zeros((n_windows, b, window), bool)
+
+        def cond(carry):
+            return (carry[0] < n_windows) & ~jnp.all(carry[1])
+
+        def while_body(carry):
+            win_idx, done, tokens_buf, valid_buf = (
+                carry[0], carry[1], carry[2], carry[3]
+            )
+            inner, (w_tokens, w_valid) = step(carry[4:], None)
+            w_valid = w_valid & ~done[:, None]
+            tokens_buf = jax.lax.dynamic_update_slice(
+                tokens_buf, w_tokens[None], (win_idx, 0, 0)
+            )
+            valid_buf = jax.lax.dynamic_update_slice(
+                valid_buf, w_valid[None], (win_idx, 0, 0)
+            )
+            done = done | (w_valid & (w_tokens == eos)).any(axis=1)
+            return (win_idx + 1, done, tokens_buf, valid_buf) + inner
+
+        out = jax.lax.while_loop(
+            cond, while_body,
+            (jnp.int32(0), jnp.zeros((b,), bool), tokens0, valid0) + init,
+        )
+        tokens, valid = out[2], out[3]
+        logits, cache, constraint = out[4], out[5], out[7]
+        return (
+            tokens.transpose(1, 0, 2), valid.transpose(1, 0, 2),
+            logits, cache, constraint,
+        )
 
     def _decode_chunk_json_impl(
         self, params, logits, cross_kv, cache, start, constraint, steps,
@@ -140,19 +269,26 @@ class MllamaEngine:
         key/temperature picks are in-loop Gumbel-sampled."""
         b = logits.shape[0]
         sampled = key is not None
+        eos = self.tokenizer.eos_id
 
-        def body(step, carry):
+        def cond(carry):
+            return (carry[0] < steps) & ~jnp.all(carry[1])
+
+        def body(carry):
+            step, done = carry[0], carry[1]
             if sampled:
-                logits, cache, tokens, con, rng = carry
+                _, _, logits, cache, tokens, con, rng = carry
                 rng, sub = jax.random.split(rng)
                 token, con = constrained_pick(
                     logits, con,
                     lambda m: gumbel_sample_token(m, sub, temperature),
                 )
             else:
-                logits, cache, tokens, con = carry
+                _, _, logits, cache, tokens, con = carry
                 token, con = constrained_argmax(logits, con)
+            token = jnp.where(done, eos, token)
             tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+            done = done | (token == eos)
             positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
             embeds = embed(token[:, None], params["text"]["embed_tokens"])
             hidden, new_cache = text_forward(
@@ -161,17 +297,20 @@ class MllamaEngine:
             )
             logits = mllama_logits(self.config, params, hidden)[:, 0]
             if sampled:
-                return logits, new_cache, tokens, con, rng
-            return logits, new_cache, tokens, con
+                return step + 1, done, logits, new_cache, tokens, con, rng
+            return step + 1, done, logits, new_cache, tokens, con
 
-        tokens0 = jnp.zeros((b, steps), jnp.int32)
+        tokens0 = jnp.full((b, steps), eos, jnp.int32)
+        done0 = jnp.zeros((b,), bool)
         if sampled:
-            logits, cache, tokens, constraint, _ = jax.lax.fori_loop(
-                0, steps, body, (logits, cache, tokens0, constraint, key)
+            _, _, logits, cache, tokens, constraint, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), done0, logits, cache, tokens0, constraint, key),
             )
         else:
-            logits, cache, tokens, constraint = jax.lax.fori_loop(
-                0, steps, body, (logits, cache, tokens0, constraint)
+            _, _, logits, cache, tokens, constraint = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), done0, logits, cache, tokens0, constraint),
             )
         return tokens, logits, cache, constraint
 
@@ -181,12 +320,18 @@ class MllamaEngine:
         """_decode_chunk_impl with in-loop Gumbel-max temperature sampling
         (the per-token host alternative costs one device RTT per token)."""
         b = logits.shape[0]
+        eos = self.tokenizer.eos_id
 
-        def body(step, carry):
-            logits, cache, tokens, rng = carry
+        def cond(carry):
+            return (carry[0] < steps) & ~jnp.all(carry[1])
+
+        def body(carry):
+            step, done, logits, cache, tokens, rng = carry
             rng, sub = jax.random.split(rng)
             token = gumbel_sample_token(logits, sub, temperature)
+            token = jnp.where(done, eos, token)
             tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, step))
+            done = done | (token == eos)
             positions = (start + step) + jnp.zeros((b, 1), jnp.int32)
             embeds = embed(token[:, None], params["text"]["embed_tokens"])
             hidden, new_cache = text_forward(
@@ -194,11 +339,12 @@ class MllamaEngine:
                 cache.decode_mask(),
             )
             logits = mllama_logits(self.config, params, hidden)[:, 0]
-            return logits, new_cache, tokens, rng
+            return step + 1, done, logits, new_cache, tokens, rng
 
-        tokens0 = jnp.zeros((b, steps), jnp.int32)
-        logits, cache, tokens, _ = jax.lax.fori_loop(
-            0, steps, body, (logits, cache, tokens0, key)
+        tokens0 = jnp.full((b, steps), eos, jnp.int32)
+        _, _, logits, cache, tokens, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((b,), bool), logits, cache, tokens0, key),
         )
         return tokens, logits, cache
 
@@ -274,7 +420,9 @@ class MllamaEngine:
         # Right-size the per-request KV buffer to this request's budget
         # (128-aligned) — a dense max_cache_tokens buffer at 11B dims is
         # ~1 GB of HBM per generate call.
-        need = bucket + max_tokens + 1
+        # +17: lookahead windows write up to window-1 (<=15) padding KV
+        # positions past the final cursor before they are overwritten.
+        need = bucket + max_tokens + 17
         cache_len = min(self.max_cache_tokens, ((need + 127) // 128) * 128)
         cache = KVCache.create(
             n_self, 1, cache_len, tc.num_kv_heads, tc.head_dim_,
@@ -314,9 +462,58 @@ class MllamaEngine:
         base_key = jax.random.PRNGKey(0)
         temp_arr = jnp.float32(temperature)
         chunk_idx = 0
+        window = max(0, int(app_config.constrained_lookahead))
+        use_lookahead = (
+            constraint is not None and 2 <= window <= 16
+            and json_tables[3].forced_token is not None
+        )
+        if use_lookahead:
+            forced_tok_dev = jnp.asarray(json_tables[3].forced_token)
+            forced_state_dev = jnp.asarray(json_tables[3].forced_state)
         with span("mllama.decode", logger):
             while remaining > 0 and not done:
                 steps = min(self.decode_chunk, remaining)
+                if use_lookahead:
+                    kwargs = {}
+                    if sampled:
+                        kwargs = dict(
+                            key=jax.random.fold_in(base_key, chunk_idx),
+                            temperature=temp_arr,
+                        )
+                    tokens, valid, logits, cache, constraint = (
+                        self._decode_window_json_jit(
+                            self.params, logits, cross_kv, cache,
+                            jnp.int32(pos), constraint, forced_tok_dev,
+                            forced_state_dev, n_windows=steps, window=window,
+                            **kwargs,
+                        )
+                    )
+                    tok_mat = np.asarray(tokens)[0]
+                    val_mat = np.asarray(valid)[0]
+                    emitted_n = 0
+                    for wi in range(tok_mat.shape[0]):
+                        for token_id, ok in zip(
+                            tok_mat[wi].tolist(), val_mat[wi].tolist()
+                        ):
+                            if not ok:
+                                break
+                            emitted_n += 1
+                            if token_id == self.tokenizer.eos_id:
+                                done = True
+                                break
+                            generated.append(token_id)
+                            if emitted_n >= remaining:
+                                done = True
+                        if done:
+                            break
+                    chunk_idx += 1
+                    text = self.tokenizer.decode(generated)
+                    if len(text) > len(emitted) and not text.endswith("�"):
+                        yield text[len(emitted):]
+                        emitted = text
+                    remaining -= emitted_n
+                    pos += emitted_n
+                    continue
                 if constraint is not None:
                     kwargs = {}
                     if sampled:
