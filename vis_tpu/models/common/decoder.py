@@ -749,6 +749,7 @@ def decode_loop_scan(
     cache: KVCache,
     num_steps: int,
     eos_id: Optional[int] = None,
+    budget: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Fused greedy decode of up to `num_steps` tokens.
 
@@ -762,8 +763,13 @@ def decode_loop_scan(
     decoding 322 garbage tokens (the dominant waste on chunked decode over
     high-RTT links, where chunks are sized to the whole budget).  Token
     slots past a row's EOS read eos_id.  With eos_id=None the loop is the
-    original fixed-trip scan (the scheduler's batched chunks keep it:
-    mixed slots rarely finish together, and garbage rows never emit EOS).
+    original fixed-trip scan.
+
+    budget ([b] int32, only with eos_id): per-row token allowance for this
+    chunk — a row also counts done after `budget` steps (and starts done
+    at budget<=0: inactive scheduler slots).  The chunk then ends at
+    max-over-live-rows of min(EOS step, budget) instead of always running
+    `num_steps` for every slot.
     """
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
@@ -817,7 +823,7 @@ def decode_loop_scan(
         return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
 
     tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
-    done0 = jnp.zeros((b,), bool)
+    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
 
     def cond(carry):
         step_idx, done = carry[0], carry[1]
@@ -833,6 +839,8 @@ def decode_loop_scan(
             tokens, token[:, None], (0, step_idx)
         )
         done = done | (token == eos_id)
+        if budget is not None:
+            done = done | (step_idx + 1 >= budget)
         return (step_idx + 1, done, logits, k_buf, v_buf, lengths, tokens)
 
     (_, _, logits, k_buf, v_buf, lengths, tokens) = lax.while_loop(
@@ -953,6 +961,7 @@ def decode_loop_scan_sampled(
     temperature: jnp.ndarray,
     num_steps: int,
     eos_id: Optional[int] = None,
+    budget: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray]:
     """decode_loop_scan with in-scan temperature sampling (Gumbel-max);
     returns the advanced PRNG key so chunked callers continue the stream.
@@ -1024,13 +1033,16 @@ def decode_loop_scan_sampled(
             tokens, token[:, None], (0, step_idx)
         )
         done = done | (token == eos_id)
+        if budget is not None:
+            done = done | (step_idx + 1 >= budget)
         return (step_idx + 1, done, logits, k_buf, v_buf, lengths, key,
                 tokens)
 
+    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
     (_, _, logits, k_buf, v_buf, lengths, key, tokens) = lax.while_loop(
         cond,
         while_body,
-        (jnp.int32(0), jnp.zeros((b,), bool), first_logits, cache.k,
+        (jnp.int32(0), done0, first_logits, cache.k,
          cache.v, cache.lengths, key, tokens0),
     )
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
@@ -1195,6 +1207,7 @@ def decode_loop_scan_constrained(
     key: Optional[jnp.ndarray] = None,
     temperature: Optional[jnp.ndarray] = None,
     eos_id: Optional[int] = None,
+    budget: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, DecodeConstraint]:
     """decode_loop_scan with a JSON-grammar logit mask per step (SURVEY §7
     hard part 6: constrained decoding instead of parse-and-repair).  Same
@@ -1273,11 +1286,14 @@ def decode_loop_scan_constrained(
             tokens, token[:, None], (0, step_idx)
         )
         done = done | (token == eos_id)
+        if budget is not None:
+            done = done | (step_idx + 1 >= budget)
         return (step_idx + 1, done, tokens) + inner
 
+    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
     out = lax.while_loop(
         cond, while_body,
-        (jnp.int32(0), jnp.zeros((b,), bool), tokens0) + init,
+        (jnp.int32(0), done0, tokens0) + init,
     )
     tokens = out[2]
     logits, k_buf, v_buf, lengths, constraint = out[3:8]
@@ -1295,8 +1311,15 @@ def decode_loop_paged(
     page_tables: jnp.ndarray,
     lengths: jnp.ndarray,
     num_steps: int,
+    eos_id: Optional[int] = None,
+    budget: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused greedy decode over a PAGED KV pool (vis_tpu.serving.paged_kv).
+
+    eos_id/budget: device-side early exit (see decode_loop_scan) — with
+    eos_id given, the loop is a while_loop ending once every row has hit
+    EOS or its per-row `budget`; rows with budget<=0 start done (inactive
+    slots), so a mostly-idle slot batch stops at the live rows' needs.
 
     pool_k/pool_v: [L, n_pages, page, kvh, hd] shared page pool;
     page_tables: [slots, max_pages] int32 — page_tables[i, j] is the pool
@@ -1360,10 +1383,39 @@ def decode_loop_paged(
         )
         return (logits, pool_k, pool_v, lengths + 1), token
 
-    (logits, pool_k, pool_v, lengths), tokens = lax.scan(
-        step, (first_logits, pool_k, pool_v, lengths), jnp.arange(num_steps)
+    if eos_id is None:
+        (logits, pool_k, pool_v, lengths), tokens = lax.scan(
+            step, (first_logits, pool_k, pool_v, lengths),
+            jnp.arange(num_steps),
+        )
+        return tokens.T, logits, pool_k, pool_v, lengths
+
+    tokens0 = jnp.full((slots, num_steps), eos_id, jnp.int32)
+    done0 = jnp.zeros((slots,), bool) if budget is None else (budget <= 0)
+
+    def cond(carry):
+        return (carry[0] < num_steps) & ~jnp.all(carry[1])
+
+    def while_body(carry):
+        step_idx, done, tokens, logits, pool_k, pool_v, lengths = carry
+        (logits, pool_k, pool_v, lengths), token = step(
+            (logits, pool_k, pool_v, lengths), step_idx
+        )
+        token = jnp.where(done, eos_id, token)
+        tokens = lax.dynamic_update_slice(
+            tokens, token[:, None], (0, step_idx)
+        )
+        done = done | (token == eos_id)
+        if budget is not None:
+            done = done | (step_idx + 1 >= budget)
+        return (step_idx + 1, done, tokens, logits, pool_k, pool_v, lengths)
+
+    (_, _, tokens, logits, pool_k, pool_v, lengths) = lax.while_loop(
+        cond, while_body,
+        (jnp.int32(0), done0, tokens0, first_logits, pool_k, pool_v,
+         lengths),
     )
-    return tokens.T, logits, pool_k, pool_v, lengths
+    return tokens, logits, pool_k, pool_v, lengths
 
 
 def decode_loop_paged_constrained(
@@ -1379,6 +1431,8 @@ def decode_loop_paged_constrained(
     num_steps: int,
     key: Optional[jnp.ndarray] = None,
     temperature: Optional[jnp.ndarray] = None,
+    eos_id: Optional[int] = None,
+    budget: Optional[jnp.ndarray] = None,
 ):
     """decode_loop_paged with the per-row JSON-grammar mask (scheduler slots
     in json_mode carry a DFA row; free-form slots pass active=False).
@@ -1442,17 +1496,39 @@ def decode_loop_paged_constrained(
             return (logits, pool_k, pool_v, lengths + 1, con, rng), token
         return (logits, pool_k, pool_v, lengths + 1, con), token
 
+    init = (first_logits, pool_k, pool_v, lengths, constraint)
     if sampled:
-        (logits, pool_k, pool_v, lengths, constraint, _), tokens = lax.scan(
-            step, (first_logits, pool_k, pool_v, lengths, constraint, key),
-            jnp.arange(num_steps),
+        init = init + (key,)
+
+    if eos_id is None:
+        carry, tokens = lax.scan(step, init, jnp.arange(num_steps))
+        logits, pool_k, pool_v, lengths, constraint = carry[:5]
+        return tokens.T, logits, pool_k, pool_v, lengths, constraint
+
+    tokens0 = jnp.full((slots, num_steps), eos_id, jnp.int32)
+    done0 = jnp.zeros((slots,), bool) if budget is None else (budget <= 0)
+
+    def cond(carry):
+        return (carry[0] < num_steps) & ~jnp.all(carry[1])
+
+    def while_body(carry):
+        step_idx, done, tokens = carry[0], carry[1], carry[2]
+        inner, token = step(carry[3:], step_idx)
+        token = jnp.where(done, eos_id, token)
+        tokens = lax.dynamic_update_slice(
+            tokens, token[:, None], (0, step_idx)
         )
-    else:
-        (logits, pool_k, pool_v, lengths, constraint), tokens = lax.scan(
-            step, (first_logits, pool_k, pool_v, lengths, constraint),
-            jnp.arange(num_steps),
-        )
-    return tokens.T, logits, pool_k, pool_v, lengths, constraint
+        done = done | (token == eos_id)
+        if budget is not None:
+            done = done | (step_idx + 1 >= budget)
+        return (step_idx + 1, done, tokens) + inner
+
+    out = lax.while_loop(
+        cond, while_body, (jnp.int32(0), done0, tokens0) + init
+    )
+    tokens = out[2]
+    logits, pool_k, pool_v, lengths, constraint = out[3:8]
+    return tokens, logits, pool_k, pool_v, lengths, constraint
 
 
 __all__ = [

@@ -192,12 +192,12 @@ class ContinuousBatchingScheduler:
         # [L, slots, max_len, kvh, hd] k/v buffers.
         self._decode_loop_jit = jax.jit(
             partial(decode_loop_scan, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3,),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3,),
         )
         self._insert_jit = jax.jit(self._insert_rows, donate_argnums=(0, 4))
         self._decode_paged_jit = jax.jit(
             partial(decode_loop_paged, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3, 4),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3, 4),
         )
         self._insert_paged_jit = jax.jit(
             self._insert_pages, donate_argnums=(0, 1, 5),
@@ -205,15 +205,15 @@ class ContinuousBatchingScheduler:
         )
         self._decode_loop_con_jit = jax.jit(
             partial(decode_loop_scan_constrained, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3,),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3,),
         )
         self._decode_paged_con_jit = jax.jit(
             partial(decode_loop_paged_constrained, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3, 4),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3, 4),
         )
         self._decode_loop_sampled_jit = jax.jit(
             partial(decode_loop_scan_sampled, text_config),
-            static_argnames=("num_steps",), donate_argnums=(3,),
+            static_argnames=("num_steps", "eos_id"), donate_argnums=(3,),
         )
         self._embed_jit = jax.jit(lambda table, ids: embed(ids, table))
         # Chunked prefill (SURVEY §7 hard part 3): long prompts fill their
@@ -612,6 +612,17 @@ class ContinuousBatchingScheduler:
                 ),
                 temperature=jnp.asarray(self._temps_host),
             )
+        # Device-side early exit: the chunk ends at max-over-live-rows of
+        # min(EOS step, per-row budget) — a batch whose every live slot
+        # needs 5 more tokens stops after 5 passes, not decode_chunk.
+        # Inactive slots start done (budget 0) and never hold a chunk open.
+        budget_vec = np.zeros((self.num_slots,), np.int32)
+        for i, s in enumerate(self.slots):
+            if s.active:
+                budget_vec[i] = max(0, s.remaining)
+        exit_kwargs = dict(
+            eos_id=self.tokenizer.eos_id, budget=jnp.asarray(budget_vec)
+        )
         if self.paged:
             if constraint is not None:
                 (tokens, self._logits, self.pool.k, self.pool.v, _,
@@ -619,7 +630,7 @@ class ContinuousBatchingScheduler:
                     self.params, self._logits, jnp.asarray(positions_vec),
                     self.pool.k, self.pool.v, self.pool.page_tables,
                     jnp.asarray(prev_lengths), constraint, num_steps=steps,
-                    **sample_kwargs,
+                    **sample_kwargs, **exit_kwargs,
                 )
             else:
                 # _check_modes rejects sampled paged requests w/o tables.
@@ -628,6 +639,7 @@ class ContinuousBatchingScheduler:
                         self.params, self._logits, jnp.asarray(positions_vec),
                         self.pool.k, self.pool.v, self.pool.page_tables,
                         jnp.asarray(prev_lengths), num_steps=steps,
+                        **exit_kwargs,
                     )
                 )
         else:
@@ -636,7 +648,7 @@ class ContinuousBatchingScheduler:
                     self._decode_loop_con_jit(
                         self.params, self._logits, jnp.asarray(positions_vec),
                         self.cache, constraint, num_steps=steps,
-                        **sample_kwargs,
+                        **sample_kwargs, **exit_kwargs,
                     )
                 )
             elif any_sampled:
@@ -645,12 +657,13 @@ class ContinuousBatchingScheduler:
                         self.params, self._logits, jnp.asarray(positions_vec),
                         self.cache, sample_kwargs["key"],
                         sample_kwargs["temperature"], num_steps=steps,
+                        **exit_kwargs,
                     )
                 )
             else:
                 tokens, self._logits, self.cache = self._decode_loop_jit(
                     self.params, self._logits, jnp.asarray(positions_vec),
-                    self.cache, num_steps=steps,
+                    self.cache, num_steps=steps, **exit_kwargs,
                 )
         if constraint is not None:
             # Finished slots keep garbage DFA rows until the next admission
