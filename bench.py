@@ -70,10 +70,12 @@ _BENCH_ENV = {
     "CONSTRAINED_JSON_MIN_TOKENS": "384",
     # Schema-exact decode + forced-run fast-forward: skeleton tokens (keys,
     # punctuation, enums — DFA-forced moves) ride one weight pass per
-    # 16-token window, and chunks exit on device at EOS (2.0x measured on
-    # the 8B decision-support decode; window 16 beat 8 by ~5%).
+    # 8-token window, and chunks exit on device at EOS (1.93x measured on
+    # the 8B decision-support decode).  Window 16 trades ~5% on the 8B text
+    # decode for a slower 7B/11B VLM decode — 8 keeps the better
+    # time-to-verdict.
     "CONSTRAINED_SCHEMA": "true",
-    "CONSTRAINED_LOOKAHEAD": "16",
+    "CONSTRAINED_LOOKAHEAD": "8",
     "LOG_TO_FILE": "false",
     "DATABASE_PATH": "/tmp/bench_inspections.db",
     "CHAT_HISTORY_DB": "/tmp/bench_chat.db",
