@@ -317,26 +317,160 @@ class ConstraintTables:
         return self.token_ok.shape[0]
 
 
-def _token_bytes(tokenizer, token_id: int) -> Optional[bytes]:
-    """Byte content of one vocab entry, or None for special/undecodable."""
-    eos = getattr(tokenizer, "eos_id", None)
-    if token_id == eos:
+def _bytelevel_char_to_byte() -> Dict[str, int]:
+    """Inverse of the GPT-2 ``bytes_to_unicode`` map used by byte-level BPE
+    vocabularies (Qwen, Llama-3/Mllama tokenizer.json): printable stand-in
+    characters -> the raw byte they represent."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+_BYTELEVEL_DECODER = _bytelevel_char_to_byte()
+
+
+def _id_to_piece_fn(tokenizer):
+    """Vocab-piece lookup for the supported tokenizer wrappers, or None."""
+    rust = getattr(tokenizer, "_tok", None)  # serving.tokenizer.HFTokenizer
+    if rust is not None and hasattr(rust, "id_to_token"):
+        return rust.id_to_token
+    conv = getattr(tokenizer, "convert_ids_to_tokens", None)  # raw HF
+    if conv is not None:
+        return lambda i: conv(int(i))
+    return None
+
+
+def _piece_bytes(piece: Optional[str], family: str) -> Optional[bytes]:
+    """In-context byte contribution of one vocab piece.
+
+    Standalone ``decode([id])`` is NOT used for content: SentencePiece-family
+    tokenizers strip/remap the leading-space marker in single-token decode,
+    so decode-derived bytes can diverge from the detokenized output.  The
+    piece string itself is unambiguous: byte-level BPE pieces map through
+    the GPT-2 stand-in alphabet; SentencePiece pieces use U+2581 for space
+    and ``<0xNN>`` byte-fallback entries."""
+    if not piece:
         return None
-    # ByteTokenizer: ids < 256 are raw bytes, the rest are specials.
-    if type(tokenizer).__name__ == "ByteTokenizer":
-        return bytes([token_id]) if token_id < 256 else None
-    decode = getattr(tokenizer, "decode", None)
-    if decode is None:
-        return None
+    if family == "bytelevel":
+        out = bytearray()
+        for ch in piece:
+            b = _BYTELEVEL_DECODER.get(ch)
+            if b is None:
+                return None  # added/special token — not raw content
+            out.append(b)
+        return bytes(out)
+    # SentencePiece family.
+    if len(piece) == 6 and piece.startswith("<0x") and piece.endswith(">"):
+        try:
+            return bytes([int(piece[3:5], 16)])
+        except ValueError:
+            return None
+    if "▁" in piece:
+        piece = piece.replace("▁", " ")
     try:
-        text = decode([token_id])
+        return piece.encode("utf-8")
+    except UnicodeEncodeError:
+        return None
+
+
+def _vocab_byte_contents(
+    tokenizer, vocab_size: int
+) -> Optional[List[Optional[bytes]]]:
+    """Byte content per vocab id (None for specials/undecodable), or None
+    if the tokenizer fails the byte-composability probe — callers then skip
+    constrained decode entirely rather than risk DFA/detokenizer drift."""
+    eos = getattr(tokenizer, "eos_id", None)
+    contents: List[Optional[bytes]] = [None] * vocab_size
+    if type(tokenizer).__name__ == "ByteTokenizer":
+        for v in range(min(vocab_size, 256)):
+            contents[v] = bytes([v])
+        if eos is not None and 0 <= eos < vocab_size:
+            contents[eos] = None
+        return contents
+
+    id_to_piece = _id_to_piece_fn(tokenizer)
+    if id_to_piece is None:
+        return None
+
+    # Family detection: pieces of " a" carry the space marker.
+    try:
+        probe_ids = tokenizer.encode(" a")
+        probe_pieces = "".join(id_to_piece(i) or "" for i in probe_ids)
     except Exception:
         return None
-    if not text or "�" in text:
-        # partial UTF-8 fragment or special marker: excluding it only
-        # narrows the constrained vocabulary, never breaks validity.
+    if "▁" in probe_pieces:
+        family = "spm"
+    elif all(ch in _BYTELEVEL_DECODER for ch in probe_pieces):
+        family = "bytelevel"
+    else:
         return None
-    return text.encode("utf-8")
+
+    special_ids = set()
+    raw_special = getattr(tokenizer, "all_special_ids", None)
+    if raw_special:
+        special_ids.update(int(i) for i in raw_special)
+    rust = getattr(tokenizer, "_tok", None)
+    if rust is not None and hasattr(rust, "get_added_tokens_decoder"):
+        try:
+            special_ids.update(int(i) for i in rust.get_added_tokens_decoder())
+        except Exception:
+            pass
+    for name in ("eos_id", "bos_id", "pad_id", "image_token_id",
+                 "vision_start_id", "vision_end_id"):
+        value = getattr(tokenizer, name, None)
+        if value is not None:
+            special_ids.add(int(value))
+
+    for v in range(vocab_size):
+        if v in special_ids:
+            continue
+        try:
+            piece = id_to_piece(v)
+        except Exception:
+            piece = None
+        contents[v] = _piece_bytes(piece, family)
+
+    # Composability probe: round-trip JSON-shaped text through encode and
+    # the derived byte map; any drift disables constrained decode for this
+    # tokenizer (fall back to unconstrained + robust parser).
+    for probe in ('{"verdict": "SAFE", "scores": [0.25, -3e1, true, null]}',
+                  'a b\tc\nd "quoted\\path"'):
+        try:
+            ids = tokenizer.encode(probe)
+        except Exception:
+            return None
+        parts = [contents[i] if 0 <= i < vocab_size else None for i in ids]
+        if any(p is None for p in parts):
+            return None
+        if b"".join(parts) != probe.encode("utf-8"):
+            return None
+    return contents
+
+
+def _tokenizer_fingerprint(tokenizer, vocab_size: int) -> Tuple:
+    """Identity component for the table caches: two tokenizer instances of
+    the same class/width but different vocab contents or eos must not share
+    compiled tables."""
+    eos = getattr(tokenizer, "eos_id", None)
+    sample: List[Optional[str]] = []
+    id_to_piece = _id_to_piece_fn(tokenizer)
+    if id_to_piece is not None:
+        for v in (0, 1, vocab_size // 2, vocab_size - 1):
+            try:
+                sample.append(id_to_piece(max(0, min(v, vocab_size - 1))))
+            except Exception:
+                sample.append(None)
+    return (type(tokenizer).__name__, vocab_size, eos, tuple(sample))
 
 
 _tables_lock = threading.Lock()
@@ -352,7 +486,8 @@ def json_constraint_tables(
     device tables — callers then decode unconstrained and rely on the
     robust parser (reference vlm_inspector.py:142 behavior).
     """
-    key = (type(tokenizer).__name__, getattr(tokenizer, "vocab_size", vocab_size),
+    key = (_tokenizer_fingerprint(tokenizer, vocab_size),
+           getattr(tokenizer, "vocab_size", vocab_size),
            vocab_size, max_depth)
     with _tables_lock:
         if key in _tables_cache:
@@ -385,9 +520,12 @@ def _compile_tables(
         return None
 
     S, V = dfa.n_states, vocab_size
+    contents = _vocab_byte_contents(tokenizer, V)
+    if contents is None:
+        return None
     token_trans = np.full((S, V), -1, np.int32)
     for v in range(V):
-        content = _token_bytes(tokenizer, v)
+        content = contents[v]
         if content is None or len(content) == 0:
             continue
         # Walk every state through this token's bytes, fully vectorized

@@ -40,6 +40,7 @@ from vis_tpu.serving.constrained import (
     ConstraintTables,
     _close_costs_table,
     _compile_tables,
+    _tokenizer_fingerprint,
 )
 
 _ESCAPABLE = frozenset(b'"\\/bfnrt')
@@ -325,7 +326,7 @@ def schema_constraint_tables(
     states (e.g. the final '}') with no open continuation — the decoder's
     floor mask falls through to the forced move there."""
     key = (
-        type(tokenizer).__name__,
+        _tokenizer_fingerprint(tokenizer, vocab_size),
         getattr(tokenizer, "vocab_size", vocab_size),
         vocab_size,
         name,
