@@ -53,7 +53,7 @@ class VLMAuditorAgent(BaseVLMAgent):
                 max_tokens=self.max_tokens,
                 temperature=self.temperature,
                 max_image_dim=self.max_image_dim,
-                json_mode=config.constrained_json,
+                json_mode=config.constrained_json or config.constrained_schema,
                 json_schema=(
                     "inspection" if config.constrained_schema else None
                 ),

@@ -43,6 +43,7 @@ class InferenceBackend(Protocol):
         max_image_dim: int = 2048,
         json_mode: bool = False,
         json_schema: "Optional[str]" = None,
+        schema_batched: bool = False,
     ) -> str:
         ...
 
@@ -56,6 +57,7 @@ class InferenceBackend(Protocol):
         max_image_dim: int = 2048,
         json_mode: bool = False,
         json_schema: "Optional[str]" = None,
+        schema_batched: bool = False,
     ) -> Iterator[str]:
         ...
 

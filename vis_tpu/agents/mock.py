@@ -217,6 +217,7 @@ class MockVLMBackend:
         max_image_dim: int = 2048,
         json_mode: bool = False,
         json_schema: Optional[str] = None,
+        schema_batched: bool = False,
     ) -> str:
         self._calls += 1
         if self.fail_every and self._calls % self.fail_every == 0:
@@ -274,6 +275,7 @@ class MockVLMBackend:
         max_image_dim: int = 2048,
         json_mode: bool = False,
         json_schema: Optional[str] = None,
+        schema_batched: bool = False,
     ) -> Iterator[str]:
         text = self.generate(
             prompt,

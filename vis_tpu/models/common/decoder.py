@@ -329,7 +329,8 @@ _QUANT_MLP_TARGETS = ("gate_proj", "up_proj", "gateup_proj", "down_proj")
 
 
 def quantize_stacked_params(
-    stacked: Params, quantize_embeddings: bool = False, mode: str = "int8"
+    stacked: Params, quantize_embeddings: bool = False, mode: str = "int8",
+    vocab_mode: Optional[str] = None,
 ) -> Params:
     """Weight-only quantization of a scan-layout decoder pytree.
 
@@ -344,6 +345,13 @@ def quantize_stacked_params(
     (embed_tokens / lm_head).  At 2B scale the bf16 lm head is ~470 MB read
     per decode step, ~0.6 ms of pure HBM time; embed() and lm_logits()
     dequantize on the fly (gathered rows / the Pallas kernel).
+
+    vocab_mode (default = mode) sets the vocab projection's precision
+    independently of the layers': on this toolchain the int4 vocab matmul
+    is VPU-bound on nibble unpack (~2.5 ms/step for a 152k vocab at 7B
+    dims), so "int4 layers + int8 vocab" trades ~270 MB of HBM per model
+    for roughly halving that term — the decode-roofline recovery the
+    BENCH breakdown calls for.
     """
     from vis_tpu.ops.quantized import (
         QuantizedWeight,
@@ -352,18 +360,23 @@ def quantize_stacked_params(
         quantize_weight4,
     )
 
+    vocab_mode = vocab_mode or mode
     if mode == "int4":
         def quantize_stack(w):
             qw = jax.vmap(quantize_weight4)(w)
             return QuantizedWeight4(q=qw.q, scale=qw.scale)
-
-        def quantize_vocab(w):
-            return quantize_weight4(w, pad_out_multiple=512)
     else:
         def quantize_stack(w):
             qw = jax.vmap(quantize_weight)(w)  # leaves stacked over L
             return QuantizedWeight(q=qw.q, scale=qw.scale)
 
+    if vocab_mode == "int4":
+        def quantize_vocab(w):
+            return quantize_weight4(w, pad_out_multiple=512)
+    elif vocab_mode == "none":
+        def quantize_vocab(w):
+            return w
+    else:
         def quantize_vocab(w):
             return quantize_weight(w, pad_out_multiple=512)
 
@@ -864,9 +877,9 @@ class DecodeConstraint(NamedTuple):
     which keeps the emitted prefix completable within the budget.
     """
 
-    token_ok: jnp.ndarray     # [S, K] bool
-    token_trans: jnp.ndarray  # [S, K] int32
-    cost_after: jnp.ndarray   # [S, K] int32
+    token_ok: jnp.ndarray     # [S, K] bool (or [T, S, K] with table_idx)
+    token_trans: jnp.ndarray  # [S, K] int32 (or [T, S, K])
+    cost_after: jnp.ndarray   # [S, K] int32 (or [T, S, K])
     state: jnp.ndarray        # [b] int32
     remaining: jnp.ndarray    # [b] int32
     active: jnp.ndarray       # [b] bool — rows with the mask applied
@@ -875,6 +888,11 @@ class DecodeConstraint(NamedTuple):
     # close `{}` after two tokens; every state keeps a cost>0 continuation
     # (verified at table build), so this never dead-ends.
     min_remaining: jnp.ndarray  # [b] int32
+    # Per-row grammar selection over STACKED tables: when the table arrays
+    # are [T, S_max, K] (scheduler slots mixing e.g. generic-JSON rows with
+    # schema-exact rows in one batched chunk), table_idx [b] picks each
+    # row's grammar.  None with 2-D tables = the classic single-table path.
+    table_idx: Optional[jnp.ndarray] = None
 
 
 def constrained_pick(
@@ -886,11 +904,15 @@ def constrained_pick(
     Inactive rows see the raw logits (scheduler slots mixing JSON and
     free-form requests share one batched step); active rows are restricted
     to grammar-legal, budget-feasible tokens."""
-    k = constraint.token_ok.shape[1]
-    cost_row = constraint.cost_after[constraint.state]
-    feasible = constraint.token_ok[constraint.state] & (
-        cost_row < constraint.remaining[:, None]
-    )
+    k = constraint.token_ok.shape[-1]
+    stacked = constraint.token_ok.ndim == 3
+    if stacked:
+        cost_row = constraint.cost_after[constraint.table_idx, constraint.state]
+        ok_row = constraint.token_ok[constraint.table_idx, constraint.state]
+    else:
+        cost_row = constraint.cost_after[constraint.state]
+        ok_row = constraint.token_ok[constraint.state]
+    feasible = ok_row & (cost_row < constraint.remaining[:, None])
     # Document-length floor: block closing moves (cost_after == 0) while
     # above the floor — but only where an open continuation exists at all
     # (schema DFAs have forced-close states, e.g. the final '}').
@@ -908,11 +930,13 @@ def constrained_pick(
         masked = head
     token = pick_fn(masked).astype(jnp.int32)
     clipped = jnp.minimum(token, k - 1)
-    new_state = jnp.where(
-        constraint.active,
-        constraint.token_trans[constraint.state, clipped],
-        constraint.state,
-    )
+    if stacked:
+        trans = constraint.token_trans[
+            constraint.table_idx, constraint.state, clipped
+        ]
+    else:
+        trans = constraint.token_trans[constraint.state, clipped]
+    new_state = jnp.where(constraint.active, trans, constraint.state)
     return token, constraint._replace(
         state=new_state, remaining=constraint.remaining - 1
     )

@@ -405,7 +405,8 @@ def mllama_logits(config: MllamaConfig, params: Params,
 
 
 
-def quantize_mllama_params(params: Params, mode: str = "int8") -> Params:
+def quantize_mllama_params(params: Params, mode: str = "int8",
+                           vocab_mode: str = None) -> Params:
     """Weight-only quantization (int8 or packed int4) of the Mllama text stack.
 
     The 11B auditor's text decoder is ~18 GB in bf16 — it does not fit one
@@ -424,6 +425,15 @@ def quantize_mllama_params(params: Params, mode: str = "int8") -> Params:
     )
 
     quantize = quantize_weight4 if mode == "int4" else quantize_weight
+    # Vocab projection may run at a different precision than the layers
+    # (int8 vocab halves the VPU-bound int4 vocab-matmul decode term).
+    vocab_mode = vocab_mode or mode
+    if vocab_mode == "int4":
+        quantize_vocab = quantize_weight4
+    elif vocab_mode == "none":
+        quantize_vocab = None
+    else:
+        quantize_vocab = quantize_weight
     qtypes = (QuantizedWeight, QuantizedWeight4)
 
     text = dict(params["text"])
@@ -443,7 +453,8 @@ def quantize_mllama_params(params: Params, mode: str = "int8") -> Params:
     text["layers"] = layers
     for name in ("embed_tokens", "lm_head"):
         if name in text and not isinstance(text[name], qtypes):
-            text[name] = quantize(text[name], pad_out_multiple=512)
+            if quantize_vocab is not None:
+                text[name] = quantize_vocab(text[name], pad_out_multiple=512)
     out = dict(params)
     out["text"] = text
     return out

@@ -432,9 +432,16 @@ def generate_explanation(state: InspectionState) -> InspectionState:
         verdict = state["safety_verdict"]
 
         explainer = get_explainer()
+        # The three report decodes (narration, counterfactual, decision
+        # support) are independent; the bundle submits them concurrently so
+        # the engine's continuous-batching scheduler shares every decode
+        # step's weight reads (~2x on this node vs the sequential calls the
+        # reference makes, reference nodes.py:557-668).
         with span("explainer", logger):
-            explanation = explainer.generate_explanation(
-                inspector_result, auditor_result, consensus, verdict
+            explanation, counterfactual, decision_support = (
+                explainer.generate_report_bundle(
+                    inspector_result, auditor_result, consensus, verdict
+                )
             )
 
         explanation_lower = explanation.lower()
@@ -492,30 +499,16 @@ def generate_explanation(state: InspectionState) -> InspectionState:
 
         # Counterfactual what-if analysis feeds the report's COUNTERFACTUAL
         # section (the reference defined but never wired this —
-        # reference explainer.py:97; SURVEY §2 says make dormant parts real).
-        if "counterfactual" not in explanation_lower:
-            try:
-                counterfactual = explainer.generate_counterfactual(
-                    inspector_result, verdict
-                )
-                if counterfactual:
-                    explanation += (
-                        "\n\nCOUNTERFACTUAL ANALYSIS\n\n" + counterfactual
-                    )
-            except Exception as exc:
-                logger.warning(f"Counterfactual generation failed: {exc}")
+        # reference explainer.py:97; SURVEY §2 says make dormant parts
+        # real).  The bundle generated it concurrently with the narration;
+        # append it only when the narration lacks the section.
+        if "counterfactual" not in explanation_lower and counterfactual:
+            explanation += (
+                "\n\nCOUNTERFACTUAL ANALYSIS\n\n" + counterfactual
+            )
 
         state["explanation"] = explanation
-
-        try:
-            decision_support = explainer.generate_decision_support(
-                consensus.get("combined_defects", []),
-                verdict.get("verdict", "UNKNOWN"),
-            )
-            state["decision_support"] = decision_support
-        except Exception as exc:
-            logger.error(f"Decision support generation failed: {exc}")
-            state["decision_support"] = {}
+        state["decision_support"] = decision_support
     except Exception as exc:
         logger.error(f"Explanation generation failed: {exc}", exc_info=True)
         inspector_result = state.get("inspector_result") or {}
@@ -538,6 +531,7 @@ def generate_explanation(state: InspectionState) -> InspectionState:
             f"NOTE: Full explanation generation failed ({exc}). This summary was "
             "generated from structured findings."
         )
+        state.setdefault("decision_support", {})
     return state
 
 

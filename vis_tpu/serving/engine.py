@@ -106,6 +106,16 @@ def load_constraint_tables(
     )
 
 
+def _vocab_quant_mode():
+    """Vocab-projection quantization override (config.vocab_quantization):
+    None = follow the layer mode; "int8"/"int4"/"none" = mixed precision.
+    The int4 vocab matmul is VPU-bound on nibble unpack (~2.5 ms/step at a
+    152k vocab, 7B dims); int8 vocab with int4 layers halves that for
+    ~270 MB/model of extra HBM."""
+    vq = app_config.vocab_quantization
+    return None if vq == "same" else vq
+
+
 def _pld_draft(context: List[int], k: int, ngram: int = 2) -> List[int]:
     """Prompt-lookup draft: the continuation after the most recent earlier
     occurrence of the trailing `ngram` (up to k tokens; [] when no match).
@@ -191,6 +201,7 @@ class Engine:
                 stacked = quantize_stacked_params(
                     stacked, quantize_embeddings=True,
                     mode=app_config.quantization,
+                    vocab_mode=_vocab_quant_mode(),
                 )
                 logger.info(
                     f"{name}: {app_config.quantization} weight-only "
@@ -421,18 +432,31 @@ class Engine:
         config.paged_kv_cache (slot KV from a shared page pool instead of
         dense decode_batch_size x kv_cache_max_tokens buffers)."""
         from vis_tpu.serving.constrained import json_constraint_tables
+        from vis_tpu.serving.schema import SCHEMAS, schema_constraint_tables
         from vis_tpu.serving.scheduler import ContinuousBatchingScheduler
 
         params = (
             self.text_params if self.vlm_config is None
             else self.vlm_params["text"]
         )
+        # Generic JSON first (json_mode rows), then the registered schemas:
+        # the scheduler stacks what fits its size budget so schema-exact
+        # rows (e.g. the explainer bundle's decision_support) batch with
+        # free-form and generic rows; has_table() tells generate_stream
+        # which schemas can ride the batched path.
+        tables = {
+            None: json_constraint_tables(
+                self.tokenizer, self.text_config.vocab_size
+            )
+        }
+        for schema_name in SCHEMAS:
+            tables[schema_name] = schema_constraint_tables(
+                self.tokenizer, self.text_config.vocab_size, schema_name
+            )
         self.scheduler = ContinuousBatchingScheduler(
             self.text_config, params, self.tokenizer,
             num_slots=num_slots, max_len=self.max_cache_tokens, paged=paged,
-            json_tables=json_constraint_tables(
-                self.tokenizer, self.text_config.vocab_size
-            ),
+            json_tables=tables, mesh=self.mesh,
         )
         self.scheduler.start()
 
@@ -452,6 +476,7 @@ class Engine:
         max_image_dim: int = 2048,
         json_mode: bool = False,
         json_schema: Optional[str] = None,
+        schema_batched: bool = False,
     ) -> Iterator[str]:
         scheduler = getattr(self, "scheduler", None)
         if not json_mode:
@@ -463,9 +488,15 @@ class Engine:
             json_schema = None  # schema tables unavailable; generic fallback
         sched_ok = scheduler is not None
         if sched_ok and json_schema is not None:
-            # Scheduler slots share ONE generic-JSON table set; schema
-            # requests take the unbatched fused path.
-            sched_ok = False
+            # Schema rows batch via the scheduler's stacked tables only
+            # when the caller opts in (schema_batched): a LONE schema
+            # request is faster on the unbatched fused path (forced-run
+            # lookahead fast-forwards the skeleton in one weight pass per
+            # window), while concurrent bundles — the explainer's
+            # narration + counterfactual + decision_support — win ~2x from
+            # sharing every decode step's weight reads.
+            if not (schema_batched and scheduler.has_table(json_schema)):
+                sched_ok = False
         if sched_ok and json_mode and scheduler._json_dev is None:
             sched_ok = False
         if (sched_ok and temperature > 0.0 and scheduler.paged
@@ -476,7 +507,10 @@ class Engine:
             # (json_mode rows carry a per-slot DFA, temp>0 rows sample
             # in-chunk; greedy rows stay token-exact in mixed batches).
             if json_mode:
-                max_tokens = max(max_tokens, self._json_tables()[3].min_budget)
+                max_tokens = max(
+                    max_tokens,
+                    self._json_tables(json_schema)[3].min_budget,
+                )
             with self._lock:
                 cache, logits, next_pos, kv_len, _ = self._prefill_request(
                     prompt, image_path, max_tokens=max_tokens,
@@ -485,6 +519,7 @@ class Engine:
             request = scheduler.submit_prefilled(
                 cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len,
                 json_mode=json_mode, temperature=temperature,
+                schema=json_schema,
             )
             while True:
                 chunk = request.out.get()
@@ -1063,21 +1098,25 @@ class EngineBackend:
     def generate(self, prompt, image_path=None, *, max_tokens=1024,
                  temperature=0.0, max_image_dim=2048,
                  json_mode: bool = False,
-                 json_schema: Optional[str] = None) -> str:
+                 json_schema: Optional[str] = None,
+                 schema_batched: bool = False) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
             json_mode=json_mode, json_schema=json_schema,
+            schema_batched=schema_batched,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
                         temperature=0.0, max_image_dim=2048,
                         json_mode: bool = False,
-                        json_schema: Optional[str] = None):
+                        json_schema: Optional[str] = None,
+                        schema_batched: bool = False):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
             json_mode=json_mode, json_schema=json_schema,
+            schema_batched=schema_batched,
         )
 
     def health_check(self) -> bool:
@@ -1234,7 +1273,7 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
         def make_mllama(k):
             p = init_mllama(cfg, k)
             if quantize:
-                p = quantize_mllama_params(p, mode=mode)
+                p = quantize_mllama_params(p, mode=mode, vocab_mode=_vocab_quant_mode())
                 p = {
                     name: (_quantize_vision_tree(v, mode) if name != "text" else v)
                     for name, v in p.items()
@@ -1273,7 +1312,8 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
                 text = fuse_stacked_projections(text)
             if quantize:
                 text = quantize_stacked_params(
-                    text, quantize_embeddings=True, mode=mode
+                    text, quantize_embeddings=True, mode=mode,
+                    vocab_mode=_vocab_quant_mode(),
                 )
                 p["vision"] = _quantize_vision_tree(p["vision"], mode)
             p["text"] = text
@@ -1304,7 +1344,8 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
                 text = fuse_stacked_projections(text)
             if quantize:
                 text = quantize_stacked_params(
-                    text, quantize_embeddings=True, mode=mode
+                    text, quantize_embeddings=True, mode=mode,
+                    vocab_mode=_vocab_quant_mode(),
                 )
                 p["vision"] = _quantize_vision_tree(p["vision"], mode)
             p["text"] = text
@@ -1333,7 +1374,8 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
             text = fuse_stacked_projections(text)
         if quantize:
             text = quantize_stacked_params(
-                text, quantize_embeddings=True, mode=mode
+                text, quantize_embeddings=True, mode=mode,
+                vocab_mode=_vocab_quant_mode(),
             )
         return text
 
@@ -1369,15 +1411,100 @@ def serving_mesh() -> Optional[jax.sharding.Mesh]:
     return mesh
 
 
-def build_engine(role: str, model_name: str):
+_MESH_DEFAULT = object()
+
+
+def dp_submeshes() -> Optional[List[jax.sharding.Mesh]]:
+    """Data-parallel serving layout: for mesh_shape "DxM" with D > 1,
+    return D disjoint TP submeshes of M devices each (None when the data
+    axis is 1 or the devices aren't there).  Each submesh hosts a full
+    engine REPLICA; requests round-robin across replicas (SURVEY §5.8 —
+    throughput scales with the data axis while per-request latency keeps
+    the TP speedup of the model axis).  A 1-device submesh returns as None
+    in the list slot semantics below: callers pass mesh=None so the replica
+    uses the fused single-device layouts."""
+    dp, tp = app_config.mesh_shape_tuple
+    if dp <= 1:
+        return None
+    if jax.device_count() < dp * tp:
+        logger.warning(
+            f"mesh_shape {app_config.mesh_shape} needs {dp * tp} devices, "
+            f"have {jax.device_count()}; data-parallel serving disabled"
+        )
+        return None
+    from vis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    devices = jax.devices()[: dp * tp]
+    meshes: List[Optional[jax.sharding.Mesh]] = []
+    for i in range(dp):
+        group = np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
+        meshes.append(
+            jax.sharding.Mesh(group, (DATA_AXIS, MODEL_AXIS))
+            if tp > 1 else None
+        )
+    return meshes
+
+
+class ReplicatedEngineBackend:
+    """InferenceBackend over data-parallel engine replicas.
+
+    Each replica is a full engine on its own TP submesh (disjoint chips);
+    a generate call picks the replica with the fewest requests in flight,
+    so run_batch_inspection's concurrent per-image threads spread the batch
+    across the data axis with no orchestration-layer changes."""
+
+    def __init__(self, backends: List["EngineBackend"]):
+        assert backends
+        self.backends = backends
+        self.name = f"dp{len(backends)}:{backends[0].name}"
+        self._inflight = [0] * len(backends)
+        self._lock = threading.Lock()
+        # Chat sessions pin KV state to one engine; expose replica 0 for
+        # the session-capable consumers (ExplainerAgent.chat_session_stream).
+        self.engine = backends[0].engine
+
+    def _acquire(self) -> int:
+        with self._lock:
+            i = min(range(len(self.backends)), key=lambda j: self._inflight[j])
+            self._inflight[i] += 1
+            return i
+
+    def _release(self, i: int) -> None:
+        with self._lock:
+            self._inflight[i] -= 1
+
+    def generate(self, prompt, image_path=None, **kwargs) -> str:
+        i = self._acquire()
+        try:
+            return self.backends[i].generate(prompt, image_path, **kwargs)
+        finally:
+            self._release(i)
+
+    def generate_stream(self, prompt, image_path=None, **kwargs):
+        i = self._acquire()
+        try:
+            yield from self.backends[i].generate_stream(
+                prompt, image_path, **kwargs
+            )
+        finally:
+            self._release(i)
+
+    def health_check(self) -> bool:
+        return all(b.health_check() for b in self.backends)
+
+
+def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
     """Create an engine for a role, loading real weights when available.
 
     When config.mesh_shape spans more than one device, engines are built
-    tensor-parallel over the ("data", "model") mesh (SURVEY.md §5.8)."""
+    tensor-parallel over the ("data", "model") mesh (SURVEY.md §5.8).
+    mesh: explicit mesh override (None = single-device) — used by the
+    data-parallel replica builder; default = serving_mesh()."""
     ckpt_root = app_config.get_checkpoint_dir()
     ckpt_dir = find_checkpoint(model_name, ckpt_root)
     is_vlm = role in ("inspector", "auditor")
-    mesh = serving_mesh()
+    if mesh is _MESH_DEFAULT:
+        mesh = serving_mesh()
 
     if ckpt_dir is not None:
         tokenizer = load_tokenizer(ckpt_dir)
@@ -1517,17 +1644,45 @@ def build_engine(role: str, model_name: str):
     return Engine(f"dev-{role}", cfg, params, tokenizer, mesh=mesh)
 
 
+_dp_backends: Dict[str, "ReplicatedEngineBackend"] = {}
+
+
+def _maybe_attach_scheduler(role: str, engine) -> None:
+    # Opt-in serving mode: per-request prefill + shared batched
+    # decode slots (CONTINUOUS_BATCHING=true).  Slot KV memory is
+    # decode_batch_size x kv_cache_max_tokens per model — size the
+    # config accordingly for large models.
+    roles = {r.strip() for r in app_config.batching_roles.split(",") if r}
+    if (
+        app_config.continuous_batching
+        and hasattr(engine, "attach_scheduler")
+        and ("all" in roles or role in roles)
+    ):
+        engine.attach_scheduler()
+
+
 def get_engine_backend(role: str, model_name: str) -> EngineBackend:
     with _engine_lock:
         key = f"{role}:{model_name}"
+        submeshes = dp_submeshes()
+        if submeshes is not None:
+            # Data-parallel serving: one full engine replica per TP
+            # submesh of the data axis; the shared backend routes each
+            # request to the least-loaded replica.
+            if key not in _dp_backends:
+                replicas = []
+                for i, sub in enumerate(submeshes):
+                    rkey = f"{key}#dp{i}"
+                    if rkey not in _engines:
+                        engine = build_engine(role, model_name, mesh=sub)
+                        _maybe_attach_scheduler(role, engine)
+                        _engines[rkey] = engine
+                    replicas.append(EngineBackend(_engines[rkey]))
+                _dp_backends[key] = ReplicatedEngineBackend(replicas)
+            return _dp_backends[key]
         if key not in _engines:
             engine = build_engine(role, model_name)
-            # Opt-in serving mode: per-request prefill + shared batched
-            # decode slots (CONTINUOUS_BATCHING=true).  Slot KV memory is
-            # decode_batch_size x kv_cache_max_tokens per model — size the
-            # config accordingly for large models.
-            if app_config.continuous_batching and hasattr(engine, "attach_scheduler"):
-                engine.attach_scheduler()
+            _maybe_attach_scheduler(role, engine)
             _engines[key] = engine
         return EngineBackend(_engines[key])
 
@@ -1535,7 +1690,9 @@ def get_engine_backend(role: str, model_name: str) -> EngineBackend:
 def reset_engines() -> None:
     with _engine_lock:
         _engines.clear()
+        _dp_backends.clear()
 
 
-__all__ = ["Engine", "EngineBackend", "build_engine", "get_engine_backend",
+__all__ = ["Engine", "EngineBackend", "ReplicatedEngineBackend",
+           "build_engine", "dp_submeshes", "get_engine_backend",
            "reset_engines"]

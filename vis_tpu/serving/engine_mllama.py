@@ -58,7 +58,13 @@ class MllamaEngine:
         if app_config.quantization in ("int8", "int4"):
             from vis_tpu.models.llama.mllama import quantize_mllama_params
 
-            params = quantize_mllama_params(params, mode=app_config.quantization)
+            params = quantize_mllama_params(
+                params, mode=app_config.quantization,
+                vocab_mode=(
+                    None if app_config.vocab_quantization == "same"
+                    else app_config.vocab_quantization
+                ),
+            )
             logger.info(
                 f"{name}: {app_config.quantization} weight-only "
                 "quantization applied"
@@ -379,7 +385,11 @@ class MllamaEngine:
         max_image_dim: int = 1024,
         json_mode: bool = False,
         json_schema: Optional[str] = None,
+        schema_batched: bool = False,
     ) -> Iterator[str]:
+        # schema_batched is accepted for engine-interface parity (the
+        # generic EngineBackend forwards it); this single-request engine
+        # has no attached scheduler, so it is a no-op here.
         with self._lock:
             yield from self._generate(
                 prompt, image_path, max_tokens, json_mode=json_mode,
@@ -391,6 +401,15 @@ class MllamaEngine:
         temperature: float = 0.0, json_schema: Optional[str] = None,
     ) -> Iterator[str]:
         tc = self.config.text
+        # Resolve the constraint tables FIRST: json/schema mode raises
+        # max_tokens to the schema's minimum feasible budget, and the KV
+        # cache below is right-sized from max_tokens.  Sizing before the
+        # bump would let constrained decode run past cache_len (the clamped
+        # dynamic_update_slice would silently overwrite the last KV rows).
+        # Mirrors Engine._generate_locked ordering (engine.py).
+        json_tables = self._json_tables(json_schema) if json_mode else None
+        if json_tables is not None:
+            max_tokens = max(max_tokens, json_tables[3].min_budget)
         cross_kv = None
         if image_path is not None:
             with span("mllama.preprocess", logger):
@@ -439,11 +458,9 @@ class MllamaEngine:
                 jnp.asarray([seq_len]),
             )
 
-        json_tables = self._json_tables(json_schema) if json_mode else None
         constraint = None
         if json_tables is not None:
             ok_t, trans_t, cost_t, tables = json_tables
-            max_tokens = max(max_tokens, tables.min_budget)
             min_tok = min(
                 max(app_config.constrained_json_min_tokens, 0),
                 max_tokens - 32,
@@ -580,7 +597,10 @@ class MllamaEngineBackend:
     def generate(self, prompt, image_path=None, *, max_tokens=1024,
                  temperature=0.0, max_image_dim=1024,
                  json_mode: bool = False,
-                 json_schema: Optional[str] = None) -> str:
+                 json_schema: Optional[str] = None,
+                 schema_batched: bool = False) -> str:
+        # schema_batched: accepted for backend-interface parity; the Mllama
+        # engine has no attached scheduler (auditor requests are single).
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
@@ -590,7 +610,8 @@ class MllamaEngineBackend:
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
                         temperature=0.0, max_image_dim=1024,
                         json_mode: bool = False,
-                        json_schema: Optional[str] = None):
+                        json_schema: Optional[str] = None,
+                        schema_batched: bool = False):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,

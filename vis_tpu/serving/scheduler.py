@@ -50,6 +50,11 @@ from vis_tpu.utils.logger import setup_logger
 
 logger = setup_logger(__name__, level="INFO", component="SCHEDULER")
 
+# Stacked-tables size budget (T * S_max * K entries; three such arrays live
+# on device).  Generous for narrow byte-level tables; at a real 152k vocab
+# it admits the generic grammar plus the small schemas.
+_MAX_STACKED_ENTRIES = 64_000_000
+
 
 @dataclasses.dataclass
 class Request:
@@ -73,6 +78,10 @@ class Request:
     # JSON-grammar-constrained decode for this request (requires the
     # scheduler to have been built with constraint tables).
     json_mode: bool = False
+    # Schema-exact grammar for this request: a table name registered at
+    # scheduler build (None = the generic JSON grammar).  Schema rows and
+    # generic rows mix in one batched chunk via stacked tables.
+    schema: Optional[str] = None
     # Sampling temperature (0 = greedy); per-slot in the batched chunk.
     temperature: float = 0.0
 
@@ -104,8 +113,10 @@ class ContinuousBatchingScheduler:
         max_len: Optional[int] = None,
         paged: Optional[bool] = None,
         json_tables: Optional[Any] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         self.config = text_config
+        self.mesh = mesh
         # Scan-execution layout (stacked layer params).
         self.params = (
             params if "layers_stacked" in params else stack_decoder_layers(params)
@@ -139,11 +150,34 @@ class ContinuousBatchingScheduler:
             )
         else:
             self.pool = None
-            self.cache = KVCache.create(
+            cache = KVCache.create(
                 text_config.num_layers, self.num_slots, self.max_len,
                 text_config.num_kv_heads, text_config.head_dim_,
                 dtype=text_config.dtype,
             )
+            if mesh is not None:
+                # TP-sharded engines pass their mesh: the shared slot cache
+                # lives head-sharded over the "model" axis (replicated when
+                # kv_heads doesn't divide it — e.g. 4 kv heads on tp=8),
+                # matching the per-request caches the engine prefills, so
+                # batched decode stays SPMD with no resharding transfers.
+                from vis_tpu.parallel.sharding import kv_cache_sharding
+
+                sharding = kv_cache_sharding(mesh, text_config.num_kv_heads)
+                try:
+                    cache = KVCache(
+                        k=jax.device_put(cache.k, sharding),
+                        v=jax.device_put(cache.v, sharding),
+                        lengths=jax.device_put(
+                            cache.lengths,
+                            jax.sharding.NamedSharding(
+                                mesh, jax.sharding.PartitionSpec()
+                            ),
+                        ),
+                    )
+                except ValueError:
+                    pass  # odd slot/axis geometry: leave default placement
+            self.cache = cache
         self.slots = [_Slot() for _ in range(self.num_slots)]
         # Host mirror of the cache cursors: the decode loop must never
         # np.asarray(cache.lengths) — that is a device sync (a full tunnel
@@ -156,15 +190,59 @@ class ContinuousBatchingScheduler:
         # tables are provided, every chunk runs the constrained loop — rows
         # without json_mode stay inactive (raw argmax), so mixed batches
         # share one compiled program.
-        self._json_tables = json_tables  # ConstraintTables or None
-        if json_tables is not None:
+        #
+        # json_tables is either a single ConstraintTables (generic JSON) or
+        # a dict {name-or-None: ConstraintTables}; multiple grammars are
+        # S-padded and STACKED to [T, S_max, K] with a per-slot table index,
+        # so schema-exact rows (e.g. decision_support) batch with free-form
+        # and generic-JSON rows in one compiled chunk.  Tables are admitted
+        # in dict order until the stacked size budget is hit; callers check
+        # has_table() and fall back to unbatched decode for the rest.
+        if json_tables is None:
+            tables_map = {}
+        elif isinstance(json_tables, dict):
+            tables_map = {
+                k: v for k, v in json_tables.items() if v is not None
+            }
+        else:
+            tables_map = {None: json_tables}
+        kept: dict = {}
+        entries = 0
+        for name, tbl in tables_map.items():
+            smax = max(
+                [t.token_ok.shape[0] for t in kept.values()]
+                + [tbl.token_ok.shape[0]]
+            )
+            new_entries = (len(kept) + 1) * smax * tbl.token_ok.shape[1]
+            if kept and new_entries > _MAX_STACKED_ENTRIES:
+                logger.info(
+                    f"constraint table '{name}' skipped: stacked size "
+                    f"{new_entries} entries over budget"
+                )
+                continue
+            kept[name] = tbl
+            entries = new_entries
+        self._tables_map = kept
+        self._table_index = {name: i for i, name in enumerate(kept)}
+        self._json_tables = kept.get(None)  # generic JSON (back-compat)
+        if kept:
+            smax = max(t.token_ok.shape[0] for t in kept.values())
+            oks, transs, costs = [], [], []
+            for t in kept.values():
+                pad = ((0, smax - t.token_ok.shape[0]), (0, 0))
+                oks.append(np.pad(t.token_ok, pad))
+                transs.append(np.pad(t.token_trans, pad))
+                costs.append(
+                    np.pad(t.cost_after, pad, constant_values=2**30)
+                )
             self._json_dev = (
-                jnp.asarray(json_tables.token_ok),
-                jnp.asarray(json_tables.token_trans),
-                jnp.asarray(json_tables.cost_after),
+                jnp.asarray(np.stack(oks)),
+                jnp.asarray(np.stack(transs)),
+                jnp.asarray(np.stack(costs)),
             )
         else:
             self._json_dev = None
+        self._fsm_table = jnp.zeros((self.num_slots,), jnp.int32)
         self._fsm_state = jnp.zeros((self.num_slots,), jnp.int32)
         self._fsm_remaining = jnp.ones((self.num_slots,), jnp.int32)
         self._fsm_active = jnp.zeros((self.num_slots,), bool)
@@ -186,8 +264,11 @@ class ContinuousBatchingScheduler:
         # ONE device dispatch (host round-trips amortize; a slot finishing
         # mid-chunk wastes its tail, and admissions wait at most one chunk).
         # Tunnel round-trips cost ~10-30 ms each, so the chunk must amortize
-        # them: 32 steps at ~5 ms/step keeps overhead under 20%.
-        self.decode_chunk = 32
+        # them: 32 steps at ~5 ms/step keeps overhead under 20%.  Budget-
+        # aware device-side early exit bounds a chunk's tail, so high-RTT
+        # links can raise this (SCHEDULER_DECODE_CHUNK) without paying the
+        # full chunk on short answers.
+        self.decode_chunk = app_config.scheduler_decode_chunk
         # Donate the cache: without donation every chunk copies the full
         # [L, slots, max_len, kvh, hd] k/v buffers.
         self._decode_loop_jit = jax.jit(
@@ -282,18 +363,51 @@ class ContinuousBatchingScheduler:
 
     def submit(self, prompt: str, max_tokens: int = 512,
                json_mode: bool = False,
-               temperature: float = 0.0) -> Request:
-        self._check_modes(json_mode, temperature)
+               temperature: float = 0.0,
+               schema: Optional[str] = None) -> Request:
+        self._check_modes(json_mode, temperature, schema)
+        max_tokens = self._feasible_budget(json_mode, max_tokens, schema)
         request = Request(prompt=prompt, max_tokens=max_tokens,
-                          json_mode=json_mode, temperature=temperature)
+                          json_mode=json_mode, temperature=temperature,
+                          schema=schema)
         self._pending.put(request)
         return request
 
-    def _check_modes(self, json_mode: bool, temperature: float) -> None:
+    def has_table(self, schema: Optional[str]) -> bool:
+        """True when `schema` (None = generic JSON) is in the stacked
+        device tables, i.e. requests with it can join batched decode."""
+        return schema in self._table_index
+
+    def _feasible_budget(self, json_mode: bool, max_tokens: int,
+                         schema: Optional[str] = None) -> int:
+        """json_mode needs max_tokens >= the tables' min_budget, or the
+        feasibility mask is all-False from step one and argmax emits
+        arbitrary tokens.  Engine callers bump before submitting; the
+        public scheduler API must enforce the same invariant."""
+        if json_mode:
+            tables = self._tables_map.get(schema) or self._json_tables
+            if tables is not None:
+                return max(max_tokens, int(tables.min_budget))
+        return max_tokens
+
+    def _check_modes(self, json_mode: bool, temperature: float,
+                     schema: Optional[str] = None) -> None:
         if json_mode and self._json_dev is None:
             raise ValueError(
                 "json_mode requires the scheduler to be built with "
                 "constraint tables (json_tables=)"
+            )
+        if json_mode and schema is None and self._json_tables is None:
+            raise ValueError(
+                "generic json_mode requires the scheduler's tables to "
+                "include the generic JSON grammar (key None)"
+            )
+        if schema is not None and not json_mode:
+            raise ValueError("schema= requires json_mode=True")
+        if schema is not None and schema not in self._table_index:
+            raise ValueError(
+                f"schema '{schema}' is not in this scheduler's stacked "
+                f"tables (have: {sorted(k for k in self._table_index if k)})"
             )
         if temperature > 0.0 and self.paged and self._json_dev is None:
             raise ValueError(
@@ -310,6 +424,7 @@ class ContinuousBatchingScheduler:
         kv_len: Optional[int] = None,
         json_mode: bool = False,
         temperature: float = 0.0,
+        schema: Optional[str] = None,
     ) -> Request:
         """Hand off an externally prefilled request (e.g. a VLM engine's
         vision+multimodal prefill) for batched decode.  src_cache must be a
@@ -317,9 +432,11 @@ class ContinuousBatchingScheduler:
         Pass kv_len (the cursor value) when known host-side — it saves a
         blocking device read at admission (kv_len != next_position for
         M-RoPE models, where rope positions run ahead of cache slots)."""
-        self._check_modes(json_mode, temperature)
+        self._check_modes(json_mode, temperature, schema)
+        max_tokens = self._feasible_budget(json_mode, max_tokens, schema)
         request = Request(prompt="", max_tokens=max_tokens,
-                          json_mode=json_mode, temperature=temperature)
+                          json_mode=json_mode, temperature=temperature,
+                          schema=schema)
         request.prefilled = (src_cache, first_logits, int(next_position), kv_len)
         self._pending.put(request)
         return request
@@ -500,13 +617,20 @@ class ContinuousBatchingScheduler:
         self._lengths_host[free] = kv_len
         self._temps_host[free] = max(0.0, request.temperature)
         if self._json_dev is not None:
-            init_state = (
-                self._json_tables.init_state if request.json_mode else 0
+            tables = (
+                self._tables_map.get(request.schema)
+                if request.json_mode else None
+            )
+            init_state = tables.init_state if tables is not None else 0
+            table_idx = (
+                self._table_index.get(request.schema, 0)
+                if request.json_mode else 0
             )
             min_tok = min(
                 max(app_config.constrained_json_min_tokens, 0),
                 request.max_tokens - 32,
             )
+            self._fsm_table = self._fsm_table.at[free].set(table_idx)
             self._fsm_state = self._fsm_state.at[free].set(init_state)
             self._fsm_remaining = self._fsm_remaining.at[free].set(
                 request.max_tokens
@@ -596,6 +720,7 @@ class ContinuousBatchingScheduler:
                 state=self._fsm_state, remaining=self._fsm_remaining,
                 active=self._fsm_active,
                 min_remaining=self._fsm_min_remaining,
+                table_idx=self._fsm_table,
             )
         # Per-slot sampling: any temp>0 row switches the chunk to the
         # sampled program (greedy rows stay EXACT via the in-kernel where).

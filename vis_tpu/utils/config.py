@@ -54,7 +54,7 @@ class Config(BaseModel):
     """
 
     # --- Model selection (on-pod JAX engines replace remote providers) -----
-    vlm_inspector_model: str = "Qwen/Qwen2-VL-7B-Instruct"
+    vlm_inspector_model: str = "Qwen/Qwen2.5-VL-7B-Instruct"
     vlm_inspector_temperature: float = 0.1
     vlm_inspector_max_tokens: int = 2048
     vlm_inspector_provider: str = "tpu"  # "tpu" | "mock"
@@ -135,16 +135,19 @@ class Config(BaseModel):
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
     quantization: str = "none"        # "none" | "int8" | "int4" weight-only (decoder + vocab) quant
+    vocab_quantization: str = "same"  # vocab projection precision: "same" (= quantization) | "int8" | "int4" | "none"; int4 layers + int8 vocab halves the VPU-bound vocab-matmul decode term for ~270 MB/model
     dev_profile: str = "small"        # weightless engines: "small" (2B-ish) | "target" (real 7B/11B/8B dims)
     continuous_batching: bool = False # share batched decode slots across requests
+    batching_roles: str = "all"       # csv of agent roles that attach a scheduler when continuous_batching=true ("all" = every engine); slot KV is decode_batch_size x kv_cache_max_tokens per scheduled engine, so large-model single-chip profiles scope it (e.g. "explainer")
     speculative_decoding: str = "none"  # "pld" = prompt-lookup self-drafting
     prefix_caching: bool = False      # reuse shared text-prompt-head KV
     constrained_json: bool = False    # JSON-grammar-masked decode for inspector/auditor/decision-support (serving/constrained.py)
     constrained_json_min_tokens: int = 0  # block closing the JSON root before this many tokens (0 = no floor)
-    constrained_schema: bool = False  # schema-exact decode: agents' outputs forced to the full key skeleton + typed values (serving/schema.py); implies constrained_json per call
+    constrained_schema: bool = False  # schema-exact decode: agents' outputs forced to the full key skeleton + typed values (serving/schema.py); agents treat it as implying json_mode even with constrained_json=false
     constrained_lookahead: int = 0    # >=2: window size for forced-run fast-forward decode (skeleton tokens ride one weight pass; 0/1 = off)
     device_preprocess: bool = False   # vision preprocessing on device (ops/preprocess_device.py) instead of host PIL
     decode_chunk: int = 64            # fused decode tokens per device dispatch (host EOS check between chunks); raise on high-RTT links
+    scheduler_decode_chunk: int = 32  # batched-scheduler chunk (smaller than decode_chunk: admissions join between chunks; device-side early exit bounds the tail)
     vision_parallel: str = "tp"       # multi-chip vision encode: "tp" (head-sharded params) | "sp" (Ulysses sequence-parallel, replicated params)
     chunked_prefill_tokens: int = 0   # scheduler: split long prompt prefills into N-token segments interleaved with decode chunks (0 = whole-prompt prefill)
     profile_dir: str = ""             # non-empty => dump JAX profiler traces
