@@ -244,3 +244,46 @@ class TestLogger:
             pass
         t = get_timings(reset=True)
         assert "unit-op" in t and len(t["unit-op"]) == 1
+
+
+class TestPromptOverlay:
+    """configs/prompts.yaml is a LIVE overlay (the reference ships the
+    sidecar but never reads it)."""
+
+    def test_shipped_sidecar_is_neutral(self):
+        from vis_tpu.utils.prompts import PROMPT_REGISTRY, PROMPTS_YAML_PATH
+
+        assert PROMPTS_YAML_PATH.exists()
+        # The shipped file documents the format without overriding anything.
+        assert "file" not in PROMPT_REGISTRY["inspector"]
+
+    def test_overlay_registers_file_version(self, tmp_path):
+        from vis_tpu.utils import prompts as prompts_mod
+
+        yml = tmp_path / "prompts.yaml"
+        yml.write_text(
+            "prompts:\n  chat_system: |\n    Overridden system prompt.\n"
+        )
+        before = prompts_mod.get_prompt("chat_system", "v1.0.0")
+        names = prompts_mod.load_prompt_overrides(yml)
+        try:
+            assert names == ["chat_system"]
+            assert prompts_mod.get_prompt("chat_system").startswith(
+                "Overridden system prompt"
+            )
+            assert prompts_mod.get_prompt("chat_system", "v1.0.0") == before
+            assert "file" in prompts_mod.list_prompt_versions("chat_system")
+        finally:
+            prompts_mod.PROMPT_REGISTRY["chat_system"]["current"] = before
+            prompts_mod.PROMPT_REGISTRY["chat_system"].pop("file", None)
+
+    def test_malformed_overlay_never_blocks(self, tmp_path):
+        from vis_tpu.utils import prompts as prompts_mod
+
+        bad = tmp_path / "prompts.yaml"
+        bad.write_text("prompts: [not, a, mapping")
+        assert prompts_mod.load_prompt_overrides(bad) == []
+        # Unknown names are ignored.
+        unknown = tmp_path / "p2.yaml"
+        unknown.write_text("prompts:\n  nonexistent: hi\n")
+        assert prompts_mod.load_prompt_overrides(unknown) == []

@@ -249,6 +249,41 @@ def test_ui_pages_served(app_server):
         assert anchor in html
 
 
+def test_ui_visual_polish_elements(app_server):
+    """The four reference-parity visual elements ship in the UI shell:
+    self-drawn SVG analytics charts, graphical confidence bars (85/60/35%
+    mapping), the chat typing indicator, and upload preview thumbnails
+    (reference app/ui.py:470-582, verdict_display.py:55,
+    chat_widget.py:291, image_upload.py:40)."""
+    with urllib.request.urlopen(app_server, timeout=30) as resp:
+        html = resp.read().decode()
+    # SVG chart builders wired into the analytics page render path.
+    assert "svgPieChart" in html and "svgBarChart" in html
+    assert "d.verdict_counts" in html and "d.severity_counts" in html
+    assert "d.defect_counts" in html
+    # Confidence bars at the reference's 85/60/35% display mapping.
+    assert "CONF_PCT" in html
+    assert "high: 85" in html and "medium: 60" in html and "low: 35" in html
+    assert "confbar" in html and "confidenceBars(s)" in html
+    # Typing indicator markup + animation.
+    assert 'class="typing"' in html and "@keyframes blink" in html
+    # Upload thumbnails for both the single and the batch form.
+    assert "renderThumbs" in html and "inspect-thumbs" in html
+    assert "batch-thumbs" in html
+
+
+def test_analytics_payload_drives_chart_markup(app_server):
+    """Every field the chart JS consumes must be in /api/analytics —
+    renaming a payload key would silently blank the charts."""
+    d = _get_json(f"{app_server}/api/analytics")
+    for key in ("verdict_counts", "defect_counts", "severity_counts",
+                "total_inspections", "agreement_rate",
+                "avg_processing_time"):
+        assert key in d, key
+    assert isinstance(d["verdict_counts"], dict)
+    assert isinstance(d["severity_counts"], dict)
+
+
 class TestConfigFlagWirings:
     """Reference config-surface flags must actually change behavior (the
     SURVEY flagged declared-but-unread flags as an anti-pattern)."""

@@ -10,6 +10,7 @@ schema, which must parse into vis_tpu.schemas.models.VLMAnalysisResult.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Dict, List
 
 PROMPT_VERSION = "1.0.0"
@@ -170,6 +171,47 @@ PROMPT_REGISTRY: Dict[str, Dict[str, str]] = {
 }
 
 
+PROMPTS_YAML_PATH = (
+    Path(__file__).resolve().parent.parent.parent / "configs" / "prompts.yaml"
+)
+
+
+def load_prompt_overrides(path=None) -> List[str]:
+    """Overlay prompts from ``configs/prompts.yaml``.
+
+    The reference ships ``config/prompts.yaml`` but never reads it
+    (SURVEY §2 #34 pattern); here the sidecar is LIVE: any prompt named in
+    the file registers as version "file" and becomes "current", so
+    operators can tune prompt wording without touching code.  Absent or
+    malformed files never block startup.  Returns the overridden names."""
+    yaml_path = path or PROMPTS_YAML_PATH
+    overridden: List[str] = []
+    try:
+        if not yaml_path.exists():
+            return overridden
+        import yaml
+
+        doc = yaml.safe_load(yaml_path.read_text()) or {}
+    except Exception:
+        return overridden
+    prompts = doc.get("prompts")
+    if not isinstance(prompts, dict):
+        return overridden
+    for name, text in prompts.items():
+        if (
+            name in PROMPT_REGISTRY
+            and isinstance(text, str)
+            and text.strip()
+        ):
+            PROMPT_REGISTRY[name]["file"] = text
+            PROMPT_REGISTRY[name]["current"] = text
+            overridden.append(name)
+    return overridden
+
+
+load_prompt_overrides()
+
+
 def get_prompt(prompt_name: str, version: str = "current") -> str:
     """Fetch a prompt by name/version (reference utils/prompts.py:286)."""
     if prompt_name not in PROMPT_REGISTRY:
@@ -186,6 +228,8 @@ def list_prompt_versions(prompt_name: str) -> List[str]:
 
 __all__ = [
     "PROMPT_VERSION",
+    "PROMPTS_YAML_PATH",
+    "load_prompt_overrides",
     "INSPECTOR_PROMPT",
     "AUDITOR_PROMPT",
     "EXPLAINER_PROMPT",
