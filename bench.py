@@ -53,8 +53,15 @@ _BENCH_ENV = {
     "QUANTIZATION": "int4",
     # int4 layers + int8 vocab head: the int4 vocab matmul is VPU-bound on
     # nibble unpack (~2.5 ms/step at 152k vocab); int8 halves it for
-    # ~270 MB/model of extra HBM (lm_head only - embeds stay int4).
-    "VOCAB_QUANTIZATION": "int8",
+    # ~270 MB of extra HBM per head (lm_head only - embeds stay int4).
+    # On ONE 16 GB chip only the EXPLAINER gets the int8 head: with the
+    # bundle's page pool + staging resident, int8 heads on all three
+    # models left literally zero HBM slack (a 160-byte device_put OOMed);
+    # the explainer decode is the E2E tail, so that's where the byte buys
+    # the most time.  On a v5e-8, TP shards the heads and all three run
+    # int8 (VOCAB_QUANTIZATION=int8, no per-role overrides).
+    "VOCAB_QUANTIZATION": "int4",
+    "EXPLAINER_VOCAB_QUANTIZATION": "int8",
     "CONSTRAINED_JSON": "true",
     "VLM_INSPECTOR_PROVIDER": "tpu",
     "VLM_AUDITOR_PROVIDER": "tpu",
@@ -75,6 +82,15 @@ _BENCH_ENV = {
     "BATCHING_ROLES": "explainer",
     "DECODE_BATCH_SIZE": "3",
     "SCHEDULER_DECODE_CHUNK": "48",
+    # The explainer scheduler's KV comes from a right-sized page pool:
+    # dense 3x KV_CACHE_MAX_TOKENS slots cost ~1 GB+ at 8B dims, which
+    # together with the int8 vocab heads overflowed the 16 GB chip; the
+    # bundle's worst-case footprint (narration ~2k prompt + 512 gen,
+    # counterfactual ~1k, decision support ~1k, + chunk slack) fits
+    # 39 pages x 128 = 4992 pooled tokens (~0.64 GB).
+    "PAGED_KV_CACHE": "true",
+    "KV_PAGE_SIZE": "128",
+    "KV_POOL_TOKENS": "4992",
     "SPECULATIVE_DECODING": "none",
     # One device dispatch per decode (the dev chip is tunneled: per-chunk
     # host RTT dominates at the default chunk of 64).
@@ -83,7 +99,7 @@ _BENCH_ENV = {
     # with 13.5 GB of int4 weights resident on a 16 GB chip, HBM headroom
     # goes to per-request KV instead.
     "PREFIX_CACHING": "false",
-    "KV_CACHE_MAX_TOKENS": "3072",
+    "KV_CACHE_MAX_TOKENS": "2560",
     "DEVICE_PREPROCESS": "true",
     # Random weights close `{}` greedily in 2 tokens; the floor makes the
     # constrained JSON match the reference's ~400-500-token verdict size.
@@ -126,6 +142,20 @@ def main() -> None:
 
     device = jax.devices()[0]
     print(f"# device: {device} ({device.platform})", file=sys.stderr)
+
+    def hbm(tag: str) -> None:
+        """Per-phase HBM accounting (stderr only; absent on some backends)."""
+        try:
+            ms = device.memory_stats() or {}
+            gib = 2**30
+            print(
+                f"# hbm[{tag}]: in_use={ms['bytes_in_use'] / gib:.2f}GiB "
+                f"peak={ms.get('peak_bytes_in_use', 0) / gib:.2f}GiB "
+                f"limit={ms.get('bytes_limit', 0) / gib:.2f}GiB",
+                file=sys.stderr,
+            )
+        except Exception:
+            pass
 
     from vis_tpu.orchestration.graph import run_inspection
     from vis_tpu.serving.engine import _engines
@@ -176,10 +206,12 @@ def main() -> None:
     timed_run("warmup(compile)")
     print(f"# warmup total (incl. engine builds + compiles): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    hbm("after_warmup")
 
     totals, node_runs, token_runs = [], [], []
     for i in range(RUNS):
         total, nodes, tokens = timed_run(f"run {i + 1}/{RUNS}")
+        hbm(f"after_run{i + 1}")
         totals.append(total)
         node_runs.append(nodes)
         token_runs.append(tokens)

@@ -7,6 +7,7 @@ slots x max_len layout.
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -140,6 +141,29 @@ class TestPagedScheduler:
         finally:
             dense.stop()
         assert a == b
+
+
+class TestElasticPool:
+    """Idle paged pools release their device buffers (HBM returned to the
+    chip between bursts — single-chip target profiles run the dual-VLM
+    phase in that headroom) and re-create them on the next admission,
+    token-exactly."""
+
+    def test_idle_release_then_reuse_token_exact(self, setup):
+        engine, scheduler = setup
+        prompt = "check the casting for porosity near the rim"
+        expected = engine.generate(prompt, max_tokens=10)
+
+        assert scheduler.generate(prompt, max_tokens=10, timeout=120) == expected
+        # The worker releases the buffers once every slot is idle.
+        deadline = time.time() + 30
+        while scheduler.pool.k is not None and time.time() < deadline:
+            time.sleep(0.02)
+        assert scheduler.pool.k is None, "idle pool must release its buffers"
+        assert scheduler.pool.memory_bytes() == 0
+
+        # Next burst re-allocates and decodes exactly the same tokens.
+        assert scheduler.generate(prompt, max_tokens=10, timeout=120) == expected
 
 
 class TestPagedMultimodalHandoff:

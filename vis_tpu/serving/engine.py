@@ -106,13 +106,17 @@ def load_constraint_tables(
     )
 
 
-def _vocab_quant_mode():
-    """Vocab-projection quantization override (config.vocab_quantization):
-    None = follow the layer mode; "int8"/"int4"/"none" = mixed precision.
-    The int4 vocab matmul is VPU-bound on nibble unpack (~2.5 ms/step at a
-    152k vocab, 7B dims); int8 vocab with int4 layers halves that for
-    ~270 MB/model of extra HBM."""
-    vq = app_config.vocab_quantization
+def _vocab_quant_mode(role: Optional[str] = None):
+    """Vocab-projection quantization override: None = follow the layer
+    mode; "int8"/"int4"/"none" = mixed precision.  The int4 vocab matmul
+    is VPU-bound on nibble unpack (~2.5 ms/step at a 152k vocab, 7B dims);
+    int8 vocab with int4 layers halves that for ~270 MB/model of extra
+    HBM.  Per-role overrides (<role>_vocab_quantization) let single-chip
+    profiles spend that HBM only where the decode time matters most."""
+    vq = None
+    if role is not None:
+        vq = getattr(app_config, f"{role}_vocab_quantization", "") or None
+    vq = vq or app_config.vocab_quantization
     return None if vq == "same" else vq
 
 
@@ -514,7 +518,7 @@ class Engine:
             with self._lock:
                 cache, logits, next_pos, kv_len, _ = self._prefill_request(
                     prompt, image_path, max_tokens=max_tokens,
-                    max_image_dim=max_image_dim,
+                    max_image_dim=max_image_dim, prompt_only_cache=True,
                 )
             request = scheduler.submit_prefilled(
                 cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len,
@@ -555,13 +559,16 @@ class Engine:
 
     def _prefill_request(
         self, prompt, image_path, *, max_tokens, max_image_dim,
-        right_size_cache: bool = False,
+        right_size_cache: bool = False, prompt_only_cache: bool = False,
     ):
         """Vision encode + multimodal/text prefill into a fresh batch-1
         cache; returns (cache, first_logits, next_position, kv_len, ids).
         right_size_cache sizes the KV buffer to this request's budget
-        (unbatched path); scheduler hand-offs and chat sessions keep the
-        full budget."""
+        (unbatched path); prompt_only_cache sizes it to the prompt bucket
+        alone (scheduler hand-offs: generation KV lives in the scheduler's
+        shared slots/page pool, so staging the full budget would triple the
+        transient HBM held while a bundle of requests waits for admission);
+        chat sessions keep the full budget."""
         tc = self.text_config
         image = None
         vision_embeds = None
@@ -648,10 +655,17 @@ class Engine:
             else self.vlm_params["text"]
         )
 
-        cache_len = (
-            self._request_cache_len(bucket, max_tokens, self.max_cache_tokens)
-            if right_size_cache else self.max_cache_tokens
-        )
+        if prompt_only_cache:
+            # 128-aligned so the paged insert's page reshape stays exact.
+            cache_len = min(
+                self.max_cache_tokens, ((bucket + 127) // 128) * 128
+            )
+        elif right_size_cache:
+            cache_len = self._request_cache_len(
+                bucket, max_tokens, self.max_cache_tokens
+            )
+        else:
+            cache_len = self.max_cache_tokens
 
         # Text prompts often share a static head (system prompt, report
         # template): reuse its KV from the prefix cache and prefill only
@@ -1313,7 +1327,7 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
             if quantize:
                 text = quantize_stacked_params(
                     text, quantize_embeddings=True, mode=mode,
-                    vocab_mode=_vocab_quant_mode(),
+                    vocab_mode=_vocab_quant_mode(role),
                 )
                 p["vision"] = _quantize_vision_tree(p["vision"], mode)
             p["text"] = text
@@ -1345,7 +1359,7 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
             if quantize:
                 text = quantize_stacked_params(
                     text, quantize_embeddings=True, mode=mode,
-                    vocab_mode=_vocab_quant_mode(),
+                    vocab_mode=_vocab_quant_mode(role),
                 )
                 p["vision"] = _quantize_vision_tree(p["vision"], mode)
             p["text"] = text
@@ -1375,7 +1389,7 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
         if quantize:
             text = quantize_stacked_params(
                 text, quantize_embeddings=True, mode=mode,
-                vocab_mode=_vocab_quant_mode(),
+                vocab_mode=_vocab_quant_mode(role),
             )
         return text
 

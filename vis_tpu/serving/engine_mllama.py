@@ -58,12 +58,13 @@ class MllamaEngine:
         if app_config.quantization in ("int8", "int4"):
             from vis_tpu.models.llama.mllama import quantize_mllama_params
 
+            vocab_quant = (
+                app_config.auditor_vocab_quantization
+                or app_config.vocab_quantization
+            )
             params = quantize_mllama_params(
                 params, mode=app_config.quantization,
-                vocab_mode=(
-                    None if app_config.vocab_quantization == "same"
-                    else app_config.vocab_quantization
-                ),
+                vocab_mode=None if vocab_quant == "same" else vocab_quant,
             )
             logger.info(
                 f"{name}: {app_config.quantization} weight-only "

@@ -61,9 +61,10 @@ class PagedKVPool:
         self.n_pages = pool_tokens // page_size + 1  # +1: trash page 0
         if self.n_pages < 2:
             raise ValueError("kv_pool_tokens must cover at least one page")
-        shape = (num_layers, self.n_pages, page_size, kv_heads, head_dim)
-        self.k = jnp.zeros(shape, dtype)
-        self.v = jnp.zeros(shape, dtype)
+        self._shape = (num_layers, self.n_pages, page_size, kv_heads, head_dim)
+        self._dtype = dtype
+        self.k = jnp.zeros(self._shape, dtype)
+        self.v = jnp.zeros(self._shape, dtype)
         self.page_tables = jnp.zeros((slots, self.max_pages), jnp.int32)
         self._free: List[int] = list(range(1, self.n_pages))
         self._owned: Dict[int, List[int]] = {}
@@ -83,7 +84,28 @@ class PagedKVPool:
         return -(-tokens // self.page_size)
 
     def memory_bytes(self) -> int:
+        if self.k is None:
+            return 0
         return int(self.k.nbytes + self.v.nbytes)
+
+    # -- elastic buffers ---------------------------------------------------
+    # On HBM-tight single-chip profiles the pool is only needed while its
+    # scheduler has work (e.g. the explainer's report bundle); releasing the
+    # device buffers when every slot is idle returns that HBM to the other
+    # engines' transients (dual-VLM prefill/decode), so peak usage is
+    # max(phases), not sum.  Re-allocation is a device-side zeros fill —
+    # no host transfer, ~1 dispatch — and all jit caches keep their shapes.
+    def release_buffers(self) -> None:
+        """Drop the device page buffers (call only when no slot is active)."""
+        if self.k is not None:
+            self.k = None
+            self.v = None
+
+    def ensure_buffers(self) -> None:
+        """Re-allocate the device page buffers if released."""
+        if self.k is None:
+            self.k = jnp.zeros(self._shape, self._dtype)
+            self.v = jnp.zeros(self._shape, self._dtype)
 
     # -- allocation --------------------------------------------------------
     def try_reserve(self, slot: int, tokens: int) -> bool:

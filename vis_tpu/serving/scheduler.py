@@ -427,8 +427,10 @@ class ContinuousBatchingScheduler:
         schema: Optional[str] = None,
     ) -> Request:
         """Hand off an externally prefilled request (e.g. a VLM engine's
-        vision+multimodal prefill) for batched decode.  src_cache must be a
-        batch-1 cache of this scheduler's max_len with its cursor set.
+        vision+multimodal prefill) for batched decode.  src_cache is a
+        batch-1 cache with its cursor set; its length may be anything up to
+        this scheduler's max_len (128-aligned for paged pools) — prompt-
+        bucket-sized staging keeps bundle admissions cheap in HBM.
         Pass kv_len (the cursor value) when known host-side — it saves a
         blocking device read at admission (kv_len != next_position for
         M-RoPE models, where rope positions run ahead of cache slots)."""
@@ -515,6 +517,10 @@ class ContinuousBatchingScheduler:
             request = self._pending.get_nowait()
         except queue.Empty:
             return False
+        if self.paged:
+            # Idle pools release their device buffers (see _run); re-create
+            # them before the first insert of a new burst of work.
+            self.pool.ensure_buffers()
 
         try:
             if request.prefilled is not None:
@@ -572,8 +578,12 @@ class ContinuousBatchingScheduler:
                     self.params["embed_tokens"], jnp.asarray(padded)
                 )
                 positions = jnp.asarray(np.arange(bucket, dtype=np.int32)[None])
+                # Staging only holds the PROMPT's KV (decode writes go to
+                # the shared slots/pool), so size it to the bucket, not
+                # max_len — a bundle of admissions would otherwise hold
+                # several max_len transients at once.
                 tmp_cache = KVCache.create(
-                    self.config.num_layers, 1, self.max_len,
+                    self.config.num_layers, 1, bucket,
                     self.config.num_kv_heads, self.config.head_dim_,
                     dtype=self.config.dtype,
                 )
@@ -596,9 +606,16 @@ class ContinuousBatchingScheduler:
         """Copy a finished batch-1 prefill into slot `free` and arm it for
         batched decode (shared by whole-prompt and chunked prefill)."""
         if self.paged:
-            row = np.zeros((self.pool.max_pages,), np.int32)
+            # idx_vec matches the STAGING cache's page count (hand-offs are
+            # prompt-bucket-sized, not max_len — see Engine._prefill_request
+            # prompt_only_cache); pages past the reservation scatter to the
+            # trash page, pages past the prompt are written later by decode
+            # through the slot's page table.
+            n_src = tmp_cache.k.shape[2] // self.pool.page_size
+            row = np.zeros((n_src,), np.int32)
             owned = self.pool._owned[free]
-            row[: len(owned)] = owned
+            n_live = min(len(owned), n_src)
+            row[:n_live] = owned[:n_live]
             self.pool.k, self.pool.v, self._logits = self._insert_paged_jit(
                 self.pool.k, self.pool.v, tmp_cache, jnp.asarray(row),
                 jnp.int32(free), self._logits, logits,
@@ -868,6 +885,18 @@ class ContinuousBatchingScheduler:
                         break  # a chunked prefill started; stop admitting
             if self.active_count == 0:
                 if not advanced:
+                    if (
+                        self.paged
+                        and self.pool.k is not None
+                        and not self.pool._owned
+                        and self._pending.empty()
+                    ):
+                        # Fully idle: return the page pool's HBM to the
+                        # chip (the dual-VLM phase's prefill/decode
+                        # transients live in that headroom on single-chip
+                        # target profiles).  Buffers come back as a
+                        # device-side zeros fill at the next admission.
+                        self.pool.release_buffers()
                     time.sleep(0.005)
                 continue
             self._decode_once()

@@ -136,6 +136,9 @@ class Config(BaseModel):
     decode_batch_size: int = 8        # continuous-batching decode width
     quantization: str = "none"        # "none" | "int8" | "int4" weight-only (decoder + vocab) quant
     vocab_quantization: str = "same"  # vocab projection precision: "same" (= quantization) | "int8" | "int4" | "none"; int4 layers + int8 vocab halves the VPU-bound vocab-matmul decode term for ~270 MB/model
+    inspector_vocab_quantization: str = ""  # per-role override ("" = follow vocab_quantization)
+    auditor_vocab_quantization: str = ""    # per-role override for the auditor engine ("" = follow vocab_quantization); single-chip profiles use these to shape the HBM budget (e.g. int8 head only on the explainer, whose decode is the E2E tail)
+    explainer_vocab_quantization: str = ""  # per-role override ("" = follow vocab_quantization)
     dev_profile: str = "small"        # weightless engines: "small" (2B-ish) | "target" (real 7B/11B/8B dims)
     continuous_batching: bool = False # share batched decode slots across requests
     batching_roles: str = "all"       # csv of agent roles that attach a scheduler when continuous_batching=true ("all" = every engine); slot KV is decode_batch_size x kv_cache_max_tokens per scheduled engine, so large-model single-chip profiles scope it (e.g. "explainer")
