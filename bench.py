@@ -51,15 +51,18 @@ RUNS = 3
 _BENCH_ENV = {
     "DEV_PROFILE": "target",
     "QUANTIZATION": "int4",
-    # int4 layers + int8 vocab head: the int4 vocab matmul is VPU-bound on
+    # int4 layers + int8 vocab heads: the int4 vocab matmul is VPU-bound on
     # nibble unpack (~2.5 ms/step at 152k vocab); int8 halves it for
     # ~270 MB of extra HBM per head (lm_head only - embeds stay int4).
-    # On ONE 16 GB chip only the EXPLAINER gets the int8 head: with the
-    # bundle's page pool + staging resident, int8 heads on all three
-    # models left literally zero HBM slack (a 160-byte device_put OOMed);
-    # the explainer decode is the E2E tail, so that's where the byte buys
-    # the most time.  On a v5e-8, TP shards the heads and all three run
-    # int8 (VOCAB_QUANTIZATION=int8, no per-role overrides).
+    # On ONE 16 GB chip the EXPLAINER (the E2E tail) carries the int8
+    # head.  All three at int8 tips the chip (+0.26 GB the auditor's
+    # phase margins don't have, measured OOM) — on a v5e-8, TP shards the
+    # heads and all three run int8.
+    # KV_QUANTIZATION=int8 (opt-in, tests/test_kv_quant.py) was MEASURED
+    # here and rejected for this profile: it frees ~1.2 GB of KV HBM but
+    # the per-step dequant costs ~2.1 s on the explanation node
+    # (20.30 s p50 vs 18.5 s with bf16 KV) — the right trade only when
+    # HBM, not decode latency, is the binding constraint.
     "VOCAB_QUANTIZATION": "int4",
     "EXPLAINER_VOCAB_QUANTIZATION": "int8",
     "CONSTRAINED_JSON": "true",

@@ -26,7 +26,9 @@ from vis_tpu.models.common.layers import (
     apply_rope,
     attention_scores,
     causal_mask,
+    decode_kv,
     embed,
+    encode_kv,
     length_mask,
     linear,
     mrope_cos_sin,
@@ -151,7 +153,9 @@ def _attention_block(
 
     if cache is not None:
         cache = cache.update(layer_idx, k, v)
-        k_all, v_all = cache.layer(layer_idx)  # [b, max_len, kvh, hd]
+        k_all, v_all = cache.layer(layer_idx)  # [b, max_len, kvh(+1), hd]
+        k_all = decode_kv(k_all, k.dtype, config.num_kv_heads)
+        v_all = decode_kv(v_all, v.dtype, config.num_kv_heads)
     else:
         k_all, v_all = k, v
 
@@ -499,8 +503,10 @@ def _layer_body(
         logits_new = logits_new + mask[:, :, None]
 
     if cache_k is not None:
+        # decode_kv: int8-quantized caches dequantize here, fused into the
+        # attention einsum's operand read (float caches are a plain astype).
         logits_cache = jnp.einsum(
-            "bqgrd,bkgd->bgrqk", qg, cache_k.astype(q.dtype),
+            "bqgrd,bkgd->bgrqk", qg, decode_kv(cache_k, q.dtype, kvh),
             preferred_element_type=jnp.float32,
         ) * scale
         logits_cache = logits_cache + cache_mask[:, :, None]
@@ -511,7 +517,8 @@ def _layer_body(
         probs_new = probs[..., n_cache:]
         out = jnp.einsum(
             "bgrqk,bkgd->bqgrd", probs_cache.astype(v.dtype),
-            cache_v.astype(v.dtype), preferred_element_type=jnp.float32,
+            decode_kv(cache_v, v.dtype, kvh),
+            preferred_element_type=jnp.float32,
         ) + jnp.einsum(
             "bgrqk,bkgd->bqgrd", probs_new.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
@@ -556,10 +563,10 @@ def prefill_scan(
 
     # k_all: [L, b, s, kvh, hd] -> write at position 0 of every row.
     new_k = lax.dynamic_update_slice(
-        cache.k, k_all.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+        cache.k, encode_kv(k_all, cache.k.dtype), (0, 0, 0, 0, 0)
     )
     new_v = lax.dynamic_update_slice(
-        cache.v, v_all.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+        cache.v, encode_kv(v_all, cache.v.dtype), (0, 0, 0, 0, 0)
     )
     cache = KVCache(k=new_k, v=new_v, lengths=prompt_lengths.astype(jnp.int32))
 
@@ -611,10 +618,10 @@ def extend_scan(
 
     def write_row(kb_row, vb_row, k_row, v_row, start):
         kb = lax.dynamic_update_slice(
-            kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
+            kb_row, encode_kv(k_row, kb_row.dtype), (0, start, 0, 0)
         )
         vb = lax.dynamic_update_slice(
-            vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
+            vb_row, encode_kv(v_row, vb_row.dtype), (0, start, 0, 0)
         )
         return kb, vb
 
@@ -652,8 +659,8 @@ def _write_new_kv(
     within noise of skipping the write entirely).
     """
     b = k_buf.shape[1]
-    k_new = k_new.astype(k_buf.dtype)
-    v_new = v_new.astype(v_buf.dtype)
+    k_new = encode_kv(k_new, k_buf.dtype)
+    v_new = encode_kv(v_new, v_buf.dtype)
     if b == 1:
         start = lengths[0]
         k_buf = lax.dynamic_update_slice(k_buf, k_new, (0, 0, start, 0, 0))
@@ -703,10 +710,10 @@ def verify_scan(
 
     def write_row(kb_row, vb_row, k_row, v_row, start):
         kb = lax.dynamic_update_slice(
-            kb_row, k_row.astype(kb_row.dtype), (0, start, 0, 0)
+            kb_row, encode_kv(k_row, kb_row.dtype), (0, start, 0, 0)
         )
         vb = lax.dynamic_update_slice(
-            vb_row, v_row.astype(vb_row.dtype), (0, start, 0, 0)
+            vb_row, encode_kv(v_row, vb_row.dtype), (0, start, 0, 0)
         )
         return kb, vb
 
@@ -1400,10 +1407,10 @@ def decode_loop_paged(
         page_idx = page_tables[rows, lengths // page]
         offset = lengths % page
         pool_k = pool_k.at[:, page_idx, offset].set(
-            k_new[:, :, 0].astype(pool_k.dtype)
+            encode_kv(k_new[:, :, 0], pool_k.dtype)
         )
         pool_v = pool_v.at[:, page_idx, offset].set(
-            v_new[:, :, 0].astype(pool_v.dtype)
+            encode_kv(v_new[:, :, 0], pool_v.dtype)
         )
         return (logits, pool_k, pool_v, lengths + 1), token
 
@@ -1511,10 +1518,10 @@ def decode_loop_paged_constrained(
         page_idx = page_tables[rows, lengths // page]
         offset = lengths % page
         pool_k = pool_k.at[:, page_idx, offset].set(
-            k_new[:, :, 0].astype(pool_k.dtype)
+            encode_kv(k_new[:, :, 0], pool_k.dtype)
         )
         pool_v = pool_v.at[:, page_idx, offset].set(
-            v_new[:, :, 0].astype(pool_v.dtype)
+            encode_kv(v_new[:, :, 0], pool_v.dtype)
         )
         if sampled:
             return (logits, pool_k, pool_v, lengths + 1, con, rng), token

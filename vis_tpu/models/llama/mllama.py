@@ -32,6 +32,7 @@ from vis_tpu.models.common.layers import (
     apply_rope,
     attention_scores,
     causal_mask,
+    decode_kv,
     layer_norm,
     linear,
     rms_norm,
@@ -358,6 +359,8 @@ def _self_attn_layer(
     if cache is not None:
         cache = cache.update(self_idx, k, v)
         k, v = cache.layer(self_idx)
+        k = decode_kv(k, q.dtype, tc.num_kv_heads)
+        v = decode_kv(v, q.dtype, tc.num_kv_heads)
     out = attention_scores(q, k, v, mask)
     out = linear(out.reshape(b, s, tc.num_heads * tc.head_dim_), layer["o_proj"])
     x = x + out

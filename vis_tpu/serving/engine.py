@@ -49,7 +49,7 @@ from vis_tpu.models.common.decoder import (
     stack_decoder_layers,
     verify_scan,
 )
-from vis_tpu.models.common.layers import KVCache, embed
+from vis_tpu.models.common.layers import KVCache, embed, kv_cache_dtype
 from vis_tpu.models.llama import config as llama_configs
 from vis_tpu.models.llama import model as llama_model
 from vis_tpu.models.loader import find_checkpoint, read_safetensors_dir
@@ -700,7 +700,7 @@ class Engine:
 
         cache = KVCache.create(
             tc.num_layers, 1, cache_len, tc.num_kv_heads,
-            tc.head_dim_, dtype=tc.dtype,
+            tc.head_dim_, dtype=kv_cache_dtype(tc.dtype),
         )
         with span("engine.prefill", logger):
             logits, cache = self._prefill_jit(
@@ -773,7 +773,7 @@ class Engine:
         padded[0, : len(suffix)] = suffix
         cache = KVCache.create(
             tc.num_layers, 1, cache_len, tc.num_kv_heads,
-            tc.head_dim_, dtype=tc.dtype,
+            tc.head_dim_, dtype=kv_cache_dtype(tc.dtype),
         )
         cache = self._seed_prefix_jit(cache, k_pref, v_pref, jnp.int32(p))
         embeds = self._embed_jit(params["embed_tokens"], jnp.asarray(padded))

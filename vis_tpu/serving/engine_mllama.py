@@ -24,7 +24,9 @@ from vis_tpu.models.common.decoder import (
     constrained_pick,
     gumbel_sample_token,
 )
-from vis_tpu.models.common.layers import KVCache, causal_mask, embed, length_mask
+from vis_tpu.models.common.layers import (
+    KVCache, causal_mask, embed, kv_cache_dtype, length_mask,
+)
 from vis_tpu.models.llama.mllama import (
     MllamaConfig,
     compute_cross_kv,
@@ -451,7 +453,7 @@ class MllamaEngine:
         cache_len = min(self.max_cache_tokens, ((need + 127) // 128) * 128)
         cache = KVCache.create(
             n_self, 1, cache_len, tc.num_kv_heads, tc.head_dim_,
-            dtype=tc.dtype,
+            dtype=kv_cache_dtype(tc.dtype),
         )
         with span("mllama.prefill", logger):
             logits, cache = self._prefill_jit(

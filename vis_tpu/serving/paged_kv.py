@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vis_tpu.models.common.layers import kv_store_heads
 from vis_tpu.utils.logger import setup_logger
 
 logger = setup_logger(__name__, level="INFO", component="PAGED_KV")
@@ -61,7 +62,12 @@ class PagedKVPool:
         self.n_pages = pool_tokens // page_size + 1  # +1: trash page 0
         if self.n_pages < 2:
             raise ValueError("kv_pool_tokens must cover at least one page")
-        self._shape = (num_layers, self.n_pages, page_size, kv_heads, head_dim)
+        # kv_store_heads: int8 pools carry one extra head row of packed
+        # per-(token, head) scales (models/common/layers.py encode_kv).
+        self._shape = (
+            num_layers, self.n_pages, page_size,
+            kv_store_heads(kv_heads, dtype), head_dim,
+        )
         self._dtype = dtype
         self.k = jnp.zeros(self._shape, dtype)
         self.v = jnp.zeros(self._shape, dtype)

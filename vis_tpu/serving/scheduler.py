@@ -43,7 +43,7 @@ from vis_tpu.models.common.decoder import (
     prefill_scan,
     stack_decoder_layers,
 )
-from vis_tpu.models.common.layers import KVCache, embed
+from vis_tpu.models.common.layers import KVCache, embed, kv_cache_dtype
 from vis_tpu.serving.tokenizer import Tokenizer
 from vis_tpu.utils.config import config as app_config
 from vis_tpu.utils.logger import setup_logger
@@ -137,7 +137,7 @@ class ContinuousBatchingScheduler:
                 text_config.num_kv_heads, text_config.head_dim_,
                 page_size=app_config.kv_page_size,
                 pool_tokens=app_config.kv_pool_tokens,
-                dtype=text_config.dtype,
+                dtype=kv_cache_dtype(text_config.dtype),
             )
             self.cache = None
             dense_tokens = self.num_slots * self.max_len
@@ -153,7 +153,7 @@ class ContinuousBatchingScheduler:
             cache = KVCache.create(
                 text_config.num_layers, self.num_slots, self.max_len,
                 text_config.num_kv_heads, text_config.head_dim_,
-                dtype=text_config.dtype,
+                dtype=kv_cache_dtype(text_config.dtype),
             )
             if mesh is not None:
                 # TP-sharded engines pass their mesh: the shared slot cache
@@ -558,7 +558,7 @@ class ContinuousBatchingScheduler:
                         "cache": KVCache.create(
                             self.config.num_layers, 1, self.max_len,
                             self.config.num_kv_heads, self.config.head_dim_,
-                            dtype=self.config.dtype,
+                            dtype=kv_cache_dtype(self.config.dtype),
                         ),
                         "logits": None,
                     }
@@ -585,7 +585,7 @@ class ContinuousBatchingScheduler:
                 tmp_cache = KVCache.create(
                     self.config.num_layers, 1, bucket,
                     self.config.num_kv_heads, self.config.head_dim_,
-                    dtype=self.config.dtype,
+                    dtype=kv_cache_dtype(self.config.dtype),
                 )
                 logits, tmp_cache = self._prefill_jit(
                     self.params, embeds, positions, tmp_cache,
