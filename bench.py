@@ -133,6 +133,11 @@ if os.environ.get("BENCH_SMOKE"):  # harness self-test: small models, 1 run
     _BENCH_ENV["KV_CACHE_MAX_TOKENS"] = "2048"
     RUNS = 1
 for _k, _v in _BENCH_ENV.items():
+    # BENCH_RESPECT_ENV=1 runs a VARIANT: profile keys already present in
+    # the environment win over _BENCH_ENV (used to publish e.g. the
+    # speculative-decoding and KV-quant variants in ARCHITECTURE.md).
+    if os.environ.get("BENCH_RESPECT_ENV") and _k in os.environ:
+        continue
     os.environ[_k] = _v
 
 
