@@ -54,10 +54,15 @@ _BENCH_ENV = {
     # int4 layers + int8 vocab heads: the int4 vocab matmul is VPU-bound on
     # nibble unpack (~2.5 ms/step at 152k vocab); int8 halves it for
     # ~270 MB of extra HBM per head (lm_head only - embeds stay int4).
-    # On ONE 16 GB chip the EXPLAINER (the E2E tail) carries the int8
-    # head.  All three at int8 tips the chip (+0.26 GB the auditor's
-    # phase margins don't have, measured OOM) — on a v5e-8, TP shards the
-    # heads and all three run int8.
+    # On ONE 16 GB chip exactly one head fits at int8 (two at bf16 KV
+    # measured OOM; all three OOM even with int8 KV) — on a v5e-8, TP
+    # shards the heads and all three run int8.  The EXPLAINER carries it.
+    # Putting it on the INSPECTOR instead (HBM-neutral, +11 MB) was
+    # MEASURED and rejected: 18.87 s E2E / 10.07 s verdict vs 18.53/9.85,
+    # tokens identical at 448/448 — the schema fast-forward already
+    # amortizes the inspector's vocab matmul over each forced window
+    # (one lm_head evaluation per weight pass, not per token), so the
+    # int8 head's addressable term in dual-VLM is too small to measure.
     # KV_QUANTIZATION=int8 (opt-in, tests/test_kv_quant.py) was MEASURED
     # here and rejected for this profile: it frees ~1.2 GB of KV HBM but
     # the per-step dequant costs ~2.1 s on the explanation node
