@@ -432,3 +432,109 @@ class TestFusedInitPath:
         finally:
             monkeypatch.delenv("QUANTIZATION")
             get_config(reload=True)
+
+
+class TestMixedVocabPrecision:
+    """vocab_mode: vocab-projection precision independent of the layers'.
+
+    The flagship single-chip profile runs int4 layers with an int8 vocab
+    head on exactly one role (bench.py): the int4 vocab matmul is
+    VPU-bound on nibble unpack, and only one head's worth of int8 HBM
+    fits next to 13 GB of int4 weights.  Reference has no quantization
+    tier at all (SURVEY.md §2: remote APIs); this is TPU-build surface.
+    """
+
+    def _setup(self):
+        config = DecoderConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128,
+            tie_word_embeddings=False, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(11))
+        return config, stack_decoder_layers(params)
+
+    def test_int8_vocab_over_int4_layers(self):
+        from vis_tpu.ops.quantized import QuantizedWeight4
+
+        config, stacked = self._setup()
+        q = quantize_stacked_params(
+            stacked, quantize_embeddings=True, mode="int4", vocab_mode="int8"
+        )
+        # Layers follow mode (int4); both vocab tables follow vocab_mode.
+        assert isinstance(q["layers_stacked"]["q_proj"], QuantizedWeight4)
+        assert isinstance(q["layers_stacked"]["mlp"]["down_proj"], QuantizedWeight4)
+        assert isinstance(q["embed_tokens"], QuantizedWeight)
+        assert isinstance(q["lm_head"], QuantizedWeight)
+
+    def test_vocab_mode_none_keeps_bf16_head(self):
+        from vis_tpu.ops.quantized import QuantizedWeight4
+
+        config, stacked = self._setup()
+        q = quantize_stacked_params(
+            stacked, quantize_embeddings=True, mode="int4", vocab_mode="none"
+        )
+        assert isinstance(q["layers_stacked"]["q_proj"], QuantizedWeight4)
+        assert not isinstance(q["lm_head"], (QuantizedWeight, QuantizedWeight4))
+        assert hasattr(q["lm_head"], "shape")
+
+    def test_mixed_precision_decode_deterministic_and_tracks(self):
+        config, stacked = self._setup()
+        mixed = quantize_stacked_params(
+            stacked, quantize_embeddings=True, mode="int4", vocab_mode="int8"
+        )
+
+        rng = np.random.default_rng(5)
+        ids = rng.integers(5, 250, size=(2, 12))
+
+        def run(p):
+            from vis_tpu.models.common.layers import embed
+
+            embeds = embed(jnp.asarray(ids), p["embed_tokens"]).astype(
+                jnp.float32
+            )
+            positions = jnp.asarray(
+                np.broadcast_to(np.arange(12)[None], (2, 12)).copy()
+            )
+            cache = KVCache.create(
+                config.num_layers, 2, 64, config.num_kv_heads,
+                config.head_dim_, dtype=jnp.float32,
+            )
+            logits, cache = prefill_scan(
+                config, p, embeds, positions, cache, jnp.asarray([12, 12])
+            )
+            tokens, _, _ = decode_loop_scan(
+                config, p, logits, jnp.int32(12), cache, 8
+            )
+            return np.asarray(tokens)
+
+        ta = run(stacked)
+        tb = run(mixed)
+        np.testing.assert_array_equal(tb, run(mixed))  # deterministic
+        assert (ta == tb).mean() >= 0.5  # tracks full precision loosely
+
+    def test_per_role_override_resolution(self, monkeypatch):
+        from vis_tpu.serving.engine import _vocab_quant_mode
+        from vis_tpu.utils.config import get_config
+
+        monkeypatch.setenv("QUANTIZATION", "int4")
+        monkeypatch.setenv("VOCAB_QUANTIZATION", "same")
+        monkeypatch.setenv("EXPLAINER_VOCAB_QUANTIZATION", "int8")
+        get_config(reload=True)
+        try:
+            # Role with an override gets it; others follow the global
+            # ("same" -> None -> vocab follows the layer mode).
+            assert _vocab_quant_mode("explainer") == "int8"
+            assert _vocab_quant_mode("inspector") is None
+            assert _vocab_quant_mode() is None
+
+            monkeypatch.setenv("VOCAB_QUANTIZATION", "int8")
+            get_config(reload=True)
+            assert _vocab_quant_mode("inspector") == "int8"
+            assert _vocab_quant_mode("explainer") == "int8"
+        finally:
+            for k in (
+                "QUANTIZATION", "VOCAB_QUANTIZATION",
+                "EXPLAINER_VOCAB_QUANTIZATION",
+            ):
+                monkeypatch.delenv(k, raising=False)
+            get_config(reload=True)
