@@ -12,10 +12,10 @@ SQLite -> PDF — at TARGET model scale:
     auditor    Mllama-11B    (real dims, int4, random weights)
     explainer  Llama-3.1-8B  (real dims, int4, random weights)
 
-Round-3 profile additions: int8 vocab head over int4 layers (halves the
-VPU-bound vocab-matmul decode term), and the explainer's three report
-decodes (narration + counterfactual + decision support) batched through
-the continuous-batching scheduler instead of running sequentially.
+Round-3 profile additions: the explainer's three report decodes
+(narration + counterfactual + decision support) batched through the
+continuous-batching scheduler instead of running sequentially, and an
+elastic paged-KV pool that returns the explainer's HBM between bursts.
 
 Weight values don't change latency; random weights + JSON-grammar
 constrained decoding (vis_tpu/serving/constrained.py) exercise the same
@@ -51,18 +51,15 @@ RUNS = 3
 _BENCH_ENV = {
     "DEV_PROFILE": "target",
     "QUANTIZATION": "int4",
-    # int4 layers + int8 vocab heads: the int4 vocab matmul is VPU-bound on
-    # nibble unpack (~2.5 ms/step at 152k vocab); int8 halves it for
-    # ~270 MB of extra HBM per head (lm_head only - embeds stay int4).
-    # On ONE 16 GB chip exactly one head fits at int8 (two at bf16 KV
-    # measured OOM; all three OOM even with int8 KV) — on a v5e-8, TP
-    # shards the heads and all three run int8.  The EXPLAINER carries it.
-    # Putting it on the INSPECTOR instead (HBM-neutral, +11 MB) was
-    # MEASURED and rejected: 18.87 s E2E / 10.07 s verdict vs 18.53/9.85,
-    # tokens identical at 448/448 — the schema fast-forward already
-    # amortizes the inspector's vocab matmul over each forced window
-    # (one lm_head evaluation per weight pass, not per token), so the
-    # int8 head's addressable term in dual-VLM is too small to measure.
+    # Vocab-head precision: MEASURED on-chip at 152k-vocab 7B dims
+    # (tools/probe_vocab_head.py) int4 = 2.40, int8 = 2.60, bf16 =
+    # 3.63 ms/evaluation — int4's nibble-unpack cost is offset by
+    # halved HBM bytes, so head precision is a capacity knob, not a
+    # latency one.  Two pipeline A/Bs agree: int8 head on the explainer
+    # (this profile, 18.53 s) vs on the inspector (18.87 s, tokens
+    # identical) are within noise of each other.  The explainer keeps
+    # the int8 head as the measured-green recorded configuration; only
+    # one head fits at int8 on 16 GB (two with bf16 KV measured OOM).
     # KV_QUANTIZATION=int8 (opt-in, tests/test_kv_quant.py) was MEASURED
     # here and rejected for this profile: it frees ~1.2 GB of KV HBM but
     # the per-step dequant costs ~2.1 s on the explanation node

@@ -351,11 +351,11 @@ def quantize_stacked_params(
     dequantize on the fly (gathered rows / the Pallas kernel).
 
     vocab_mode (default = mode) sets the vocab projection's precision
-    independently of the layers': on this toolchain the int4 vocab matmul
-    is VPU-bound on nibble unpack (~2.5 ms/step for a 152k vocab at 7B
-    dims), so "int4 layers + int8 vocab" trades ~270 MB of HBM per model
-    for roughly halving that term — the decode-roofline recovery the
-    BENCH breakdown calls for.
+    independently of the layers'.  Measured on-chip at 7B dims (152k
+    vocab, tools/probe_vocab_head.py): int4 2.40 / int8 2.60 / bf16
+    3.63 ms per evaluation — int4's extra nibble unpack is offset by
+    halved HBM bytes, so vocab precision is a CAPACITY knob (int4 head =
+    -0.25 GB vs int8, -0.76 GB vs bf16), not a latency one.
     """
     from vis_tpu.ops.quantized import (
         QuantizedWeight,

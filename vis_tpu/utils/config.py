@@ -135,7 +135,7 @@ class Config(BaseModel):
     prefill_buckets: str = "512,1024,2048,4096,8192"  # padded prefill lengths
     decode_batch_size: int = 8        # continuous-batching decode width
     quantization: str = "none"        # "none" | "int8" | "int4" weight-only (decoder + vocab) quant
-    vocab_quantization: str = "same"  # vocab projection precision: "same" (= quantization) | "int8" | "int4" | "none"; int4 layers + int8 vocab halves the VPU-bound vocab-matmul decode term for ~270 MB/model
+    vocab_quantization: str = "same"  # vocab projection precision: "same" (= quantization) | "int8" | "int4" | "none"; measured on-chip the 152k vocab matmul is int4 2.40 / int8 2.60 / bf16 3.63 ms (tools/probe_vocab_head.py) — precision is an HBM-capacity knob, not a decode-latency one
     kv_quantization: str = "none"     # "none" | "int8": KV caches (per-request, scheduler slots, page pools) stored int8 with per-(token, head) scales packed into one extra head row — 1.6-1.8x less KV HBM; decode numerics change slightly (quantized keys/values), token streams stay deterministic
     inspector_vocab_quantization: str = ""  # per-role override ("" = follow vocab_quantization)
     auditor_vocab_quantization: str = ""    # per-role override for the auditor engine ("" = follow vocab_quantization); single-chip profiles use these to shape the HBM budget (e.g. int8 head only on the explainer, whose decode is the E2E tail)
