@@ -293,3 +293,99 @@ class TestMllamaJsonMode:
         assert isinstance(doc, dict)
         again = engine.generate("audit JSON", None, max_tokens=80, json_mode=True)
         assert out == again
+
+
+class _FakeSpmTokenizer:
+    """SentencePiece-style test double: pieces use U+2581 for space and the
+    vocab is one piece per printable char.  Its standalone ``decode([id])``
+    strips the leading space marker — the exact divergence that forces the
+    table compiler to derive bytes from vocab PIECES, never from decode()."""
+
+    def __init__(self, eos_id=None, swap=False, corrupt=False):
+        chars = [chr(c) for c in range(0x20, 0x7F)] + ["\t", "\n"]
+        if swap:  # same class/width, different vocab contents
+            i, j = chars.index("!"), chars.index("~")
+            chars[i], chars[j] = chars[j], chars[i]
+        self._pieces = {}
+        self._ids = {}
+        for i, ch in enumerate(chars):
+            self._pieces[i] = "▁" if ch == " " else ch
+            self._ids[ch] = i
+        self.vocab_size = len(chars) + 1
+        self.eos_id = len(chars) if eos_id is None else eos_id
+        if corrupt:
+            # Piece table lies about one char; the round-trip probe in
+            # _vocab_byte_contents must catch the drift.
+            self._pieces[self._ids["b"]] = "c"
+
+    def encode(self, text):
+        return [self._ids[ch] for ch in text]
+
+    def decode(self, ids):
+        out = "".join(
+            self._pieces.get(i, "") for i in ids if i != self.eos_id
+        ).replace("▁", " ")
+        return out.lstrip(" ")  # SPM single-token strip behavior
+
+    def convert_ids_to_tokens(self, i):
+        return self._pieces.get(int(i))
+
+
+class TestPieceByteDerivation:
+    """Token byte content comes from vocab pieces, not decode([id])
+    (round-2 advisor finding: SPM-family standalone decode strips leading
+    space markers, which would let 'constrained' output drift invalid)."""
+
+    def test_spm_pieces_compose_and_compile(self):
+        from vis_tpu.serving.constrained import _vocab_byte_contents
+
+        tok = _FakeSpmTokenizer()
+        space = tok._ids[" "]
+        # The trap is real on this double: decode([space]) loses the space.
+        assert tok.decode([space]) == ""
+        contents = _vocab_byte_contents(tok, tok.vocab_size)
+        assert contents is not None
+        assert contents[space] == b" "
+        assert contents[tok.eos_id] is None  # special, not raw content
+        tables = json_constraint_tables(tok, tok.vocab_size)
+        assert tables is not None
+        doc = '{"verdict": "SAFE", "count": 3}'
+        state = walk_document(tables, tok.encode(doc))
+        assert tables.token_ok[state, tok.eos_id]  # EOS legal at accept
+
+    def test_piece_bytes_families(self):
+        from vis_tpu.serving.constrained import _piece_bytes
+
+        assert _piece_bytes("<0x0A>", "spm") == b"\n"  # byte fallback
+        assert _piece_bytes("▁ab", "spm") == b" ab"
+        assert _piece_bytes("Ġa", "bytelevel") == b" a"  # GPT-2 map
+        assert _piece_bytes(None, "spm") is None
+        assert _piece_bytes("", "bytelevel") is None
+
+    def test_noncomposable_vocab_disables_constrained_decode(self):
+        from vis_tpu.serving.constrained import _vocab_byte_contents
+
+        tok = _FakeSpmTokenizer(corrupt=True)
+        assert _vocab_byte_contents(tok, tok.vocab_size) is None
+        # Engines then decode unconstrained + robust-parse, never emit a
+        # DFA-"valid" document whose detokenization differs.
+        assert json_constraint_tables(tok, tok.vocab_size) is None
+
+    def test_cache_separation_by_vocab_and_eos(self):
+        from vis_tpu.serving.constrained import _tokenizer_fingerprint
+
+        base = _FakeSpmTokenizer()
+        swapped = _FakeSpmTokenizer(swap=True)
+        other_eos = _FakeSpmTokenizer(eos_id=999)
+        # Same class + width must NOT share compiled tables when the vocab
+        # contents or eos differ (round-2 advisor finding on cache keys).
+        assert _tokenizer_fingerprint(base, base.vocab_size) != (
+            _tokenizer_fingerprint(swapped, swapped.vocab_size)
+        )
+        assert _tokenizer_fingerprint(base, base.vocab_size) != (
+            _tokenizer_fingerprint(other_eos, other_eos.vocab_size)
+        )
+        ta = json_constraint_tables(base, base.vocab_size)
+        tb = json_constraint_tables(swapped, swapped.vocab_size)
+        assert ta is not None and tb is not None
+        assert ta is not tb

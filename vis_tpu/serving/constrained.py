@@ -460,7 +460,10 @@ def _vocab_byte_contents(
 def _tokenizer_fingerprint(tokenizer, vocab_size: int) -> Tuple:
     """Identity component for the table caches: two tokenizer instances of
     the same class/width but different vocab contents or eos must not share
-    compiled tables."""
+    compiled tables.  Besides fixed-index piece samples, the fingerprint
+    walks the pieces along canonical JSON-shaped probe encodings — a vocab
+    that differs anywhere content-relevant (the bytes the DFA will track)
+    produces different probe ids or pieces."""
     eos = getattr(tokenizer, "eos_id", None)
     sample: List[Optional[str]] = []
     id_to_piece = _id_to_piece_fn(tokenizer)
@@ -468,6 +471,15 @@ def _tokenizer_fingerprint(tokenizer, vocab_size: int) -> Tuple:
         for v in (0, 1, vocab_size // 2, vocab_size - 1):
             try:
                 sample.append(id_to_piece(max(0, min(v, vocab_size - 1))))
+            except Exception:
+                sample.append(None)
+        for probe in ('{"verdict": "SAFE", "n": [0.5, true, null]}',
+                      'a b\tc\nd "quoted\\path"'):
+            try:
+                ids = tokenizer.encode(probe)
+                sample.append("\x00".join(
+                    str(i) + ":" + (id_to_piece(i) or "") for i in ids
+                ))
             except Exception:
                 sample.append(None)
     return (type(tokenizer).__name__, vocab_size, eos, tuple(sample))
