@@ -43,6 +43,83 @@ class TestDevicePreprocess:
         )
         np.testing.assert_allclose(out[1], single, atol=1e-6)
 
+    def test_frame_cache_single_decode_and_invalidation(self, tmp_path, monkeypatch):
+        """One decode per file identity, shared across consumers; a
+        modified file (new mtime/size) is decoded fresh."""
+        import time
+
+        from PIL import Image
+
+        from vis_tpu.ops import frame_cache
+
+        frame_cache.clear()
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+        path = tmp_path / "frame.png"
+        Image.fromarray(arr).save(path)
+
+        calls = []
+        original = frame_cache._decode
+
+        def spy(p):
+            calls.append(str(p))
+            return original(p)
+
+        monkeypatch.setattr(frame_cache, "_decode", spy)
+        f1 = frame_cache.get_frame(path)
+        f2 = frame_cache.get_frame(path)
+        d1 = frame_cache.get_device_frame(path)
+        d2 = frame_cache.get_device_frame(path)
+        assert len(calls) == 1
+        assert f1 is f2 and d1 is d2
+        np.testing.assert_array_equal(f1, arr)
+        np.testing.assert_array_equal(np.asarray(d1), arr)
+        assert not f1.flags.writeable  # immutability contract
+
+        # Re-save different content -> new key -> fresh decode.
+        arr2 = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+        time.sleep(0.01)
+        Image.fromarray(arr2).save(path)
+        f3 = frame_cache.get_frame(path)
+        assert len(calls) == 2
+        np.testing.assert_array_equal(f3, arr2)
+        frame_cache.clear()
+
+    def test_pipeline_consumers_share_one_decode(self, tmp_path, monkeypatch):
+        """Quality gate + inspector patches + auditor tiles + report
+        overlay all ride a single decode of the same file (VERDICT r3 #1:
+        the hottest host cost was paid twice per inspection)."""
+        from PIL import Image
+
+        from vis_tpu.ops import frame_cache
+        from vis_tpu.ops.preprocess import preprocess_image
+        from vis_tpu.ops.preprocess_mllama import preprocess_image_mllama
+        from vis_tpu.safety.image_quality import assess_image_quality
+        from vis_tpu.utils.image_utils import load_image
+
+        frame_cache.clear()
+        rng = np.random.default_rng(6)
+        arr = rng.integers(0, 255, (120, 200, 3), dtype=np.uint8)
+        path = tmp_path / "shared.png"
+        Image.fromarray(arr).save(path)
+
+        calls = []
+        original = frame_cache._decode
+
+        def spy(p):
+            calls.append(str(p))
+            return original(p)
+
+        monkeypatch.setattr(frame_cache, "_decode", spy)
+        assess_image_quality(path)
+        preprocess_image(path, max_image_dim=128, use_native=False)
+        preprocess_image_mllama(path)
+        img = load_image(path)
+        img.putpixel((0, 0), (1, 2, 3))  # fresh copy: draw must not poison
+        np.testing.assert_array_equal(frame_cache.get_frame(path), arr)
+        assert len(calls) == 1
+        frame_cache.clear()
+
     def test_preprocess_image_device_matches_host(self, tmp_path):
         """The serving drop-in (DEVICE_PREPROCESS=true): identical geometry
         to the host ImagePatches, patches within resampling tolerance."""

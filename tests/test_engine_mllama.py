@@ -158,6 +158,52 @@ for path in {[str(p) for p in paths]!r}:
             assert float(diff.max()) < 1e-4, (path.name, float(diff.max()))
 
 
+class TestDeviceTiling:
+    """Device tiling path (DEVICE_PREPROCESS=true): the pixel work runs as
+    one jit program on device; only the shared u8 frame leaves the host."""
+
+    # Same code-path spread as TestTilingHFParity: no-resize + pad,
+    # exact-fit, upscale-to-tile, large downscale, portrait.
+    SHAPES = [(300, 500), (448, 448), (100, 160), (2000, 3000), (900, 400)]
+
+    def test_matches_host_reference(self, tmp_path):
+        from vis_tpu.ops.preprocess_mllama_device import (
+            preprocess_image_mllama_device,
+        )
+
+        rng = np.random.default_rng(7)
+        for h, w in self.SHAPES:
+            arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            path = tmp_path / f"dev_{h}x{w}.png"
+            Image.fromarray(arr).save(path)
+
+            host = preprocess_image_mllama(path)
+            dev = preprocess_image_mllama_device(path)
+            assert dev.aspect_ratio_id == host.aspect_ratio_id, path.name
+            assert dev.num_tiles == host.num_tiles, path.name
+            dt = np.asarray(dev.tiles)
+            assert dt.shape == host.tiles.shape
+            diff = np.abs(dt - host.tiles)
+            resized = (h, w) not in ((300, 500), (448, 448))
+            if resized:
+                # PIL fixed-point bilinear vs f32 matmul: a couple of u8
+                # levels at most, ~0.015 normalized per level.
+                assert float(diff.max()) < 0.08, (path.name, float(diff.max()))
+                assert float(diff.mean()) < 0.01, (path.name, float(diff.mean()))
+            else:
+                # No resample on this path — identical math, exact.
+                assert float(diff.max()) < 1e-5, (path.name, float(diff.max()))
+
+    def test_engine_uses_device_tiles(self, engine, image_file, monkeypatch):
+        """With DEVICE_PREPROCESS on, the auditor engine routes through the
+        device tiling path and still generates."""
+        from vis_tpu.utils.config import config as app_config
+
+        monkeypatch.setattr(app_config, "device_preprocess", True)
+        out = engine.generate("inspect", image_path=image_file, max_tokens=4)
+        assert isinstance(out, str)
+
+
 class TestMllamaQuantized:
     def test_int8_engine_generates_deterministically(self, monkeypatch, tmp_path):
         """QUANTIZATION=int8 quantizes the Mllama text stack (required to

@@ -136,8 +136,9 @@ def preprocess_image(
     (PIL-parity support-scaled bicubic, within ~1 u8 level); otherwise the
     PIL/numpy path runs (bit-exact with the HF Qwen2-VL processor).
     """
-    with Image.open(image_path) as im:
-        image = im.convert("RGB")
+    from vis_tpu.ops.frame_cache import get_frame
+
+    image = Image.fromarray(get_frame(image_path))  # shared one-shot decode
     if max_image_dim is not None:
         budget = max_image_dim * max_image_dim
         max_pixels = min(max_pixels, budget)

@@ -37,22 +37,36 @@ def _bicubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
     )
 
 
+def _bilinear_kernel(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+# PIL filter name -> (kernel fn, base support radius).
+_FILTERS = {
+    "bicubic": (_bicubic_kernel, 2.0),
+    "bilinear": (_bilinear_kernel, 1.0),
+}
+
+
 @lru_cache(maxsize=64)
-def resize_weights(src: int, dst: int) -> np.ndarray:
-    """Dense [dst, src] separable bicubic interpolation matrix with PIL's
-    support scaling (downscale widens the kernel by the scale factor), so a
-    resize becomes a matmul — gathers are the slow path on TPU, matmuls are
-    the fast one.  Matches PIL.Image.BICUBIC to resampling tolerance."""
+def resize_weights(src: int, dst: int, filter: str = "bicubic") -> np.ndarray:
+    """Dense [dst, src] separable interpolation matrix with PIL's support
+    scaling (downscale widens the kernel by the scale factor), so a resize
+    becomes a matmul — gathers are the slow path on TPU, matmuls are the
+    fast one.  Matches PIL.Image.BICUBIC / BILINEAR to resampling
+    tolerance (bicubic feeds the Qwen patch path, bilinear the Mllama tile
+    path — each model family's HF processor picks its own resample)."""
+    kernel, base_support = _FILTERS[filter]
     scale = src / dst
     filterscale = max(scale, 1.0)
-    support = 2.0 * filterscale
+    support = base_support * filterscale
     weights = np.zeros((dst, src), np.float32)
     for i in range(dst):
         center = (i + 0.5) * scale
         lo = max(int(center - support + 0.5), 0)
         hi = min(int(center + support + 0.5), src)
         xs = np.arange(lo, hi, dtype=np.float64)
-        w = _bicubic_kernel((xs + 0.5 - center) / filterscale)
+        w = kernel((xs + 0.5 - center) / filterscale)
         total = w.sum()
         if total != 0:
             weights[i, lo:hi] = (w / total).astype(np.float32)
@@ -96,10 +110,10 @@ def _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w):
 
 
 @lru_cache(maxsize=64)
-def _resize_weights_dev(src: int, dst: int):
+def _resize_weights_dev(src: int, dst: int, filter: str = "bicubic"):
     """Device-resident copy of the interpolation matrix — re-shipping the
     (up to ~10 MB) weight matrix per frame would dominate on slow links."""
-    return jnp.asarray(resize_weights(src, dst))
+    return jnp.asarray(resize_weights(src, dst, filter))
 
 
 def preprocess_frame_device(
@@ -181,8 +195,6 @@ def preprocess_image_device(
     then resize-as-matmul -> CLIP-normalize -> patchify in one jit program.
     Numerics match the PIL path to resampling tolerance (tests pin it); the
     host paths remain the HF-bit-exact reference."""
-    from PIL import Image
-
     from vis_tpu.ops.preprocess import (
         DEFAULT_MAX_PIXELS,
         DEFAULT_MIN_PIXELS,
@@ -192,15 +204,15 @@ def preprocess_image_device(
 
     min_pixels = DEFAULT_MIN_PIXELS if min_pixels is None else min_pixels
     max_pixels = DEFAULT_MAX_PIXELS if max_pixels is None else max_pixels
-    with Image.open(image_path) as im:
-        image = im.convert("RGB")
+    from vis_tpu.ops.frame_cache import frame_size, get_device_frame
+
+    src_h, src_w = frame_size(image_path)  # one shared decode per file
     if max_image_dim is not None:
         max_pixels = min(max_pixels, max_image_dim * max_image_dim)
-    h_bar, w_bar = smart_resize(
-        image.height, image.width, FACTOR, min_pixels, max_pixels
-    )
-    rgb = np.asarray(image, dtype=np.uint8)
-    patches = preprocess_frame_device(jnp.asarray(rgb), h_bar, w_bar)
+    h_bar, w_bar = smart_resize(src_h, src_w, FACTOR, min_pixels, max_pixels)
+    # The u8 frame transfer is shared with every other device preprocess
+    # path touching this file (auditor tiling, batched quality stats).
+    patches = preprocess_frame_device(get_device_frame(image_path), h_bar, w_bar)
     return DeviceImagePatches(
         patches=patches, grid_t=1,
         grid_h=h_bar // PATCH_SIZE, grid_w=w_bar // PATCH_SIZE,

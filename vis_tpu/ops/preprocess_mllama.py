@@ -97,8 +97,9 @@ def fit_to_canvas(
 def preprocess_image_mllama(
     image_path, max_tiles: int = 4
 ) -> MllamaTiles:
-    with Image.open(image_path) as im:
-        image = im.convert("RGB")
+    from vis_tpu.ops.frame_cache import get_frame
+
+    image = Image.fromarray(get_frame(image_path))  # shared one-shot decode
     h_t, w_t = select_aspect_ratio(image.width, image.height, max_tiles)
     canvas_w, canvas_h = w_t * TILE_SIZE, h_t * TILE_SIZE
 

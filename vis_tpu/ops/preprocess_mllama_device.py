@@ -1,0 +1,120 @@
+"""Device-path Mllama tiling: resize -> pad -> normalize -> tile on the MXU.
+
+TPU twin of ops/preprocess_mllama.py (the host / HF-parity reference): the
+aspect-ratio arrangement and fit-to-canvas arithmetic stay on host (integer
+math on the frame's dimensions), while the pixel work — bilinear resize as
+two separable interpolation matmuls, canvas zero-pad, CLIP normalization,
+and the tile split — runs in one jit program on device.  Only the shared u8
+frame crosses host->HBM (via ops/frame_cache.get_device_frame, one transfer
+per inspection shared with the Qwen patch path); the old host path shipped
+~9.6 MB of f32 tiles per image and burned host CPU on the float canvas.
+
+Replaces the reference's per-agent host downscale for the auditor
+(reference src/agents/vlm_auditor.py:85 re-opened and JPEG-re-encoded the
+upload on every call).
+
+Numerics: PIL resizes u8 images through a fixed-point path and rounds to
+u8 before the canvas; we mirror that with clip+round after the f32 matmul,
+so device tiles match the host reference within resampling tolerance
+(pinned by tests/test_engine_mllama.py::TestDeviceTiling).  The host path
+remains the HF-bit-exact reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vis_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+from vis_tpu.ops.preprocess_mllama import (
+    SUPPORTED_ASPECT_RATIOS,
+    TILE_SIZE,
+    fit_to_canvas,
+    select_aspect_ratio,
+)
+from vis_tpu.ops.preprocess_device import _resize_weights_dev
+
+
+@dataclasses.dataclass
+class MllamaTilesDevice:
+    """MllamaTiles twin whose tile tensor lives in HBM (engine consumes it
+    directly — jnp.asarray on it is a no-op)."""
+
+    tiles: jnp.ndarray         # [num_tiles, 3, 448, 448] f32, on device
+    aspect_ratio_id: int
+    num_tiles: int
+
+    @property
+    def tile_mask(self) -> np.ndarray:
+        return np.ones((self.num_tiles,), np.float32)
+
+
+@partial(jax.jit, static_argnames=("new_h", "new_w", "h_t", "w_t"))
+def _tiles_jit(rgb_u8, wh, ww, new_h, new_w, h_t, w_t):
+    canvas_h, canvas_w = h_t * TILE_SIZE, w_t * TILE_SIZE
+    img = rgb_u8.astype(jnp.float32)                   # [H, W, 3], 0..255
+    rows = jnp.einsum("dh,hwc->dwc", wh, img, preferred_element_type=jnp.float32)
+    resized = jnp.einsum("ew,dwc->dec", ww, rows, preferred_element_type=jnp.float32)
+    # PIL writes the resize back to u8 before the canvas; round to match.
+    resized = jnp.clip(jnp.round(resized), 0.0, 255.0)
+    canvas = jnp.pad(
+        resized, ((0, canvas_h - new_h), (0, canvas_w - new_w), (0, 0))
+    )
+    canvas = (canvas / 255.0 - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    chw = canvas.transpose(2, 0, 1)                    # [3, H, W]
+    tiles = chw.reshape(3, h_t, TILE_SIZE, w_t, TILE_SIZE)
+    return tiles.transpose(1, 3, 0, 2, 4).reshape(
+        h_t * w_t, 3, TILE_SIZE, TILE_SIZE
+    )
+
+
+@partial(jax.jit, static_argnames=("h_t", "w_t"))
+def _tiles_noresize_jit(rgb_u8, h_t, w_t):
+    """Image already inside [tile, canvas] — no resample (host parity:
+    fit_to_canvas keeps the size, so the resize matmul would be a waste)."""
+    canvas_h, canvas_w = h_t * TILE_SIZE, w_t * TILE_SIZE
+    src_h, src_w = rgb_u8.shape[:2]
+    img = rgb_u8.astype(jnp.float32)
+    canvas = jnp.pad(
+        img, ((0, canvas_h - src_h), (0, canvas_w - src_w), (0, 0))
+    )
+    canvas = (canvas / 255.0 - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    chw = canvas.transpose(2, 0, 1)
+    tiles = chw.reshape(3, h_t, TILE_SIZE, w_t, TILE_SIZE)
+    return tiles.transpose(1, 3, 0, 2, 4).reshape(
+        h_t * w_t, 3, TILE_SIZE, TILE_SIZE
+    )
+
+
+def preprocess_image_mllama_device(
+    image_path, max_tiles: int = 4
+) -> MllamaTilesDevice:
+    """Device drop-in for preprocess_image_mllama (the auditor engine uses
+    it when DEVICE_PREPROCESS=true)."""
+    from vis_tpu.ops.frame_cache import frame_size, get_device_frame
+
+    src_h, src_w = frame_size(image_path)
+    h_t, w_t = select_aspect_ratio(src_w, src_h, max_tiles)
+    canvas_h, canvas_w = h_t * TILE_SIZE, w_t * TILE_SIZE
+    new_h, new_w = fit_to_canvas(src_h, src_w, canvas_h, canvas_w)
+
+    frame = get_device_frame(image_path)
+    if (new_h, new_w) == (src_h, src_w):
+        tiles = _tiles_noresize_jit(frame, h_t, w_t)
+    else:
+        wh = _resize_weights_dev(src_h, new_h, "bilinear")
+        ww = _resize_weights_dev(src_w, new_w, "bilinear")
+        tiles = _tiles_jit(frame, wh, ww, new_h, new_w, h_t, w_t)
+
+    ratio_id = SUPPORTED_ASPECT_RATIOS.index((h_t, w_t)) + 1
+    return MllamaTilesDevice(
+        tiles=tiles, aspect_ratio_id=ratio_id, num_tiles=h_t * w_t
+    )
+
+
+__all__ = ["preprocess_image_mllama_device", "MllamaTilesDevice"]

@@ -14,7 +14,6 @@ from pathlib import Path
 from typing import Any, Dict, Tuple
 
 import numpy as np
-from PIL import Image
 
 from vis_tpu.ops.quality import laplacian_variance, mean_brightness_np
 from vis_tpu.utils.logger import setup_logger
@@ -35,9 +34,18 @@ _LUMA = np.array([0.299, 0.587, 0.114])
 
 def _load_gray(image_path: Path) -> np.ndarray:
     """Load an image and convert to uint8 grayscale with BT.601 weights,
-    rounding to nearest (OpenCV-compatible)."""
-    with Image.open(image_path) as im:
-        rgb = np.asarray(im.convert("RGB"), dtype=np.float64)
+    rounding to nearest (OpenCV-compatible).
+
+    The quality gate is the pipeline's FIRST touch of the upload; loading
+    through the shared frame cache (and prefetching the device copy) means
+    the dual-VLM node that follows finds both cache levels hot and pays
+    zero additional decode or host->HBM transfer."""
+    from vis_tpu.ops import frame_cache
+    from vis_tpu.utils.config import config
+
+    rgb = frame_cache.get_frame(image_path).astype(np.float64)
+    if config.device_preprocess:
+        frame_cache.prefetch(image_path, device=True)  # async HBM copy overlaps
     gray = rgb @ _LUMA
     return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
 

@@ -416,7 +416,17 @@ class MllamaEngine:
         cross_kv = None
         if image_path is not None:
             with span("mllama.preprocess", logger):
-                tiles = preprocess_image_mllama(image_path)
+                if app_config.device_preprocess:
+                    # Resize/pad/normalize/tile on the MXU; only the shared
+                    # u8 frame crosses the tunnel (frame_cache — one decode
+                    # + one transfer per inspection across BOTH engines).
+                    from vis_tpu.ops.preprocess_mllama_device import (
+                        preprocess_image_mllama_device,
+                    )
+
+                    tiles = preprocess_image_mllama_device(image_path)
+                else:
+                    tiles = preprocess_image_mllama(image_path)
             with span("mllama.vision", logger):
                 features = self._vision_jit(
                     self.params,

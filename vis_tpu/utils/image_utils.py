@@ -38,8 +38,14 @@ VERDICT_COLORS = {
 
 
 def load_image(image_path) -> Image.Image:
-    """Open an image as RGB (reference image_utils.py:20)."""
-    return Image.open(image_path).convert("RGB")
+    """Open an image as RGB (reference image_utils.py:20).
+
+    Rides the shared frame cache: the report overlays (heatmap + bbox
+    panels) reuse the decode already paid by the quality gate / engines.
+    Returns a fresh Image each call, so callers may draw on it freely."""
+    from vis_tpu.ops.frame_cache import get_frame
+
+    return Image.fromarray(get_frame(image_path))
 
 
 def resize_image(
