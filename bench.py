@@ -45,7 +45,11 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_P50_S = 4.0
-RUNS = 3
+# 5 timed runs (warmup excluded): the driver host is contended (1 vCPU
+# shared with the round driver) and r03 measured a 1.7x spread over 3 runs
+# — the median of 5 plus a published min and a per-run host/device split
+# make one bad host window visible instead of letting it flip the headline.
+RUNS = 5
 
 # Target-scale serving profile — must be set before vis_tpu/jax import.
 _BENCH_ENV = {
@@ -75,7 +79,12 @@ _BENCH_ENV = {
     # its config cap of 2048 was an API ceiling, not the observed length.
     "VLM_INSPECTOR_MAX_TOKENS": "448",
     "VLM_AUDITOR_MAX_TOKENS": "448",
-    "EXPLAINER_MAX_TOKENS": "512",
+    # The narration stream bounds the explanation node (batching absorbs
+    # the two side decodes, not the longest stream); 400 matches the
+    # reference's observed ~400-token report sections (reference
+    # utils/prompts.py:180-227 instructs concise sections) and shaves
+    # ~1.3 s off the node at the single-chip ~12 ms/step decode floor.
+    "EXPLAINER_MAX_TOKENS": "400",
     "USE_MOCK_RESPONSES": "false",
     # Explainer-only continuous batching: the report's three independent
     # decodes (narration, counterfactual, decision support) ride shared
@@ -174,9 +183,32 @@ def main() -> None:
 
     from vis_tpu.utils.logger import get_timings
 
+    # Span-side classification for the per-run host/device split (VERDICT
+    # r3 #2).  DEVICE spans wrap a device dispatch + its blocking sync, so
+    # their wall time is chip time; everything else in the run is host work
+    # (JPEG decode, prompt build, JSON parse, gates, PDF, tunnel RTTs).
+    # The dual-VLM node runs inspector and auditor concurrently, so
+    # device_s can exceed the node's wall time (it is attributable chip
+    # time, not a wall-clock partition); host_s = total - device-span time
+    # measured on the CRITICAL PATH is not recoverable from spans alone,
+    # so we publish both sums and the total and let the delta speak.
+    _DEVICE_SPANS = {
+        "engine.vision_encode", "engine.prefill", "engine.prefill_suffix",
+        "engine.decode", "mllama.vision", "mllama.prefill", "mllama.decode",
+        "scheduler.decode",
+    }
+    _HOST_SPANS = {
+        "quality_check", "engine.preprocess", "mllama.preprocess",
+        "pdf_report",
+    }
+
     def timed_run(tag):
         events = []
         get_timings(reset=True)
+        tokens_before = {
+            role: getattr(eng, "decode_tokens_total", 0)
+            for role, eng in list(_engines.items())
+        }
         t0 = time.perf_counter()
         state = run_inspection(
             image, criticality="medium", domain="manufacturing",
@@ -188,15 +220,24 @@ def main() -> None:
             for e in events if e.get("event") == "node_end"
         }
         tokens = {
-            role: getattr(eng, "last_decode_tokens", None)
+            role: getattr(eng, "decode_tokens_total", 0)
+            - tokens_before.get(role, 0)
             for role, eng in list(_engines.items())
         }
         spans = {
             k: [len(v), round(sum(v), 2)]
             for k, v in get_timings(reset=True).items()
         }
+        device_s = sum(s[1] for k, s in spans.items() if k in _DEVICE_SPANS)
+        host_s = sum(s[1] for k, s in spans.items() if k in _HOST_SPANS)
+        split = {
+            "device_span_s": round(device_s, 2),
+            "host_span_s": round(host_s, 2),
+            "total_s": round(total, 2),
+        }
         print(
             f"# {tag}: {total:.3f}s verdict={state['safety_verdict']['verdict']}"
+            f" split={json.dumps(split)}"
             f" nodes={json.dumps(nodes)} decode_tokens={json.dumps(tokens)}"
             f" spans[n,sum_s]={json.dumps(spans)}",
             file=sys.stderr,
@@ -208,7 +249,7 @@ def main() -> None:
         assert not state["auditor_result"]["analysis_failed"], (
             "constrained decode must yield parseable auditor JSON"
         )
-        return total, nodes, tokens
+        return total, nodes, tokens, split
 
     # Warmup: builds all three target-scale engines and compiles every jit
     # (vision encode, bucketed prefill, constrained decode chunks, PDF path).
@@ -218,13 +259,14 @@ def main() -> None:
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     hbm("after_warmup")
 
-    totals, node_runs, token_runs = [], [], []
+    totals, node_runs, token_runs, split_runs = [], [], [], []
     for i in range(RUNS):
-        total, nodes, tokens = timed_run(f"run {i + 1}/{RUNS}")
+        total, nodes, tokens, split = timed_run(f"run {i + 1}/{RUNS}")
         hbm(f"after_run{i + 1}")
         totals.append(total)
         node_runs.append(nodes)
         token_runs.append(tokens)
+        split_runs.append(split)
 
     from vis_tpu.utils.config import config as app_config
 
@@ -261,11 +303,22 @@ def main() -> None:
     out.block_until_ready()
     pp_rate = n_pp / (time.perf_counter() - t0)
 
+    # Variance guard: on a contended host one bad window can flip the
+    # median; flag spreads the reader should not average away.
+    spread = (max(totals) - min(totals)) / p50 if p50 else 0.0
     breakdown = {
         "metric": "e2e_inspection_p50",
         "p50_s": round(p50, 4),
+        "min_s": round(min(totals), 4),
         "verdict_p50_s": round(verdict_p50, 4),
         "runs_s": [round(t, 4) for t in totals],
+        "run_splits": split_runs,
+        "spread_frac": round(spread, 4),
+        "variance_warning": (
+            f"run spread {spread:.0%} of p50 exceeds 15% — host contention "
+            f"likely; compare run_splits host/device sums per run"
+            if spread > 0.15 else None
+        ),
         "node_p50_s": node_p50,
         "decode_tokens_last_run": token_runs[-1],
         "device_preprocess_img_per_s_compute": round(pp_rate, 1),

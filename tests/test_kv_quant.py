@@ -162,3 +162,16 @@ class TestQuantizedServing:
                         outs["<class 'jax.numpy.int8'>"]):
             scale = np.abs(a).max() + 1e-9
             assert np.abs(a - b).max() / scale < 0.05
+
+
+def test_encode_kv_rejects_narrow_head_dim():
+    """int8 KV packs 2*kv_heads scale bytes into one head row; a geometry
+    with head_dim < 2*kv_heads must fail loudly at trace time, not corrupt
+    scales (r3 advisor)."""
+    import pytest
+
+    from vis_tpu.models.common.layers import encode_kv
+
+    x = jnp.zeros((1, 4, 16, 6), jnp.float32)  # 16 heads, head_dim 6 < 32
+    with pytest.raises(ValueError, match="kv_quantization"):
+        encode_kv(x, jnp.int8)

@@ -209,3 +209,48 @@ class TestPagedMultimodalHandoff:
             assert got == expected
         finally:
             scheduled.detach_scheduler()
+
+
+class TestLargePageSize:
+    def test_page_size_256_staging_alignment_token_exact(self, monkeypatch):
+        """KV_PAGE_SIZE > 128 (r3 advisor): whole-prompt admission stages
+        into a page-aligned bucket and the prefilled hand-off path rounds
+        its staging cache up to a page multiple — a short prompt must not
+        fail the page reshape at insert, and tokens stay exact."""
+        from vis_tpu.utils.config import config as app_config
+
+        monkeypatch.setattr(app_config, "kv_page_size", 256)
+        monkeypatch.setattr(app_config, "kv_pool_tokens", 2048)
+        monkeypatch.setattr(app_config, "paged_kv_cache", True)
+
+        config = DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(7))
+        tok = ByteTokenizer(vocab_size=config.vocab_size)
+        engine = Engine("ref-256", config, params, tok, max_cache_tokens=512)
+        expected = engine.generate("short prompt", max_tokens=8)
+
+        # Whole-prompt admission (scheduler does the prefill).
+        scheduler = ContinuousBatchingScheduler(
+            config, params, tok, num_slots=2, max_len=512, paged=True,
+        )
+        assert scheduler.pool.page_size == 256
+        scheduler.start()
+        try:
+            got = scheduler.generate("short prompt", max_tokens=8, timeout=120)
+            assert got == expected
+        finally:
+            scheduler.stop()
+
+        # Prefilled hand-off (engine stages prompt_only_cache).
+        scheduled = Engine("sched-256", config, params, tok,
+                           max_cache_tokens=512)
+        scheduled.attach_scheduler(num_slots=2, paged=True)
+        try:
+            got = scheduled.generate("short prompt", max_tokens=8)
+            assert got == expected
+        finally:
+            scheduled.detach_scheduler()

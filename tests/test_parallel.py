@@ -350,9 +350,26 @@ def test_get_engine_backend_builds_dp_replicas(monkeypatch):
         assert len(backend.backends) == 2
         keys = [k for k in eng_mod._engines if "#dp" in k]
         assert len(keys) == 2
+        # tp==1 replicas must land on DISTINCT chips (r3 advisor): params
+        # committed per replica, not all stacked on the default device.
+        replica_devs = []
+        for b in backend.backends:
+            leaves = jax.tree_util.tree_leaves(b.engine.text_params)
+            devs = {d for leaf in leaves for d in leaf.devices()}
+            assert len(devs) == 1, "replica params must live on one device"
+            replica_devs.append(next(iter(devs)))
+        assert replica_devs[0] != replica_devs[1], (
+            "Dx1 replicas must pin to distinct devices"
+        )
         # Same object on repeat lookup (shared in-flight counters).
         assert get_engine_backend("explainer", "no-such-model-dp") is backend
         out = backend.generate("quick check", max_tokens=4)
         assert isinstance(out, str)
+        # Both replicas produce identical tokens (same seed per role).
+        outs = [
+            b.generate("quick check", max_tokens=4)
+            for b in backend.backends
+        ]
+        assert outs[0] == outs[1] == out
     finally:
         reset_engines()

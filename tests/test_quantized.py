@@ -512,6 +512,42 @@ class TestMixedVocabPrecision:
         np.testing.assert_array_equal(tb, run(mixed))  # deterministic
         assert (ta == tb).mean() >= 0.5  # tracks full precision loosely
 
+    def test_engine_init_honors_role_override(self, monkeypatch):
+        """The REAL-CHECKPOINT quantize path (Engine.__init__._finish) must
+        honor {ROLE}_VOCAB_QUANTIZATION — r3 advisor: only the weightless
+        dev-target builder threaded the role, so production engines
+        silently ignored the HBM-shaping override."""
+        from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4
+        from vis_tpu.serving.engine import Engine
+        from vis_tpu.serving.tokenizer import ByteTokenizer
+        from vis_tpu.utils.config import get_config
+
+        monkeypatch.setenv("QUANTIZATION", "int4")
+        monkeypatch.setenv("VOCAB_QUANTIZATION", "same")
+        monkeypatch.setenv("EXPLAINER_VOCAB_QUANTIZATION", "int8")
+        get_config(reload=True)
+        try:
+            config = DecoderConfig(
+                vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=128,
+                tie_word_embeddings=False, dtype=jnp.float32,
+            )
+            params = init_decoder_params(config, jax.random.PRNGKey(12))
+            tok = ByteTokenizer(vocab_size=config.vocab_size)
+            eng = Engine("role-q", config, params, tok,
+                         max_cache_tokens=128, role="explainer")
+            assert isinstance(eng.text_params["lm_head"], QuantizedWeight)
+
+            params2 = init_decoder_params(config, jax.random.PRNGKey(12))
+            eng2 = Engine("no-role-q", config, params2, tok,
+                          max_cache_tokens=128)
+            assert isinstance(eng2.text_params["lm_head"], QuantizedWeight4)
+        finally:
+            for k in ("QUANTIZATION", "VOCAB_QUANTIZATION",
+                      "EXPLAINER_VOCAB_QUANTIZATION"):
+                monkeypatch.delenv(k, raising=False)
+            get_config(reload=True)
+
     def test_per_role_override_resolution(self, monkeypatch):
         from vis_tpu.serving.engine import _vocab_quant_mode
         from vis_tpu.utils.config import get_config

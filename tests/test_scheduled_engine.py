@@ -218,3 +218,29 @@ def test_explainer_bundle_token_exact(text_engines, monkeypatch):
         result, result, consensus, verdict
     )
     assert batched == seq
+
+
+def test_generic_json_falls_back_when_table_missing(vlm_engines, monkeypatch):
+    """If the scheduler's stacked tables lack the GENERIC grammar (e.g. the
+    generic compile failed while schemas succeeded), a json_mode request
+    must fall back to the unbatched path instead of erroring in
+    submit_prefilled's _check_modes (r3 advisor)."""
+    import json as _json
+
+    plain, scheduled = vlm_engines
+    sched = scheduled.scheduler
+    assert sched.has_table(None)
+    # Simulate a schema-only table stack.
+    monkeypatch.setattr(
+        sched, "_table_index",
+        {k: v for k, v in sched._table_index.items() if k is not None},
+    )
+    monkeypatch.setattr(sched, "_json_tables", None)
+    assert not sched.has_table(None)
+
+    expected = plain.generate("report findings", max_tokens=64,
+                              json_mode=True)
+    got = scheduled.generate("report findings", max_tokens=64,
+                             json_mode=True)
+    assert got == expected
+    _json.loads(got)

@@ -307,6 +307,13 @@ def encode_kv(x: jnp.ndarray, dtype) -> jnp.ndarray:
     if dtype != jnp.int8:
         return x.astype(dtype)
     h, d = x.shape[-2], x.shape[-1]
+    if d < 2 * h:
+        raise ValueError(
+            f"KV_QUANTIZATION=int8 packs 2*kv_heads={2 * h} scale bytes "
+            f"into one head row but head_dim={d} < {2 * h}; this geometry "
+            "needs a different scale layout — disable the kv_quantization "
+            "config knob for this model"
+        )
     # Arithmetic stays in bf16: integers <= 256 are exact in bf16, so the
     # rounded code differs from f32 math by at most 1 LSB (inside the
     # quantization noise) while the elementwise intermediates are half the

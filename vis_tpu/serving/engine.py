@@ -156,6 +156,12 @@ class ChatSession:
 class Engine:
     """Single-model inference engine with bucketed jit compilation."""
 
+    # Telemetry: tokens decoded by the most recent completed request, and
+    # a monotonically growing total across requests (bench.py diffs it per
+    # run — per-role counts survive the batched/scheduler path this way).
+    last_decode_tokens: Optional[int] = None
+    decode_tokens_total: int = 0
+
     def __init__(
         self,
         name: str,
@@ -166,8 +172,14 @@ class Engine:
         vlm_params: Optional[Any] = None,
         max_cache_tokens: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        role: Optional[str] = None,
     ):
         self.name = name
+        # Pipeline role ("inspector"/"auditor"/"explainer") — resolves the
+        # per-role vocab-head override ({ROLE}_VOCAB_QUANTIZATION) for
+        # real-checkpoint quantization here in _finish; the weightless
+        # dev-target path resolves it in _build_target_dev_engine.
+        self.role = role
         self.text_config = text_config
         self.tokenizer = tokenizer
         self.vlm_config = vlm_config
@@ -206,7 +218,7 @@ class Engine:
                 stacked = quantize_stacked_params(
                     stacked, quantize_embeddings=True,
                     mode=app_config.quantization,
-                    vocab_mode=_vocab_quant_mode(),
+                    vocab_mode=_vocab_quant_mode(role),
                 )
                 logger.info(
                     f"{name}: {app_config.quantization} weight-only "
@@ -502,7 +514,11 @@ class Engine:
             # sharing every decode step's weight reads.
             if not (schema_batched and scheduler.has_table(json_schema)):
                 sched_ok = False
-        if sched_ok and json_mode and scheduler._json_dev is None:
+        if sched_ok and json_mode and json_schema is None \
+                and not scheduler.has_table(None):
+            # The stacked tables may hold only schema grammars (generic
+            # compile failed while schemas succeeded); submit_prefilled
+            # would reject a generic row, so fall back to unbatched.
             sched_ok = False
         if (sched_ok and temperature > 0.0 and scheduler.paged
                 and scheduler._json_dev is None):
@@ -533,6 +549,11 @@ class Engine:
                 yield chunk
             if request.error:
                 raise RuntimeError(request.error)
+            # Telemetry parity with the unbatched path: batched requests
+            # count their decoded tokens too (the bench's per-role token
+            # accounting went dark when the explainer became batched).
+            self.last_decode_tokens = len(request.generated)
+            self.decode_tokens_total += len(request.generated)
             return
         with self._lock:  # unbatched path: one request at a time per engine
             yield from self._generate_locked(
@@ -657,9 +678,14 @@ class Engine:
         )
 
         if prompt_only_cache:
-            # 128-aligned so the paged insert's page reshape stays exact.
+            # PAGE-aligned so the paged insert's page reshape stays exact
+            # even for KV_PAGE_SIZE > 128 (the pool validates max_len is a
+            # page multiple, so min() keeps the alignment).
+            page = max(128, app_config.kv_page_size
+                       if app_config.paged_kv_cache else 128)
             cache_len = min(
-                self.max_cache_tokens, ((bucket + 127) // 128) * 128
+                self.max_cache_tokens,
+                ((bucket + page - 1) // page) * page,
             )
         elif right_size_cache:
             cache_len = self._request_cache_len(
@@ -985,6 +1011,7 @@ class Engine:
                     chunk_idx += 1
 
         self.last_decode_tokens = len(generated)
+        self.decode_tokens_total += len(generated)
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]
@@ -1561,7 +1588,7 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
             logger.info(f"{role}: loaded Qwen2.5-VL {model_name} from {ckpt_dir}")
             return Engine(
                 model_name, cfg.text, None, tokenizer,
-                vlm_config=cfg, vlm_params=params, mesh=mesh,
+                vlm_config=cfg, vlm_params=params, mesh=mesh, role=role,
             )
         if is_vlm:
             if hf_cfg is not None:
@@ -1575,7 +1602,7 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
             logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
             return Engine(
                 model_name, cfg.text, None, tokenizer,
-                vlm_config=cfg, vlm_params=params, mesh=mesh,
+                vlm_config=cfg, vlm_params=params, mesh=mesh, role=role,
             )
         if hf_cfg is not None:
             cfg = llama_configs.from_hf_config(hf_cfg)
@@ -1586,7 +1613,8 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
             )
         params = llama_model.convert_hf_state_dict(state, cfg)
         logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
-        return Engine(model_name, cfg, params, tokenizer, mesh=mesh)
+        return Engine(model_name, cfg, params, tokenizer, mesh=mesh,
+                      role=role)
 
     # Weightless dev profile: random params, byte tokenizer.
     logger.warning(
@@ -1643,7 +1671,7 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         return Engine(
             f"dev-{role}-qwen25", cfg.text, None, tokenizer,
-            vlm_config=cfg, vlm_params=params, mesh=mesh,
+            vlm_config=cfg, vlm_params=params, mesh=mesh, role=role,
         )
     if is_vlm:
         cfg = _dev_vlm_config()
@@ -1651,15 +1679,37 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         return Engine(
             f"dev-{role}", cfg.text, None, tokenizer,
-            vlm_config=cfg, vlm_params=params, mesh=mesh,
+            vlm_config=cfg, vlm_params=params, mesh=mesh, role=role,
         )
     cfg = _dev_text_config()
     params = init_decoder_params(cfg, key)
     tokenizer = ByteTokenizer(vocab_size=cfg.vocab_size)
-    return Engine(f"dev-{role}", cfg, params, tokenizer, mesh=mesh)
+    return Engine(f"dev-{role}", cfg, params, tokenizer, mesh=mesh,
+                  role=role)
 
 
 _dp_backends: Dict[str, "ReplicatedEngineBackend"] = {}
+
+
+def _commit_engine_params(engine, dev) -> None:
+    """Commit an engine's parameter trees to `dev` (sticky placement).
+
+    Arrays built under jax.default_device(dev) live on dev but stay
+    UNCOMMITTED — a later dispatch outside that context would default back
+    to device 0 and silently migrate the whole model.  device_put with an
+    explicit device is a zero-copy commit for already-resident arrays;
+    every subsequent jit then runs on the replica's own chip (uncommitted
+    host inputs follow the committed params)."""
+    import jax as _jax
+
+    def _put(tree):
+        return (
+            None if tree is None else _jax.device_put(tree, dev)
+        )
+
+    for attr in ("text_params", "vlm_params", "params"):
+        if getattr(engine, attr, None) is not None:
+            setattr(engine, attr, _put(getattr(engine, attr)))
 
 
 def _maybe_attach_scheduler(role: str, engine) -> None:
@@ -1685,11 +1735,26 @@ def get_engine_backend(role: str, model_name: str) -> EngineBackend:
             # submesh of the data axis; the shared backend routes each
             # request to the least-loaded replica.
             if key not in _dp_backends:
+                _, tp = app_config.mesh_shape_tuple
                 replicas = []
                 for i, sub in enumerate(submeshes):
                     rkey = f"{key}#dp{i}"
                     if rkey not in _engines:
-                        engine = build_engine(role, model_name, mesh=sub)
+                        if sub is None:
+                            # tp==1 replicas ("Dx1"): the submesh is None
+                            # (fused single-device layouts), so pin replica
+                            # i's params/caches/compute to ITS chip — all
+                            # replicas landing on the JAX default device
+                            # would defeat data parallelism and stack D
+                            # full engines into one chip's HBM.
+                            dev = jax.devices()[i * tp]
+                            with jax.default_device(dev):
+                                engine = build_engine(
+                                    role, model_name, mesh=None
+                                )
+                            _commit_engine_params(engine, dev)
+                        else:
+                            engine = build_engine(role, model_name, mesh=sub)
                         _maybe_attach_scheduler(role, engine)
                         _engines[rkey] = engine
                     replicas.append(EngineBackend(_engines[rkey]))

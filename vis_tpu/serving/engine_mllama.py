@@ -45,6 +45,10 @@ logger = setup_logger(__name__, level="INFO", component="ENGINE_MLLAMA")
 class MllamaEngine:
     """Single-request Mllama engine with chunked greedy decode."""
 
+    # Telemetry twins of Engine's counters (bench.py diffs the total).
+    last_decode_tokens: Optional[int] = None
+    decode_tokens_total: int = 0
+
     def __init__(
         self,
         name: str,
@@ -586,6 +590,7 @@ class MllamaEngine:
                 remaining -= steps
                 pos += steps
         self.last_decode_tokens = len(generated)
+        self.decode_tokens_total += len(generated)
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]

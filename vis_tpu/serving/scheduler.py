@@ -46,7 +46,7 @@ from vis_tpu.models.common.decoder import (
 from vis_tpu.models.common.layers import KVCache, embed, kv_cache_dtype
 from vis_tpu.serving.tokenizer import Tokenizer
 from vis_tpu.utils.config import config as app_config
-from vis_tpu.utils.logger import setup_logger
+from vis_tpu.utils.logger import setup_logger, span
 
 logger = setup_logger(__name__, level="INFO", component="SCHEDULER")
 
@@ -568,7 +568,11 @@ class ContinuousBatchingScheduler:
                         "segments"
                     )
                     return True
-                bucket = 128
+                # Paged pools reshape the staging cache into page_size rows
+                # at insert; start the bucket at one page so KV_PAGE_SIZE >
+                # 128 stays page-aligned (max_len is validated to be a
+                # page multiple, and doubling preserves divisibility).
+                bucket = max(128, self.pool.page_size if self.paged else 0)
                 while bucket < seq_len:
                     bucket *= 2
                 bucket = min(bucket, self.max_len)
@@ -899,7 +903,11 @@ class ContinuousBatchingScheduler:
                         self.pool.release_buffers()
                     time.sleep(0.005)
                 continue
-            self._decode_once()
+            # Spanned for the bench's host/device split: each chunk is one
+            # device dispatch + one blocking token sync, so its wall time
+            # is device time (the scheduler thread holds no host work).
+            with span("scheduler.decode"):
+                self._decode_once()
         logger.info("Scheduler stopped")
 
 
