@@ -290,3 +290,48 @@ class TestMllamaFitToCanvasEdges:
 
         h, w = fit_to_canvas(9000, 3000, 896, 448)
         assert h <= 896 and w <= 448
+
+
+class TestVerdictVisuals:
+    """create_status_stamp / create_side_by_side_comparison — wired into
+    the PDF title row and the /api/image comparison endpoint respectively
+    (VERDICT r3 #6: previously implemented but orphaned)."""
+
+    def test_status_stamp_renders_verdict_colors(self):
+        from vis_tpu.utils.image_utils import VERDICT_COLORS, create_status_stamp
+
+        for verdict in ("SAFE", "UNSAFE", "REQUIRES_HUMAN_REVIEW"):
+            img = create_status_stamp(verdict)
+            assert img.mode == "RGBA" and img.size == (360, 110)
+            arr = np.asarray(img)
+            # Border + text pixels carry the verdict color; the rest is
+            # transparent (alpha 0).
+            opaque = arr[..., 3] > 0
+            assert opaque.any() and not opaque.all()
+            r, g, b = VERDICT_COLORS[verdict]
+            colored = (arr[..., 0] == r) & (arr[..., 1] == g) & (arr[..., 2] == b)
+            assert (colored & opaque).sum() > 100
+
+    def test_side_by_side_geometry_and_panels(self, tmp_path):
+        from PIL import Image
+
+        from vis_tpu.utils.image_utils import create_side_by_side_comparison
+
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 255, (60, 90, 3), dtype=np.uint8)
+        path = tmp_path / "cmp.png"
+        Image.fromarray(arr).save(path)
+        defects = [{
+            "type": "crack", "location": "center",
+            "bbox": {"x": 25.0, "y": 25.0, "width": 30.0, "height": 30.0},
+            "safety_impact": "CRITICAL", "confidence": "high",
+        }]
+        out = tmp_path / "strip.jpg"
+        img = create_side_by_side_comparison(path, defects, output_path=out)
+        assert img.size == (90 * 3 + 16, 60)
+        assert out.exists()
+        panels = np.asarray(img)
+        original = panels[:, :90]
+        annotated = panels[:, 2 * (90 + 8):]
+        np.testing.assert_array_equal(original, arr)
+        assert np.abs(annotated.astype(int) - arr.astype(int)).max() > 50

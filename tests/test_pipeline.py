@@ -172,8 +172,11 @@ class TestEndToEnd:
         # PDF written and readable
         report = Path(state["report_path"])
         assert report.exists()
-        head = report.read_bytes()[:8]
-        assert head.startswith(b"%PDF-")
+        raw = report.read_bytes()
+        assert raw[:8].startswith(b"%PDF-")
+        # Verdict rubber stamp + 3 evidence panels = >= 4 embedded images
+        # (reference pdf_generator.py:303 StatusStamp flowable).
+        assert raw.count(b"/Subtype /Image") >= 4
 
     def test_critical_image_full_run(self, tmp_path):
         img = _make_image(tmp_path, "crack_arm.jpg")

@@ -393,3 +393,59 @@ class TestConfigFlagWirings:
             monkeypatch.delenv("ENABLE_STREAMING")
             monkeypatch.delenv("ENABLE_CHAT_MEMORY")
             get_config(reload=True)
+
+
+def test_quick_questions_and_comparison_endpoint(app_server):
+    """VERDICT r4 items: quick-question chat buttons render and the
+    reference's canned question streams an answer through the same chat
+    path (reference chat_widget.py:456-486); the side-by-side comparison
+    image endpoint serves the original|heatmap|annotated strip."""
+    with urllib.request.urlopen(app_server, timeout=30) as resp:
+        html = resp.read().decode()
+    assert 'id="quick-questions"' in html
+    assert html.count('class="quickq-btn"') >= 3
+    assert "repair vs replacement" in html
+    assert "askChat(btn.dataset.q)" in html  # same streaming path
+
+    rng = np.random.default_rng(31)
+    body, ctype = _multipart({
+        "criticality": "low", "image": ("qq_defect.jpg", _jpeg(rng)),
+    })
+    req = urllib.request.Request(
+        f"{app_server}/api/inspect", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        rid = json.loads(resp.read())["request_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if _get_json(f"{app_server}/api/progress/{rid}")["status"] != "running":
+            break
+        time.sleep(0.2)
+
+    # One quick-question click = the same POST the form submits.
+    chat = urllib.request.Request(
+        f"{app_server}/api/chat",
+        data=json.dumps({
+            "request_id": rid,
+            "question": "What's the detailed cost breakdown for repair "
+                        "vs replacement?",
+        }).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(chat, timeout=60) as resp:
+        answer = resp.read().decode()
+    assert answer.strip()
+
+    # Comparison strip: 3 panels + 2 gaps wide.
+    with urllib.request.urlopen(
+        f"{app_server}/api/image/{rid}/comparison", timeout=60
+    ) as resp:
+        data = resp.read()
+    img = Image.open(io.BytesIO(data))
+    with urllib.request.urlopen(
+        f"{app_server}/api/image/{rid}/original", timeout=60
+    ) as resp:
+        orig = Image.open(io.BytesIO(resp.read()))
+    assert img.width == orig.width * 3 + 16
+    assert img.height == orig.height

@@ -464,6 +464,7 @@ class AppHandler(BaseHTTPRequestHandler):
             return
         from vis_tpu.utils.image_utils import (
             create_heatmap_overlay,
+            create_side_by_side_comparison,
             draw_bounding_boxes,
             load_image,
         )
@@ -477,6 +478,10 @@ class AppHandler(BaseHTTPRequestHandler):
             img = create_heatmap_overlay(job.image_path, defects)
         elif kind == "annotated":
             img = draw_bounding_boxes(job.image_path, defects)
+        elif kind == "comparison":
+            # One downloadable original|heatmap|annotated strip (reference
+            # utils/image_utils.py:608 exposes the same helper).
+            img = create_side_by_side_comparison(job.image_path, defects)
         else:
             self._json({"error": "unknown image kind"}, 404)
             return

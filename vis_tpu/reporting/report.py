@@ -350,6 +350,33 @@ class _Layout:
         )
         self.y -= height + 10
 
+    def stamp(self, verdict: str) -> None:
+        """Rubber-stamp verdict badge anchored to the TOP-RIGHT of the
+        current page, outside the text flow (reference
+        pdf_generator.py:303 wires its StatusStamp flowable the same way).
+        Rendered by utils.image_utils.create_status_stamp and composited
+        on white (the PDF stream embeds JPEGs, which have no alpha)."""
+        from PIL import Image as _PILImage
+
+        from vis_tpu.utils.image_utils import create_status_stamp
+
+        badge = create_status_stamp(verdict)
+        white = _PILImage.new("RGBA", badge.size, (255, 255, 255, 255))
+        rgb = _PILImage.alpha_composite(white, badge).convert("RGB")
+        self._image_count += 1
+        name = f"Im{self._image_count}"
+        try:
+            px_w, px_h = self.doc.add_image(name, rgb)
+        except Exception as exc:
+            logger.warning(f"Could not embed verdict stamp: {exc}")
+            return
+        # Sized to the 18-pt title line it sits beside (90 x ~27 pts): the
+        # badge fills the unused right half of the title row and ends
+        # before the full-width verdict banner below it.
+        w = 90.0
+        h = w * px_h / px_w
+        self.page.image(name, _MARGIN + self.width - w, self.y - h, w, h)
+
     def image(self, source, caption: str, max_h: float = 200.0) -> None:
         self._image_count += 1
         name = f"Im{self._image_count}"
@@ -426,8 +453,10 @@ class InspectionReport:
         doc = PDFDocument()
         layout = _Layout(doc, config.app_title, request_id)
 
-        # Title + verdict
+        # Title + verdict (stamp first: it anchors to the pre-title y so
+        # the badge sits beside the heading, not over the banner).
         layout.spacer(4)
+        layout.stamp(verdict.get("verdict", "UNKNOWN"))
         layout.paragraph("Automated Visual Inspection Report",
                          size=18, font="Helvetica-Bold", color=_BRAND)
         layout.verdict_banner(
