@@ -1,0 +1,175 @@
+"""The REAL checkpoint-loading path, runnable today (no vendored weights).
+
+tests/test_real_checkpoint.py is env-gated on actual model checkpoints,
+which this environment does not ship — so until now the production load
+path (find_checkpoint -> read_safetensors_dir -> convert_hf_state_dict ->
+HFTokenizer -> quantize-on-load in Engine.__init__) only ran on the
+weightless dev profile.  These tests synthesize a COMPLETE HF-layout
+checkpoint directory at tiny dims — config.json + model.safetensors
+(random weights in the exact HF LlamaForCausalLM tensor naming) + the
+REAL trained tokenizer.json from assets/tokenizers/ — and drive
+build_engine through the same code a production checkpoint would take:
+
+- config.json shapes win over name presets (any model size loads);
+- the HF tokenizer.json is loaded by the production HFTokenizer wrapper
+  and its byte-level vocab compiles real constrained-JSON tables;
+- QUANTIZATION=int4 quantizes on load, and the per-role vocab-head
+  override ({ROLE}_VOCAB_QUANTIZATION) applies on THIS path (r3 advisor:
+  it used to be honored only by the weightless dev-target builder).
+
+Reference contract being replaced: remote Groq/OpenRouter calls
+(reference src/agents/explainer.py:1-40) — here the explainer role loads
+local weights instead.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parents[1]
+TOKENIZER = REPO / "assets" / "tokenizers" / "bytelevel_bpe.tokenizer.json"
+
+
+def _write_llama_checkpoint(ckpt_dir: Path, vocab_size: int) -> dict:
+    """HF-layout Llama checkpoint at tiny dims: config.json +
+    model.safetensors (HF tensor names) + the real tokenizer.json."""
+    from safetensors.numpy import save_file
+
+    cfg = {
+        "model_type": "llama",
+        "vocab_size": vocab_size,
+        "hidden_size": 64,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "intermediate_size": 128,
+        "rope_theta": 500000.0,
+        "rms_norm_eps": 1e-5,
+        "tie_word_embeddings": False,
+    }
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    (ckpt_dir / "config.json").write_text(json.dumps(cfg))
+    (ckpt_dir / "tokenizer.json").write_bytes(TOKENIZER.read_bytes())
+
+    rng = np.random.default_rng(1234)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    h, inter, heads, kv = (cfg["hidden_size"], cfg["intermediate_size"],
+                           cfg["num_attention_heads"],
+                           cfg["num_key_value_heads"])
+    hd = h // heads
+    state = {
+        "model.embed_tokens.weight": w(vocab_size, h),
+        "model.norm.weight": np.ones(h, np.float32),
+        "lm_head.weight": w(vocab_size, h),
+    }
+    for i in range(cfg["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        state.update({
+            p + "input_layernorm.weight": np.ones(h, np.float32),
+            p + "post_attention_layernorm.weight": np.ones(h, np.float32),
+            p + "self_attn.q_proj.weight": w(heads * hd, h),
+            p + "self_attn.k_proj.weight": w(kv * hd, h),
+            p + "self_attn.v_proj.weight": w(kv * hd, h),
+            p + "self_attn.o_proj.weight": w(h, heads * hd),
+            p + "mlp.gate_proj.weight": w(inter, h),
+            p + "mlp.up_proj.weight": w(inter, h),
+            p + "mlp.down_proj.weight": w(h, inter),
+        })
+    save_file(state, str(ckpt_dir / "model.safetensors"))
+    return cfg
+
+
+@pytest.fixture()
+def checkpoint_env(tmp_path, monkeypatch):
+    from vis_tpu.serving.tokenizer import HFTokenizer
+
+    vocab = HFTokenizer(TOKENIZER).vocab_size
+    root = tmp_path / "checkpoints"
+    _write_llama_checkpoint(root / "tiny-llama-synth", vocab)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(root))
+    from vis_tpu.utils.config import get_config
+
+    get_config(reload=True)
+    yield root
+    monkeypatch.delenv("CHECKPOINT_DIR", raising=False)
+    get_config(reload=True)
+
+
+class TestSyntheticCheckpoint:
+    def test_load_generate_and_constrained_json(self, checkpoint_env):
+        """find_checkpoint -> safetensors -> converter -> HFTokenizer;
+        constrained-JSON decode compiles tables for the REAL vocab file
+        and the output parses."""
+        from vis_tpu.serving.engine import build_engine
+        from vis_tpu.serving.tokenizer import HFTokenizer
+
+        engine = build_engine("explainer", "tiny-llama-synth")
+        assert isinstance(engine.tokenizer, HFTokenizer)
+        assert engine.text_config.num_layers == 2  # config.json won
+        out = engine.generate("report findings", max_tokens=16)
+        assert isinstance(out, str)
+
+        j = engine.generate("as json", max_tokens=200, json_mode=True)
+        json.loads(j)
+
+    def test_quantize_on_load_with_role_override(self, checkpoint_env,
+                                                 monkeypatch):
+        """QUANTIZATION=int4 + EXPLAINER_VOCAB_QUANTIZATION=int8 on the
+        real-checkpoint path: layers int4, vocab head int8 (the r3
+        advisor's silently-ignored override, now honored)."""
+        from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4
+        from vis_tpu.serving.engine import build_engine
+        from vis_tpu.utils.config import get_config
+
+        monkeypatch.setenv("QUANTIZATION", "int4")
+        monkeypatch.setenv("VOCAB_QUANTIZATION", "same")
+        monkeypatch.setenv("EXPLAINER_VOCAB_QUANTIZATION", "int8")
+        get_config(reload=True)
+        try:
+            engine = build_engine("explainer", "tiny-llama-synth")
+            layers = engine.text_params["layers_stacked"]
+            assert isinstance(layers["o_proj"], QuantizedWeight4)
+            assert isinstance(engine.text_params["lm_head"], QuantizedWeight)
+            out = engine.generate("check", max_tokens=8)
+            assert isinstance(out, str)
+        finally:
+            for k in ("QUANTIZATION", "VOCAB_QUANTIZATION",
+                      "EXPLAINER_VOCAB_QUANTIZATION"):
+                monkeypatch.delenv(k, raising=False)
+            get_config(reload=True)
+
+    def test_orbax_reserialization_round_trip(self, checkpoint_env,
+                                              tmp_path):
+        """save_orbax/load_orbax over the converted pytree (the fast
+        native-format cache layered on first conversion)."""
+        from vis_tpu.models.llama import config as llama_configs
+        from vis_tpu.models.llama.model import convert_hf_state_dict
+        from vis_tpu.models.loader import (
+            load_orbax,
+            read_safetensors_dir,
+            save_orbax,
+        )
+
+        ckpt = checkpoint_env / "tiny-llama-synth"
+        cfg = llama_configs.from_hf_config(
+            json.loads((ckpt / "config.json").read_text()),
+            dtype=jnp.float32,
+        )
+        params = convert_hf_state_dict(read_safetensors_dir(ckpt), cfg)
+        out = tmp_path / "orbax_ckpt"
+        save_orbax(params, out)
+        restored = load_orbax(out, params)
+        np.testing.assert_array_equal(
+            np.asarray(params["embed_tokens"]),
+            np.asarray(restored["embed_tokens"]),
+        )
+        lhs = params["layers"][1]["mlp"]["down_proj"]
+        rhs = restored["layers"][1]["mlp"]["down_proj"]
+        np.testing.assert_array_equal(np.asarray(lhs), np.asarray(rhs))
