@@ -153,6 +153,31 @@ for _k, _v in _BENCH_ENV.items():
 
 
 def main() -> None:
+    import threading
+
+    # Device-init watchdog: the tunneled chip occasionally wedges and
+    # jax.devices() then blocks forever in plugin init.  A bench that
+    # hangs records NOTHING for the round; an explicit error line is
+    # honest and machine-readable.  Normal init is seconds; 15 min means
+    # the tunnel is down, not slow.
+    _init_done = threading.Event()
+
+    def _watchdog():
+        if not _init_done.wait(timeout=900):
+            print("# FATAL: device init exceeded 900s — TPU tunnel "
+                  "unreachable; no measurement possible", file=sys.stderr)
+            print(json.dumps({
+                "metric": "single_image_dual_vlm_e2e_p50_target_scale_1chip",
+                "value": None,
+                "unit": "s",
+                "vs_baseline": None,
+                "error": "tpu_tunnel_unreachable_during_device_init",
+            }))
+            sys.stdout.flush()
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     if os.environ.get("BENCH_SMOKE"):
@@ -160,7 +185,28 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     device = jax.devices()[0]
+    _init_done.set()
     print(f"# device: {device} ({device.platform})", file=sys.stderr)
+
+    # Tunnel health probe: p50 dispatch RTT of a tiny compiled program.
+    # Normal is ~10-30 ms through the axon tunnel; a degraded tunnel (or a
+    # starved host) shows up here BEFORE it contaminates the pipeline
+    # numbers, and the value lands in the breakdown so a bad round is
+    # attributable to transport, not the framework.
+    import jax.numpy as _probe_jnp
+    import numpy as _probe_np
+
+    _probe = jax.jit(lambda x: (x * 2.0).sum())
+    _probe_x = _probe_jnp.ones((128, 128), _probe_jnp.bfloat16)
+    _probe_np.asarray(_probe(_probe_x))  # compile
+    _rtts = []
+    for _ in range(10):
+        _t = time.perf_counter()
+        _probe_np.asarray(_probe(_probe_x))
+        _rtts.append((time.perf_counter() - _t) * 1e3)
+    tunnel_rtt_ms = round(statistics.median(_rtts), 1)
+    print(f"# tunnel dispatch RTT p50: {tunnel_rtt_ms} ms "
+          f"(10 probes: {[round(r, 1) for r in _rtts]})", file=sys.stderr)
 
     def hbm(tag: str) -> None:
         """Per-phase HBM accounting (stderr only; absent on some backends)."""
@@ -330,6 +376,7 @@ def main() -> None:
         "node_p50_s": node_p50,
         "decode_tokens_last_run": token_runs[-1],
         "device_preprocess_img_per_s_compute": round(pp_rate, 1),
+        "tunnel_rtt_ms_p50": tunnel_rtt_ms,
         "profile": {
             "dev_profile": app_config.dev_profile,
             "quantization": app_config.quantization,
