@@ -245,7 +245,7 @@ def main() -> None:
     }
     _HOST_SPANS = {
         "quality_check", "engine.preprocess", "mllama.preprocess",
-        "pdf_report",
+        "pdf_report", "scheduler.host",
     }
 
     def timed_run(tag):

@@ -10,21 +10,25 @@ each re-open and re-encode the upload); here everything is in-process, so
 the decode and the host->HBM transfer are per-IMAGE costs, not per-consumer
 costs.
 
-Two cache levels, both keyed by (realpath, mtime_ns, size) so edited or
-re-uploaded files never alias:
+Two cache levels:
 
-- ``get_frame(path)``        -> np.uint8 [H, W, 3] RGB, decoded once.
-- ``get_device_frame(path)`` -> the same frame committed to the default
-  device (u8, 3 bytes/px).  The inspector's resize-as-matmul path and the
+- ``get_frame(path)``        -> np.uint8 [H, W, 3] RGB, decoded once;
+  keyed by (realpath, mtime_ns, size) so edited or re-uploaded files never
+  alias.
+- ``get_device_frame(path, device=None)`` -> the same frame committed to
+  ``device`` (u8, 3 bytes/px); keyed by (file key, device) so data-parallel
+  replicas pinned to different chips each pay exactly one transfer — a
+  device-0-committed frame fed to a jit whose params live on another chip
+  would not even dispatch.  The inspector's resize-as-matmul path and the
   auditor's device tiling path share this single transfer — on a tunneled
   chip (~23 MB/s host->HBM) a second 2-4 MB transfer is tens of
   milliseconds of pure waste.
 
 Entries are immutable by contract: callers must not write into the returned
 array (PIL consumers get a fresh copy via ``Image.fromarray``).  The cache
-is a small LRU (8 frames) guarded by a lock; concurrent first-touch from
-the dual-VLM fan-out (orchestration/nodes.py run_inspector_and_auditor)
-serializes on the decode and the second caller hits the cache.
+is a small LRU (8 frames).  Concurrent first-touches serialize on a
+PER-KEY lock, so the batch path's distinct images decode in parallel while
+duplicate touches of one image still coalesce into a single decode.
 """
 
 from __future__ import annotations
@@ -38,16 +42,33 @@ from typing import Optional, Tuple
 import numpy as np
 
 _MAX_FRAMES = 8
+_MAX_KEY_LOCKS = 64
 
-_lock = threading.Lock()
+_lock = threading.Lock()  # guards the maps below (never held over work)
 _host_frames: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 _device_frames: "OrderedDict[tuple, object]" = OrderedDict()
+_key_locks: dict = {}
 
 
 def _key(image_path) -> tuple:
     p = os.path.realpath(str(image_path))
     st = os.stat(p)
     return (p, st.st_mtime_ns, st.st_size)
+
+
+def _key_lock(key) -> threading.Lock:
+    with _lock:
+        lk = _key_locks.get(key)
+        if lk is None:
+            if len(_key_locks) >= _MAX_KEY_LOCKS:
+                # Prune locks for keys no longer cached.  A racing holder
+                # of a pruned lock at worst duplicates one decode.
+                live = (set(_host_frames) | set(_device_frames)
+                        | {k[0] for k in _device_frames})
+                for stale in [k for k in _key_locks if k not in live]:
+                    del _key_locks[stale]
+            lk = _key_locks[key] = threading.Lock()
+        return lk
 
 
 def _decode(image_path) -> np.ndarray:
@@ -67,45 +88,52 @@ def get_frame(image_path) -> np.ndarray:
         if frame is not None:
             _host_frames.move_to_end(key)
             return frame
-    # Decode outside the lock would allow duplicate work on a concurrent
-    # first touch; the decode is short (tens of ms) so holding the lock is
-    # the simpler correct choice — the second caller blocks then hits.
-    with _lock:
-        frame = _host_frames.get(key)
-        if frame is None:
-            frame = _decode(image_path)
+    # Decode under the PER-KEY lock: duplicate first-touches of one image
+    # coalesce, while different images (batch fan-out, concurrent uploads)
+    # decode concurrently instead of queueing on a global lock.
+    with _key_lock(key):
+        with _lock:
+            frame = _host_frames.get(key)
+            if frame is not None:
+                _host_frames.move_to_end(key)
+                return frame
+        frame = _decode(image_path)
+        with _lock:
             _host_frames[key] = frame
             while len(_host_frames) > _MAX_FRAMES:
                 _host_frames.popitem(last=False)
-        else:
-            _host_frames.move_to_end(key)
         return frame
 
 
-def get_device_frame(image_path):
-    """The cached frame as a u8 jax array on the default device.
+def get_device_frame(image_path, device=None):
+    """The cached frame as a u8 jax array committed to ``device``.
 
-    The transfer is issued once per file (async via device_put) and shared
-    by every device preprocess path in the same inspection.
+    device=None means the process default chip (jax.devices()[0]).  The
+    transfer is issued once per (file, device) — engines pinned to other
+    chips (DP replicas) pass their own device and pay one transfer each.
     """
     import jax
 
-    key = _key(image_path)
+    if device is None:
+        device = jax.devices()[0]
+    key = (_key(image_path), device)
     with _lock:
         dev = _device_frames.get(key)
         if dev is not None:
             _device_frames.move_to_end(key)
             return dev
     frame = get_frame(image_path)
-    with _lock:
-        dev = _device_frames.get(key)
-        if dev is None:
-            dev = jax.device_put(np.asarray(frame))
+    with _key_lock(key):
+        with _lock:
+            dev = _device_frames.get(key)
+            if dev is not None:
+                _device_frames.move_to_end(key)
+                return dev
+        dev = jax.device_put(np.asarray(frame), device)
+        with _lock:
             _device_frames[key] = dev
             while len(_device_frames) > _MAX_FRAMES:
                 _device_frames.popitem(last=False)
-        else:
-            _device_frames.move_to_end(key)
         return dev
 
 
@@ -133,6 +161,7 @@ def clear() -> None:
     with _lock:
         _host_frames.clear()
         _device_frames.clear()
+        _key_locks.clear()
 
 
 __all__ = [

@@ -189,6 +189,7 @@ def preprocess_image_device(
     max_image_dim=None,
     min_pixels: int = None,
     max_pixels: int = None,
+    device=None,
 ) -> DeviceImagePatches:
     """Device-path drop-in for ops.preprocess.preprocess_image (serving uses
     it when DEVICE_PREPROCESS=true): host JPEG-decode + smart_resize sizing,
@@ -212,7 +213,9 @@ def preprocess_image_device(
     h_bar, w_bar = smart_resize(src_h, src_w, FACTOR, min_pixels, max_pixels)
     # The u8 frame transfer is shared with every other device preprocess
     # path touching this file (auditor tiling, batched quality stats).
-    patches = preprocess_frame_device(get_device_frame(image_path), h_bar, w_bar)
+    patches = preprocess_frame_device(
+        get_device_frame(image_path, device), h_bar, w_bar
+    )
     return DeviceImagePatches(
         patches=patches, grid_t=1,
         grid_h=h_bar // PATCH_SIZE, grid_w=w_bar // PATCH_SIZE,

@@ -92,7 +92,7 @@ def _tiles_noresize_jit(rgb_u8, h_t, w_t):
 
 
 def preprocess_image_mllama_device(
-    image_path, max_tiles: int = 4
+    image_path, max_tiles: int = 4, device=None
 ) -> MllamaTilesDevice:
     """Device drop-in for preprocess_image_mllama (the auditor engine uses
     it when DEVICE_PREPROCESS=true)."""
@@ -103,7 +103,7 @@ def preprocess_image_mllama_device(
     canvas_h, canvas_w = h_t * TILE_SIZE, w_t * TILE_SIZE
     new_h, new_w = fit_to_canvas(src_h, src_w, canvas_h, canvas_w)
 
-    frame = get_device_frame(image_path)
+    frame = get_device_frame(image_path, device)
     if (new_h, new_w) == (src_h, src_w):
         tiles = _tiles_noresize_jit(frame, h_t, w_t)
     else:

@@ -552,8 +552,11 @@ class Engine:
             # Telemetry parity with the unbatched path: batched requests
             # count their decoded tokens too (the bench's per-role token
             # accounting went dark when the explainer became batched).
-            self.last_decode_tokens = len(request.generated)
-            self.decode_tokens_total += len(request.generated)
+            # Under the lock: the bundle's three requests stream through
+            # this path concurrently and += is a read-modify-write.
+            with self._lock:
+                self.last_decode_tokens = len(request.generated)
+                self.decode_tokens_total += len(request.generated)
             return
         with self._lock:  # unbatched path: one request at a time per engine
             yield from self._generate_locked(
@@ -605,7 +608,8 @@ class Engine:
                     )
 
                     image = preprocess_image_device(
-                        image_path, max_image_dim=max_image_dim
+                        image_path, max_image_dim=max_image_dim,
+                        device=getattr(self, "_device", None),
                     )
                 else:
                     image = preprocess_image(
@@ -680,9 +684,16 @@ class Engine:
         if prompt_only_cache:
             # PAGE-aligned so the paged insert's page reshape stays exact
             # even for KV_PAGE_SIZE > 128 (the pool validates max_len is a
-            # page multiple, so min() keeps the alignment).
-            page = max(128, app_config.kv_page_size
-                       if app_config.paged_kv_cache else 128)
+            # page multiple, so min() keeps the alignment).  The ATTACHED
+            # scheduler's pool is authoritative: attach_scheduler(paged=...)
+            # can override the config flag.
+            sched = getattr(self, "scheduler", None)
+            pool = getattr(sched, "pool", None) if sched is not None else None
+            if pool is not None:
+                page = max(128, pool.page_size)
+            else:
+                page = max(128, app_config.kv_page_size
+                           if app_config.paged_kv_cache else 128)
             cache_len = min(
                 self.max_cache_tokens,
                 ((bucket + page - 1) // page) * page,
@@ -1710,6 +1721,9 @@ def _commit_engine_params(engine, dev) -> None:
     for attr in ("text_params", "vlm_params", "params"):
         if getattr(engine, attr, None) is not None:
             setattr(engine, attr, _put(getattr(engine, attr)))
+    # Device preprocess must land its frames on THIS chip too (a committed
+    # frame on another device would not colocate with the params in jit).
+    engine._device = dev
 
 
 def _maybe_attach_scheduler(role: str, engine) -> None:
@@ -1752,10 +1766,15 @@ def get_engine_backend(role: str, model_name: str) -> EngineBackend:
                                 engine = build_engine(
                                     role, model_name, mesh=None
                                 )
-                            _commit_engine_params(engine, dev)
+                                _commit_engine_params(engine, dev)
+                                # Scheduler state (slot KV caches / paged
+                                # pool — hundreds of MB at target dims)
+                                # must also allocate on THIS replica's
+                                # chip, not the global default device.
+                                _maybe_attach_scheduler(role, engine)
                         else:
                             engine = build_engine(role, model_name, mesh=sub)
-                        _maybe_attach_scheduler(role, engine)
+                            _maybe_attach_scheduler(role, engine)
                         _engines[rkey] = engine
                     replicas.append(EngineBackend(_engines[rkey]))
                 _dp_backends[key] = ReplicatedEngineBackend(replicas)

@@ -428,7 +428,9 @@ class MllamaEngine:
                         preprocess_image_mllama_device,
                     )
 
-                    tiles = preprocess_image_mllama_device(image_path)
+                    tiles = preprocess_image_mllama_device(
+                        image_path, device=getattr(self, "_device", None)
+                    )
                 else:
                     tiles = preprocess_image_mllama(image_path)
             with span("mllama.vision", logger):

@@ -769,55 +769,70 @@ class ContinuousBatchingScheduler:
         exit_kwargs = dict(
             eos_id=self.tokenizer.eos_id, budget=jnp.asarray(budget_vec)
         )
-        if self.paged:
-            if constraint is not None:
-                (tokens, self._logits, self.pool.k, self.pool.v, _,
-                 constraint) = self._decode_paged_con_jit(
-                    self.params, self._logits, jnp.asarray(positions_vec),
-                    self.pool.k, self.pool.v, self.pool.page_tables,
-                    jnp.asarray(prev_lengths), constraint, num_steps=steps,
-                    **sample_kwargs, **exit_kwargs,
-                )
-            else:
-                # _check_modes rejects sampled paged requests w/o tables.
-                tokens, self._logits, self.pool.k, self.pool.v, _ = (
-                    self._decode_paged_jit(
+        # Spanned for the bench's host/device split: the dispatch + its
+        # blocking token sync is chip time; the per-slot post-processing
+        # below (full-sequence detokenize, queue puts) is host work and
+        # gets its own span so contention shows on the right side.
+        with span("scheduler.decode"):
+            if self.paged:
+                if constraint is not None:
+                    (tokens, self._logits, self.pool.k, self.pool.v, _,
+                     constraint) = self._decode_paged_con_jit(
                         self.params, self._logits, jnp.asarray(positions_vec),
                         self.pool.k, self.pool.v, self.pool.page_tables,
-                        jnp.asarray(prev_lengths), num_steps=steps,
-                        **exit_kwargs,
-                    )
-                )
-        else:
-            if constraint is not None:
-                tokens, self._logits, self.cache, constraint = (
-                    self._decode_loop_con_jit(
-                        self.params, self._logits, jnp.asarray(positions_vec),
-                        self.cache, constraint, num_steps=steps,
+                        jnp.asarray(prev_lengths), constraint, num_steps=steps,
                         **sample_kwargs, **exit_kwargs,
                     )
-                )
-            elif any_sampled:
-                tokens, self._logits, self.cache, _ = (
-                    self._decode_loop_sampled_jit(
-                        self.params, self._logits, jnp.asarray(positions_vec),
-                        self.cache, sample_kwargs["key"],
-                        sample_kwargs["temperature"], num_steps=steps,
-                        **exit_kwargs,
+                else:
+                    # _check_modes rejects sampled paged requests w/o tables.
+                    tokens, self._logits, self.pool.k, self.pool.v, _ = (
+                        self._decode_paged_jit(
+                            self.params, self._logits,
+                            jnp.asarray(positions_vec),
+                            self.pool.k, self.pool.v, self.pool.page_tables,
+                            jnp.asarray(prev_lengths), num_steps=steps,
+                            **exit_kwargs,
+                        )
                     )
-                )
             else:
-                tokens, self._logits, self.cache = self._decode_loop_jit(
-                    self.params, self._logits, jnp.asarray(positions_vec),
-                    self.cache, num_steps=steps, **exit_kwargs,
-                )
-        if constraint is not None:
-            # Finished slots keep garbage DFA rows until the next admission
-            # resets them — their outputs are discarded, same as KV rows.
-            self._fsm_state = constraint.state
-            self._fsm_remaining = constraint.remaining
-        token_matrix = np.asarray(tokens)  # [slots, steps] (the one sync)
+                if constraint is not None:
+                    tokens, self._logits, self.cache, constraint = (
+                        self._decode_loop_con_jit(
+                            self.params, self._logits,
+                            jnp.asarray(positions_vec),
+                            self.cache, constraint, num_steps=steps,
+                            **sample_kwargs, **exit_kwargs,
+                        )
+                    )
+                elif any_sampled:
+                    tokens, self._logits, self.cache, _ = (
+                        self._decode_loop_sampled_jit(
+                            self.params, self._logits,
+                            jnp.asarray(positions_vec),
+                            self.cache, sample_kwargs["key"],
+                            sample_kwargs["temperature"], num_steps=steps,
+                            **exit_kwargs,
+                        )
+                    )
+                else:
+                    tokens, self._logits, self.cache = self._decode_loop_jit(
+                        self.params, self._logits, jnp.asarray(positions_vec),
+                        self.cache, num_steps=steps, **exit_kwargs,
+                    )
+            if constraint is not None:
+                # Finished slots keep garbage DFA rows until the next
+                # admission resets them — their outputs are discarded, same
+                # as KV rows.
+                self._fsm_state = constraint.state
+                self._fsm_remaining = constraint.remaining
+            token_matrix = np.asarray(tokens)  # [slots, steps] (the sync)
 
+        with span("scheduler.host"):
+            self._postprocess_chunk(steps, prev_lengths, token_matrix)
+
+    def _postprocess_chunk(self, steps, prev_lengths, token_matrix) -> None:
+        """Host side of a decode chunk: keep tokens up to EOS/budget,
+        stream deltas, retire finished slots."""
         lengths = prev_lengths + steps  # what the device-side loop did
         for i, slot in enumerate(self.slots):
             if not slot.active:
@@ -903,11 +918,7 @@ class ContinuousBatchingScheduler:
                         self.pool.release_buffers()
                     time.sleep(0.005)
                 continue
-            # Spanned for the bench's host/device split: each chunk is one
-            # device dispatch + one blocking token sync, so its wall time
-            # is device time (the scheduler thread holds no host work).
-            with span("scheduler.decode"):
-                self._decode_once()
+            self._decode_once()
         logger.info("Scheduler stopped")
 
 
