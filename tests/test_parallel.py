@@ -373,3 +373,48 @@ def test_get_engine_backend_builds_dp_replicas(monkeypatch):
         assert outs[0] == outs[1] == out
     finally:
         reset_engines()
+
+
+def test_dp_replica_scheduler_state_placement(monkeypatch):
+    """With continuous batching on, each Dx1 replica's scheduler slot KV
+    must allocate on THAT replica's chip (the engine's default_device
+    scope covers attach_scheduler), not stack on device 0."""
+    from vis_tpu.serving.engine import (
+        ReplicatedEngineBackend, get_engine_backend, reset_engines,
+    )
+    from vis_tpu.utils.config import config as app_config
+
+    monkeypatch.setattr(app_config, "mesh_shape", "2x1")
+    monkeypatch.setattr(app_config, "mesh_shape_tuple", (2, 1))
+    monkeypatch.setattr(app_config, "dev_profile", "small")
+    monkeypatch.setattr(app_config, "continuous_batching", True)
+    monkeypatch.setattr(app_config, "batching_roles", "explainer")
+    monkeypatch.setattr(app_config, "paged_kv_cache", False)
+    reset_engines()
+    backend = None
+    try:
+        backend = get_engine_backend("explainer", "no-such-model-dp-sched")
+        assert isinstance(backend, ReplicatedEngineBackend)
+        seen = []
+        for b in backend.backends:
+            sched = b.engine.scheduler
+            assert sched is not None
+            param_dev = next(
+                iter(jax.tree_util.tree_leaves(
+                    b.engine.text_params)[0].devices())
+            )
+            cache_devs = set(sched.cache.k.devices())
+            assert cache_devs == {param_dev}, (
+                f"scheduler KV on {cache_devs}, params on {param_dev}"
+            )
+            seen.append(param_dev)
+        assert seen[0] != seen[1]
+        # The batched path works end-to-end on both pinned replicas.
+        outs = [b.generate("dp sched", max_tokens=4)
+                for b in backend.backends]
+        assert outs[0] == outs[1]
+    finally:
+        if backend is not None:
+            for b in backend.backends:
+                b.engine.detach_scheduler()
+        reset_engines()
