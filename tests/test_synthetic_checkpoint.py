@@ -145,6 +145,35 @@ class TestSyntheticCheckpoint:
                 monkeypatch.delenv(k, raising=False)
             get_config(reload=True)
 
+    def test_orbax_conversion_cache(self, checkpoint_env, monkeypatch):
+        """ORBAX_CONVERT_CACHE=true: the first build_engine caches the
+        converted pytree next to the checkpoint; the second build restores
+        it WITHOUT touching safetensors and generates identically."""
+        import vis_tpu.serving.engine as eng_mod
+        from vis_tpu.serving.engine import build_engine
+        from vis_tpu.utils.config import get_config
+
+        monkeypatch.setenv("ORBAX_CONVERT_CACHE", "true")
+        get_config(reload=True)
+        try:
+            first = build_engine("explainer", "tiny-llama-synth")
+            cache = (checkpoint_env / "tiny-llama-synth"
+                     / ".orbax_conversion_cache")
+            assert (cache / "SOURCE_STAMP.json").exists()
+            out_first = first.generate("cache check", max_tokens=8)
+
+            def _boom(_):
+                raise AssertionError(
+                    "cached build must not re-read safetensors"
+                )
+
+            monkeypatch.setattr(eng_mod, "read_safetensors_dir", _boom)
+            second = build_engine("explainer", "tiny-llama-synth")
+            assert second.generate("cache check", max_tokens=8) == out_first
+        finally:
+            monkeypatch.delenv("ORBAX_CONVERT_CACHE", raising=False)
+            get_config(reload=True)
+
     def test_orbax_reserialization_round_trip(self, checkpoint_env,
                                               tmp_path):
         """save_orbax/load_orbax over the converted pytree (the fast

@@ -1561,7 +1561,35 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
 
     if ckpt_dir is not None:
         tokenizer = load_tokenizer(ckpt_dir)
-        state = read_safetensors_dir(ckpt_dir)
+
+        def _converted(convert_fn):
+            """Convert the safetensors state dict lazily; with
+            ORBAX_CONVERT_CACHE=true the framework pytree is cached next
+            to the checkpoint after the first conversion and later builds
+            restore it directly (skips the shard merge + tensor-name
+            mapping — minutes at 7B+ scale on a slow host)."""
+            from vis_tpu.models.loader import (
+                load_converted_cache,
+                save_converted_cache,
+                source_stamp,
+            )
+
+            if not app_config.orbax_convert_cache:
+                return convert_fn(read_safetensors_dir(ckpt_dir))
+            cache = Path(ckpt_dir) / ".orbax_conversion_cache"
+            stamp = source_stamp(ckpt_dir)
+            params = load_converted_cache(cache, stamp)
+            if params is not None:
+                logger.info(f"Restored converted params from {cache}")
+                return params
+            params = convert_fn(read_safetensors_dir(ckpt_dir))
+            try:
+                save_converted_cache(params, cache, stamp)
+                logger.info(f"Cached converted params at {cache}")
+            except Exception as exc:
+                logger.warning(f"Conversion cache save failed: {exc}")
+            return params
+
         # The checkpoint's own config.json is the source of truth for shapes
         # (any model size loads); model-name presets are the fallback for
         # bare weight dirs.
@@ -1584,7 +1612,7 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
                 MllamaConfig.from_hf_config(hf_cfg) if hf_cfg is not None
                 else MllamaConfig.llama32_11b_vision()
             )
-            params = convert_mllama(state, cfg)
+            params = _converted(lambda state: convert_mllama(state, cfg))
             logger.info(f"{role}: loaded Mllama {model_name} from {ckpt_dir}")
             return MllamaEngine(model_name, cfg, params, tokenizer, mesh=mesh)
         if is_vlm and (model_type == "qwen2_5_vl" or
@@ -1595,7 +1623,9 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
                 q25.Qwen25VLConfig.from_hf_config(hf_cfg)
                 if hf_cfg is not None else q25.Qwen25VLConfig.qwen2_5_vl_7b()
             )
-            params = q25.convert_hf_state_dict(state, cfg)
+            params = _converted(
+                lambda state: q25.convert_hf_state_dict(state, cfg)
+            )
             logger.info(f"{role}: loaded Qwen2.5-VL {model_name} from {ckpt_dir}")
             return Engine(
                 model_name, cfg.text, None, tokenizer,
@@ -1609,7 +1639,9 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
                     Qwen2VLConfig.qwen2_vl_2b() if "2b" in model_name.lower()
                     else Qwen2VLConfig.qwen2_vl_7b()
                 )
-            params = qwen_model.convert_hf_state_dict(state, cfg)
+            params = _converted(
+                lambda state: qwen_model.convert_hf_state_dict(state, cfg)
+            )
             logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
             return Engine(
                 model_name, cfg.text, None, tokenizer,
@@ -1622,7 +1654,9 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
                 llama_configs.llama31_8b() if "8b" in model_name.lower()
                 else llama_configs.llama32_3b()
             )
-        params = llama_model.convert_hf_state_dict(state, cfg)
+        params = _converted(
+            lambda state: llama_model.convert_hf_state_dict(state, cfg)
+        )
         logger.info(f"{role}: loaded {model_name} from {ckpt_dir}")
         return Engine(model_name, cfg, params, tokenizer, mesh=mesh,
                       role=role)

@@ -128,6 +128,11 @@ class Config(BaseModel):
     mesh_shape: str = "1x1"          # "data x model", e.g. "2x4" on a v5e-8
     model_dtype: str = "bfloat16"
     checkpoint_dir: str = "checkpoints"
+    # Cache the converted framework pytree in Orbax next to the checkpoint
+    # after the first safetensors conversion; later engine builds restore it
+    # directly (skips the shard merge + tensor-name mapping — minutes at 7B+
+    # on a slow host).  Costs a second on-disk copy of the weights.
+    orbax_convert_cache: bool = False
     kv_cache_max_tokens: int = 8192   # per-request KV budget
     paged_kv_cache: bool = False      # scheduler KV = shared page pool instead of dense slots
     kv_page_size: int = 128           # page size (tokens) of the paged-KV pool
