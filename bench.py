@@ -199,14 +199,37 @@ def main() -> None:
     _probe = jax.jit(lambda x: (x * 2.0).sum())
     _probe_x = _probe_jnp.ones((128, 128), _probe_jnp.bfloat16)
     _probe_np.asarray(_probe(_probe_x))  # compile
-    _rtts = []
-    for _ in range(10):
-        _t = time.perf_counter()
-        _probe_np.asarray(_probe(_probe_x))
-        _rtts.append((time.perf_counter() - _t) * 1e3)
-    tunnel_rtt_ms = round(statistics.median(_rtts), 1)
-    print(f"# tunnel dispatch RTT p50: {tunnel_rtt_ms} ms "
-          f"(10 probes: {[round(r, 1) for r in _rtts]})", file=sys.stderr)
+
+    def _rtt_p50() -> float:
+        rtts = []
+        for _ in range(10):
+            t = time.perf_counter()
+            _probe_np.asarray(_probe(_probe_x))
+            rtts.append((time.perf_counter() - t) * 1e3)
+        return statistics.median(rtts)
+
+    tunnel_rtt_ms = round(_rtt_p50(), 1)
+    tunnel_rtt_initial_ms = tunnel_rtt_ms
+    print(f"# tunnel dispatch RTT p50: {tunnel_rtt_ms} ms", file=sys.stderr)
+    # Degraded-window rescue: normal dispatch RTT here is ~10-30 ms; a
+    # p50 over 150 ms means the transport (or a starved host) is 5-10x
+    # off and every pipeline number would be contaminated (r03's headline
+    # regression was exactly such a window).  Wait up to 10 min for the
+    # tunnel to normalize rather than recording a transport artifact as
+    # the framework's latency; proceed best-effort either way and record
+    # both RTTs so the round is attributable.
+    _RTT_OK_MS = 150.0
+    waited = 0
+    while tunnel_rtt_ms > _RTT_OK_MS and waited < 600:
+        print(f"# tunnel degraded (RTT p50 {tunnel_rtt_ms} ms > "
+              f"{_RTT_OK_MS}); waiting 60s ({waited}s so far)",
+              file=sys.stderr)
+        time.sleep(60)
+        waited += 60
+        tunnel_rtt_ms = round(_rtt_p50(), 1)
+    if tunnel_rtt_ms > _RTT_OK_MS:
+        print(f"# WARNING: proceeding on a degraded tunnel "
+              f"(RTT p50 {tunnel_rtt_ms} ms)", file=sys.stderr)
 
     def hbm(tag: str) -> None:
         """Per-phase HBM accounting (stderr only; absent on some backends)."""
@@ -377,6 +400,7 @@ def main() -> None:
         "decode_tokens_last_run": token_runs[-1],
         "device_preprocess_img_per_s_compute": round(pp_rate, 1),
         "tunnel_rtt_ms_p50": tunnel_rtt_ms,
+        "tunnel_rtt_initial_ms_p50": tunnel_rtt_initial_ms,
         "profile": {
             "dev_profile": app_config.dev_profile,
             "quantization": app_config.quantization,
