@@ -48,6 +48,26 @@ class TestPool:
         args.update(kw)
         return PagedKVPool(**args)
 
+    def test_reserve_rejects_beyond_slot_window(self):
+        """A budget past max_pages*page_size must be REFUSED, not clamped:
+        a clamped reservation lets terminal-chunk overhang writes wrap
+        through the last mapped page and corrupt live KV."""
+        pool = self._pool(pool_tokens=2048)  # pool could hold it...
+        assert pool.max_pages == 4           # ...but one slot cannot
+        total = pool.free_pages
+        assert not pool.try_reserve(0, 4 * 128 + 1)
+        assert pool.free_pages == total      # no side effects
+        assert pool.try_reserve(0, 4 * 128)  # exactly the window is fine
+
+    def test_rereserve_replaces_not_leaks(self):
+        pool = self._pool()
+        total = pool.free_pages
+        assert pool.try_reserve(1, 300)      # 3 pages
+        assert pool.try_reserve(1, 150)      # re-reserve same slot: 2 pages
+        assert pool.free_pages == total - 2  # old 3 returned, not leaked
+        pool.release(1)
+        assert pool.free_pages == total
+
     def test_reserve_release_roundtrip(self):
         pool = self._pool()
         total = pool.free_pages
@@ -124,7 +144,7 @@ class TestPagedScheduler:
         engine, scheduler = setup
         request = scheduler.submit("too big", max_tokens=100_000)
         assert request.out.get(timeout=60) is None
-        assert "exceeds the page pool" in (request.error or "")
+        assert "exceeds the paged-KV limit" in (request.error or "")
 
     def test_matches_dense_scheduler(self, setup):
         engine, scheduler = setup

@@ -19,6 +19,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vis_tpu.utils.logger import setup_logger
+
+logger = setup_logger(__name__, level="INFO", component="MESH")
+
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -34,8 +38,17 @@ def create_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
             cfg_shape = (1, cfg_shape[0])
         shape = cfg_shape
         if int(np.prod(shape)) > len(devices):
-            # Not enough devices for the configured shape: use them all.
-            shape = (1, len(devices))
+            # Not enough devices for the configured shape: use them all —
+            # loudly, because DP disappearing / TP degree changing behind
+            # the operator's back makes perf and parity diffs look like
+            # model bugs.
+            fallback = (1, len(devices))
+            logger.warning(
+                f"mesh_shape {shape} needs {int(np.prod(shape))} devices "
+                f"but only {len(devices)} are visible; degrading to "
+                f"{fallback} (no data parallelism, model axis = all chips)"
+            )
+            shape = fallback
     total = int(np.prod(shape))
     if total > len(devices):
         raise ValueError(

@@ -105,12 +105,14 @@ def pipeline_forward(
         )  # [L/S, ...]
 
         def run_stage(x, pos):
-            cos_sin_positions = pos
+            # RoPE tables are loop-invariant across the stage's layers:
+            # compute them ONCE per tick, not inside the scan body (XLA
+            # does not reliably hoist the table build out of the loop).
+            cos, sin = _tables(config, pos)
 
             def body(x, layer):
                 x, _, _ = _layer_body(
-                    config, x, layer, *_tables(config, cos_sin_positions),
-                    mask, None, None, None,
+                    config, x, layer, cos, sin, mask, None, None, None,
                 )
                 return x, ()
 

@@ -43,16 +43,28 @@ def vision_forward_sp(
     sin: jnp.ndarray,
     mesh: Mesh,
     num_patches: Optional[jnp.ndarray] = None,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel vision_forward (same signature + mesh).
 
     patches: [seq, patch_input_dim] (seq divisible by the model-axis size
     times merge_unit); returns [seq / merge_unit, hidden_size].
+
+    use_flash=None auto-selects the Pallas flash kernel on TPU for large
+    block-aligned sequences — the einsum path materializes
+    [heads/n, seq, seq] f32 scores per device, which at the 20k-patch
+    4K-frame workload this module exists for is multiple GiB per block;
+    flash keeps attention O(seq) memory exactly as the single-device
+    vision_forward does (models/qwen2_vl/vision.py:160).
     """
     seq = patches.shape[0]
     n = mesh.shape[MODEL_AXIS]
     assert seq % (n * config.merge_unit) == 0, (seq, n)
     assert config.num_heads % n == 0, (config.num_heads, n)
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu" and seq % 128 == 0 and seq >= 1024
+        )
     scale = config.head_dim ** -0.5
     valid_count = (
         jnp.int32(seq) if num_patches is None else num_patches.astype(jnp.int32)
@@ -79,15 +91,24 @@ def vision_forward_sp(
             q = lax.all_to_all(q, MODEL_AXIS, 1, 0, tiled=True)
             k = lax.all_to_all(k, MODEL_AXIS, 1, 0, tiled=True)
             v = lax.all_to_all(v, MODEL_AXIS, 1, 0, tiled=True)
-            logits = jnp.einsum(
-                "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            logits = logits + attn_bias
-            probs = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum(
-                "hqk,khd->qhd", probs.astype(v.dtype), v,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            if use_flash:
+                from vis_tpu.ops.flash_attention import flash_attention
+
+                out = flash_attention(
+                    q[None], k[None], v[None],
+                    lengths=valid_count[None],
+                    causal=False, sm_scale=scale,
+                )[0].astype(x.dtype)
+            else:
+                logits = jnp.einsum(
+                    "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+                ) * scale
+                logits = logits + attn_bias
+                probs = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum(
+                    "hqk,khd->qhd", probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
             # Back to sequence shards / all heads.
             out = lax.all_to_all(out, MODEL_AXIS, 0, 1, tiled=True)
             out = out.reshape(local, config.embed_dim)

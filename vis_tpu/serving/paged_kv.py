@@ -116,18 +116,33 @@ class PagedKVPool:
     # -- allocation --------------------------------------------------------
     def try_reserve(self, slot: int, tokens: int) -> bool:
         """Reserve pages for `tokens` on `slot` and map them in the table.
-        Returns False (no side effects) when the pool can't satisfy it."""
-        need = min(self.pages_for(tokens), self.max_pages)
+        Returns False (no side effects) when the pool can't satisfy it —
+        including a budget beyond the slot's addressable window
+        (max_pages * page_size): clamping would let the terminal decode
+        chunk's overhang writes wrap through the last mapped page and
+        corrupt real KV.  A slot that already owns pages has them returned
+        first (re-reserve is a replace, not a leak)."""
+        need = self.pages_for(tokens)
+        if need > self.max_pages:
+            return False
         with self._lock:
+            prev = self._owned.pop(slot, [])
+            self._free.extend(prev)
             if need > len(self._free):
+                if prev:  # keep the old mapping valid on failure
+                    self._owned[slot] = prev
+                    del self._free[-len(prev):]
                 return False
             pages = [self._free.pop() for _ in range(need)]
             self._owned[slot] = pages
-        row = np.zeros((self.max_pages,), np.int32)  # unmapped -> trash 0
-        row[:need] = pages
-        self.page_tables = self._set_row_jit(
-            self.page_tables, jnp.int32(slot), jnp.asarray(row)
-        )
+            row = np.zeros((self.max_pages,), np.int32)  # unmapped -> trash
+            row[:need] = pages
+            # Table update inside the lock: page_tables is a read-modify-
+            # write of shared state; an interleaved reserve/release would
+            # lose one row update.
+            self.page_tables = self._set_row_jit(
+                self.page_tables, jnp.int32(slot), jnp.asarray(row)
+            )
         return True
 
     def release(self, slot: int) -> None:
@@ -135,11 +150,11 @@ class PagedKVPool:
         with self._lock:
             pages = self._owned.pop(slot, [])
             self._free.extend(pages)
-        if pages:
-            self.page_tables = self._set_row_jit(
-                self.page_tables, jnp.int32(slot),
-                jnp.zeros((self.max_pages,), jnp.int32),
-            )
+            if pages:
+                self.page_tables = self._set_row_jit(
+                    self.page_tables, jnp.int32(slot),
+                    jnp.zeros((self.max_pages,), jnp.int32),
+                )
 
 
 __all__ = ["PagedKVPool"]

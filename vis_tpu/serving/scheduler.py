@@ -488,10 +488,17 @@ class ContinuousBatchingScheduler:
         if not self.paged:
             return True
         budget = kv_len + request.max_tokens + self.decode_chunk
-        if self.pool.pages_for(budget) > self.pool.n_pages - 1:
+        need = self.pool.pages_for(budget)
+        # Infeasible EVER: beyond the pool, or beyond one slot's
+        # addressable window (max_pages entries) — requeueing would spin.
+        if need > self.pool.n_pages - 1 or need > self.pool.max_pages:
+            limit = min(
+                (self.pool.n_pages - 1) * self.pool.page_size,
+                self.pool.max_pages * self.pool.page_size,
+            )
             request.error = (
-                f"request KV budget ({budget} tokens) exceeds the page pool "
-                f"({(self.pool.n_pages - 1) * self.pool.page_size} tokens)"
+                f"request KV budget ({budget} tokens) exceeds the paged-KV "
+                f"limit ({limit} tokens)"
             )
             request.out.put(None)
             logger.error(f"{request.request_id}: {request.error}")

@@ -69,10 +69,13 @@ def token_ce_loss(
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     hidden = _forward_remat(config, params, embeds, positions, causal_mask(s, s))
     logits = lm_logits(config, params, hidden)  # f32 [b, s, v]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    target_logp = jnp.take_along_axis(
-        logp, batch["targets"][..., None], axis=-1
+    # Gather-then-logsumexp: log_softmax would materialize a SECOND full
+    # [b, s, vocab] f32 array (~10 GB at 152k vocab, b=8, s=2048) next to
+    # the logits; this form keeps every extra intermediate at [b, s].
+    target_logits = jnp.take_along_axis(
+        logits, batch["targets"][..., None], axis=-1
     )[..., 0]
+    target_logp = target_logits - jax.scipy.special.logsumexp(logits, axis=-1)
     mask = batch["loss_mask"].astype(jnp.float32)
     return -(target_logp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
@@ -139,12 +142,21 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = Path(path).resolve()
+        # The optimizer state is saved as INDEX-KEYED leaves: optax states
+        # are namedtuples, which Orbax restores as plain dicts with keys in
+        # SORTED order — flattening that and unflattening onto the
+        # declaration-ordered namedtuple treedef would silently permute
+        # state leaves for any optimizer whose field names don't sort into
+        # declaration order.  Index keys make the mapping order-exact.
+        opt_leaves = jax.tree_util.tree_leaves(self.opt_state)
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(
                 path,
                 {
                     "params": self.params,
-                    "opt_state": self.opt_state,
+                    "opt_leaves": {
+                        f"{i:05d}": leaf for i, leaf in enumerate(opt_leaves)
+                    },
                     "step": jnp.int32(step),
                 },
                 force=True,
@@ -158,23 +170,30 @@ class Trainer:
         path = Path(path).resolve()
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(path)
-        params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        # Orbax restores leaves as HOST numpy: keep them that way.  A
+        # tree_map(jnp.asarray) here would materialize the full unsharded
+        # model on the default device — exactly what a TP-sharded trainer
+        # cannot afford; shard_decoder_params device_puts the numpy leaves
+        # straight to their shardings.
+        params = restored["params"]
         if self.mesh is not None:
             from vis_tpu.parallel.sharding import shard_decoder_params
 
             params = shard_decoder_params(params, self.mesh)
         self.params = params
-        # opt_state trees restore as plain dicts/lists; rebuild the optax
-        # NamedTuple structure on the template.  Leaves stay HOST numpy
+        # Rebuild the optax NamedTuple structure from an ABSTRACT init
+        # (eval_shape allocates nothing on device; a real init() would
+        # transiently double the optimizer-state HBM) and fill it with the
+        # index-keyed leaves in saved order.  Leaves stay HOST numpy
         # (uncommitted) so the jitted step places them to match the params'
         # shardings — an eager device_put would pin them to one device.
-        template = self.optimizer.init(self.params)
         import numpy as _np
 
+        template = jax.eval_shape(self.optimizer.init, self.params)
         treedef = jax.tree_util.tree_structure(template)
+        opt_leaves = restored["opt_leaves"]
         flat_restored = [
-            _np.asarray(leaf)
-            for leaf in jax.tree_util.tree_leaves(restored["opt_state"])
+            _np.asarray(opt_leaves[k]) for k in sorted(opt_leaves)
         ]
         self.opt_state = jax.tree_util.tree_unflatten(
             treedef, flat_restored
