@@ -217,9 +217,12 @@ def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp
         flat = hidden.reshape(-1, hidden.shape[-1])
         out = matmul(flat, table)[:, : config.vocab_size]
         return out.reshape(*hidden.shape[:-1], config.vocab_size)
+    # Slice defensively: tables can carry rows past the true vocab (Mllama
+    # embed tables have +8 special rows; tied heads reuse them) and an
+    # argmax over those rows would emit ids the tokenizer cannot decode.
     return jnp.einsum(
         "bsh,vh->bsv", hidden, table, preferred_element_type=jnp.float32
-    )
+    )[..., : config.vocab_size]
 
 
 def prefill(
@@ -279,7 +282,7 @@ def decode_loop(
     cache: KVCache,
     num_steps: int,
     eos_id: int = -1,
-) -> Tuple[jnp.ndarray, KVCache]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Greedy-decode `num_steps` tokens in ONE compiled call (lax.fori_loop).
 
     Avoids per-token host round-trips — critical when the host↔device link
@@ -1202,8 +1205,20 @@ def decode_loop_lookahead(
         win_idx, done, tokens_buf, valid_buf = (
             carry[0], carry[1], carry[2], carry[3]
         )
+        prev_lengths, prev_pos = carry[4 + 3], carry[4 + 4]
         inner, (w_tokens, w_valid) = step(carry[4:], None)
         w_valid = w_valid & ~done[:, None]
+        # Freeze finished rows' KV cursor and position: the loop only
+        # exits when EVERY row is done, and letting a done row's cursor
+        # keep advancing would hand the caller a cache whose lengths
+        # point past garbage KV (their window outputs are already
+        # invalidated above, but the cursor is part of the contract).
+        inner = (
+            inner[:3]
+            + (jnp.where(done, prev_lengths, inner[3]),
+               jnp.where(done, prev_pos, inner[4]))
+            + inner[5:]
+        )
         tokens_buf = lax.dynamic_update_slice(
             tokens_buf, w_tokens[None], (win_idx, 0, 0)
         )

@@ -654,10 +654,16 @@ def convert_hf_state_dict(state_dict: Mapping[str, Any],
         "layers": [],
     }
     if not tc.tie_word_embeddings:
-        lm_key = "lm_head.weight"
-        text["lm_head"] = get(
-            lm_key if lm_key in flat else "language_model.embed_tokens.weight", td
-        )
+        if "lm_head.weight" in flat:
+            text["lm_head"] = get("lm_head.weight", td)
+        else:
+            # Tied head serialized without lm_head.weight: Mllama's embed
+            # table carries vocab_size + 8 special rows (image tokens);
+            # the head must be SLICED to vocab_size or logits gain 8 live
+            # rows the tokenizer cannot decode.
+            text["lm_head"] = get(
+                "language_model.embed_tokens.weight", td
+            )[: tc.vocab_size]
     for i in range(tc.num_layers):
         prefix = f"language_model.layers.{i}."
         if i in config.cross_attention_layers:

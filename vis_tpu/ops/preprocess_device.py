@@ -109,10 +109,15 @@ def _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w):
     return _preprocess_frame_impl(rgb_u8, wh, ww, dst_h, dst_w)
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def _resize_weights_dev(src: int, dst: int, filter: str = "bicubic"):
     """Device-resident copy of the interpolation matrix — re-shipping the
-    (up to ~10 MB) weight matrix per frame would dominate on slow links."""
+    (up to ~10 MB) weight matrix per frame would dominate on slow links.
+    maxsize bounds pinned HBM: bulk workloads over many native resolutions
+    would otherwise accumulate up to 64 matrices (potentially GiBs) on a
+    chip whose headroom belongs to the model set; 8 covers the steady
+    state (a camera fleet has few distinct sensor resolutions) at a worst
+    case of ~100-200 MB."""
     return jnp.asarray(resize_weights(src, dst, filter))
 
 

@@ -116,7 +116,10 @@ def preprocess_image_mllama(
     tiles = tiles.transpose(1, 3, 0, 2, 4).reshape(
         h_t * w_t, 3, TILE_SIZE, TILE_SIZE
     )
-    ratio_id = SUPPORTED_ASPECT_RATIOS.index((h_t, w_t)) + 1
+    # The id indexes the checkpoint's aspect-ratio embedding table, which
+    # is laid out in supported_aspect_ratios(max_tiles) order — using the
+    # max_tiles=4 constant list would mis-index any other tile budget.
+    ratio_id = supported_aspect_ratios(max_tiles).index((h_t, w_t)) + 1
     return MllamaTiles(tiles=tiles, aspect_ratio_id=ratio_id,
                        num_tiles=h_t * w_t)
 

@@ -32,10 +32,10 @@ import jax.numpy as jnp
 
 from vis_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
 from vis_tpu.ops.preprocess_mllama import (
-    SUPPORTED_ASPECT_RATIOS,
     TILE_SIZE,
     fit_to_canvas,
     select_aspect_ratio,
+    supported_aspect_ratios,
 )
 from vis_tpu.ops.preprocess_device import _resize_weights_dev
 
@@ -111,7 +111,9 @@ def preprocess_image_mllama_device(
         ww = _resize_weights_dev(src_w, new_w, "bilinear")
         tiles = _tiles_jit(frame, wh, ww, new_h, new_w, h_t, w_t)
 
-    ratio_id = SUPPORTED_ASPECT_RATIOS.index((h_t, w_t)) + 1
+    # Same id law as the host path: index into the DYNAMIC ratio list for
+    # this tile budget (the checkpoint's embedding-table order).
+    ratio_id = supported_aspect_ratios(max_tiles).index((h_t, w_t)) + 1
     return MllamaTilesDevice(
         tiles=tiles, aspect_ratio_id=ratio_id, num_tiles=h_t * w_t
     )

@@ -87,27 +87,31 @@ def _q8_matmul_kernel(x_ref, q_ref, scale_ref, o_ref, *, block_o: int):
 
 
 def quantized_matmul(
-    x: jnp.ndarray, qw: QuantizedWeight, *, block_o: int = 256
+    x: jnp.ndarray, qw: QuantizedWeight, *, block_o: Optional[int] = None
 ) -> jnp.ndarray:
     """x [B, I] @ qw^T -> [B, O] f32, streaming int8 weights.
 
-    Requirements: O % block_o == 0 and I a multiple of 128 (pad upstream);
-    falls back to dequantize+einsum otherwise or off-TPU.
+    block_o=None auto-selects the tile; an explicit value is honored
+    (probe/tuning use).  Requirements: O % block_o == 0 and I a multiple
+    of 128 (pad upstream); falls back to dequantize+einsum otherwise or
+    off-TPU.
     """
     out_dim, in_dim = qw.q.shape
     batch = x.shape[0]
-    # Grid-step count is a first-order cost on the decode path (each step
-    # pays fixed DMA-setup/pipeline overhead): pick the LARGEST tile that
-    # divides out_dim and fits VMEM comfortably (~6 MB per int8 block,
-    # double-buffered by Mosaic).
-    # int8 block + its bf16 VMEM copy are 3 bytes/element (+ double
-    # buffering); a 3 MB int8 block keeps the working set inside the 16 MB
-    # VMEM scope at 7B/8B dims (down_proj in_dim ~19k -> block 128).
-    max_rows = max(128, (3 * 1024 * 1024) // max(1, in_dim))
-    for candidate in (1024, 512, 256, 128):
-        if candidate <= max_rows and out_dim % candidate == 0:
-            block_o = candidate
-            break
+    if block_o is None:
+        # Grid-step count is a first-order cost on the decode path (each
+        # step pays fixed DMA-setup/pipeline overhead): pick the LARGEST
+        # tile that divides out_dim and fits VMEM comfortably (~6 MB per
+        # int8 block, double-buffered by Mosaic).
+        # int8 block + its bf16 VMEM copy are 3 bytes/element (+ double
+        # buffering); a 3 MB int8 block keeps the working set inside the
+        # 16 MB VMEM scope at 7B/8B dims (down_proj in_dim ~19k -> 128).
+        max_rows = max(128, (3 * 1024 * 1024) // max(1, in_dim))
+        block_o = 256
+        for candidate in (1024, 512, 256, 128):
+            if candidate <= max_rows and out_dim % candidate == 0:
+                block_o = candidate
+                break
     # The kernel holds the full activation block in VMEM, so it is a
     # DECODE-path kernel (few rows); prefill-sized activations fall back to
     # the XLA path, where weight bandwidth is not the bottleneck anyway.
@@ -193,7 +197,10 @@ def _mlp_block_size(inter: int, hidden: int) -> Optional[int]:
     """Largest intermediate block that divides `inter` and keeps the three
     weight blocks (~3 * bi * hidden int8, double-buffered) well under VMEM."""
     cap = (4 * 1024 * 1024) // max(1, 3 * hidden)
-    for candidate in (1280, 1024, 896, 768, 640, 512, 448, 384, 256, 128):
+    # Candidates must be multiples of 128: bi is the LANE dimension of the
+    # (1, bi) scale and (hidden, bi) down blocks, and Mosaic cannot lower
+    # mid-tile lane offsets (448 = 3.5 tiles compiled to a crash).
+    for candidate in (1280, 1024, 896, 768, 640, 512, 384, 256, 128):
         if candidate <= cap and inter % candidate == 0:
             return candidate
     return None

@@ -354,16 +354,20 @@ class Engine:
         reply's KV stays in the cache, so the next turn continues from the
         full conversation state."""
         turn_ids = self.tokenizer.encode(f"\nUser: {question}\nAssistant:")
-        budget = self.max_cache_tokens - max_tokens - 1
-        used = int(np.asarray(session.cache.lengths)[0])
-        if used + len(turn_ids) > budget:
-            raise RuntimeError(
-                f"chat session KV budget exhausted ({used} used of {budget})"
-            )
         seq_len = len(turn_ids)
         bucket = 128
         while bucket < seq_len:
             bucket *= 2
+        # Budget against the PADDED bucket, not the true turn length:
+        # extend_scan writes the whole padded chunk with a dynamic slice,
+        # and a write that does not fit would CLAMP backward over the
+        # newest valid history instead of erroring.
+        budget = self.max_cache_tokens - max_tokens - 1
+        used = int(np.asarray(session.cache.lengths)[0])
+        if used + bucket > budget:
+            raise RuntimeError(
+                f"chat session KV budget exhausted ({used} used of {budget})"
+            )
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :seq_len] = turn_ids
         positions = np.arange(bucket, dtype=np.int32)[None] + session.position
@@ -666,7 +670,12 @@ class Engine:
         ids, mrope_positions, next_pos = self._build_prompt_ids(prompt, image)
         seq_len = ids.shape[1]
         bucket = _bucket_for(seq_len, app_config.prefill_bucket_list)
-        bucket = min(bucket, self.max_cache_tokens - max_tokens)
+        # Reserve 32 tokens of slack past the decode budget: lookahead
+        # windows and speculative-verify chunks write whole fixed-size
+        # chunks, and a chunk that does not fit the buffer would clamp
+        # backward over valid KV (dynamic_update_slice semantics) rather
+        # than error.  _request_cache_len carries the same +32.
+        bucket = min(bucket, self.max_cache_tokens - max_tokens - 32)
         if seq_len > bucket:
             keep_head = bucket // 2
             keep_tail = bucket - keep_head
