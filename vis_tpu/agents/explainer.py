@@ -50,6 +50,11 @@ class ExplainerAgent(BaseVLMAgent):
             temperature=config.explainer_temperature,
             max_tokens=config.explainer_max_tokens,
         )
+        import threading as _threading
+        from collections import OrderedDict
+
+        self._chat_sessions: "OrderedDict" = OrderedDict()
+        self._chat_lock = _threading.Lock()
 
     def _call_llm(self, prompt: str, json_mode: bool = False,
                   max_tokens: Optional[int] = None,
@@ -305,24 +310,44 @@ class ExplainerAgent(BaseVLMAgent):
         )
 
     def chat_session_stream(
-        self, session_key: str, system_context: str, question: str
+        self, session_key: str, system_context: str, question: str,
+        history_text: Optional[str] = None,
     ) -> Iterator[str]:
         """KV-cached multi-turn chat: the conversation's context prefills once
         per session and follow-up turns append to the session cache
         (Engine.chat_start/chat_turn).  Falls back to stateless chat_stream
-        for backends without session support (e.g. the mock)."""
+        for backends without session support (e.g. the mock).
+
+        history_text: persisted transcript to seed a FRESH session with —
+        after a server restart or LRU eviction the in-device KV is gone,
+        and without this the SQLite chat memory would be cosmetic; ignored
+        when the session's KV already holds the conversation."""
         engine = getattr(self.backend, "engine", None)
         if engine is None or not hasattr(engine, "chat_start"):
             yield from self.chat_stream(system_context, question)
             return
-        if not hasattr(self, "_chat_sessions"):
-            self._chat_sessions = {}
-        session = self._chat_sessions.get(session_key)
+        # Each session pins a full max_cache_tokens KV buffer in device
+        # memory: the map is a bounded LRU (oldest conversation's cache is
+        # dropped; a returning user transparently re-prefills).  Guarded by
+        # a lock — concurrent first chats from ThreadingHTTPServer threads
+        # would otherwise double-build and leak a cache.
+        with self._chat_lock:
+            session = self._chat_sessions.get(session_key)
+            if session is not None:
+                self._chat_sessions.move_to_end(session_key)
         if session is None:
-            session = engine.chat_start(
-                f"{get_prompt('chat_system')}\n\n{system_context}"
-            )
-            self._chat_sessions[session_key] = session
+            seed = f"{get_prompt('chat_system')}\n\n{system_context}"
+            if history_text:
+                seed += f"\n\nConversation so far:\n{history_text}"
+            session = engine.chat_start(seed)
+            with self._chat_lock:
+                self._chat_sessions[session_key] = session
+                while len(self._chat_sessions) > 4:
+                    evicted_key, _ = self._chat_sessions.popitem(last=False)
+                    self.logger.info(
+                        f"Evicted idle chat session {evicted_key} "
+                        "(KV cache returned)"
+                    )
         try:
             yield from engine.chat_turn(
                 session, question, max_tokens=self.max_tokens

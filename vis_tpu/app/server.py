@@ -145,6 +145,12 @@ def _json_safe(obj: Any) -> Any:
 
 class AppHandler(BaseHTTPRequestHandler):
     server_version = "vis-tpu/0.1"
+    # Chunked transfer framing (the chat stream) is an HTTP/1.1 feature:
+    # under the BaseHTTPRequestHandler default of HTTP/1.0, browsers do
+    # not de-chunk and the hex size lines render inside the chat bubble.
+    # Every non-stream response sends Content-Length (_send), so
+    # persistent connections are safe.
+    protocol_version = "HTTP/1.1"
 
     # -- helpers ---------------------------------------------------------
     def _send(self, code: int, body: bytes, content_type: str = "application/json",
@@ -177,8 +183,14 @@ class AppHandler(BaseHTTPRequestHandler):
         body = self.rfile.read(length)
         fields: Dict[str, Any] = {}
         for part in body.split(b"--" + boundary):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
+            # Strip exactly the framing CRLFs, not every leading/trailing
+            # 0x0D/0x0A byte — file payloads may legitimately end in
+            # newline bytes and a blanket strip() would truncate them.
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
+            if not part or part in (b"--", b"--\r\n"):
                 continue
             header_blob, _, content = part.partition(b"\r\n\r\n")
             headers = header_blob.decode("utf-8", "replace")
@@ -244,7 +256,12 @@ class AppHandler(BaseHTTPRequestHandler):
                 self._json({"error": "not found"}, 404)
         except Exception as exc:
             logger.error(f"POST {self.path} failed: {exc}", exc_info=True)
-            self._json(self._error_payload(exc), 500)
+            if getattr(self, "_stream_started", False):
+                # A chunked 200 is already on the wire: a second JSON 500
+                # would interleave a raw status line into the stream body.
+                self.close_connection = True
+            else:
+                self._json(self._error_payload(exc), 500)
 
     @staticmethod
     def _error_payload(exc: Exception) -> Dict[str, Any]:
@@ -305,8 +322,15 @@ class AppHandler(BaseHTTPRequestHandler):
         """Multi-image session upload (reference
         app/components/image_upload.py:113 batch config form)."""
         fields = self._parse_multipart()
+        def _field_order(item):
+            # image0..image10 must process in UPLOAD order: lexicographic
+            # sort puts image10 before image2.
+            key = item[0]
+            digits = re.sub(r"\D", "", key)
+            return (int(digits) if digits else 0, key)
+
         images = [
-            v for k, v in sorted(fields.items())
+            v for k, v in sorted(fields.items(), key=_field_order)
             if k.startswith("image") and isinstance(v, dict) and v.get("data")
         ]
         if not images:
@@ -552,31 +576,75 @@ class AppHandler(BaseHTTPRequestHandler):
             if history is not None else question
         )
         context_block = _chat_context(job.state)
+        # Persisted transcript (last few turns) seeds a FRESH engine
+        # session — after a restart/eviction the device KV is empty and
+        # the SQLite memory is the only copy of the conversation.
+        history_text = None
+        if history is not None and history.messages:
+            recent = history.messages[-8:]
+            history_text = "\n".join(
+                f"{'User' if m.is_user else 'Assistant'}: {m.content}"
+                for m in recent
+            )
 
         answer_parts = []
         if config.enable_streaming:
             # Chunked streaming response: tokens flush as they decode.
+            # The generator is drained by a PUMP THREAD into a queue:
+            # Engine.chat_turn holds the engine lock across its yields, so
+            # writing to a slow client between next() calls would keep the
+            # lock hostage to the client's TCP window — decoupled, the
+            # lock is held only for actual generation time.
+            import queue as _queue
+
+            chunk_q: "_queue.Queue" = _queue.Queue()
+
+            def _pump() -> None:
+                try:
+                    for chunk in explainer.chat_session_stream(
+                        session_id, context_block, standalone,
+                        history_text=history_text,
+                    ):
+                        chunk_q.put(chunk)
+                    chunk_q.put(None)
+                except Exception as exc:  # surfaced on the writer side
+                    chunk_q.put(exc)
+
+            threading.Thread(
+                target=_pump, daemon=True, name="chat-pump"
+            ).start()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; charset=utf-8")
             self.send_header("Transfer-Encoding", "chunked")
             self.send_header("X-Accel-Buffering", "no")
             self.end_headers()
+            self._stream_started = True
             try:
-                for chunk in explainer.chat_session_stream(
-                    session_id, context_block, standalone
-                ):
-                    answer_parts.append(chunk)
-                    data = chunk.encode()
-                    self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+                while True:
+                    item = chunk_q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        logger.error(f"Chat generation failed: {item}")
+                        break
+                    answer_parts.append(item)
+                    data = item.encode()
+                    self.wfile.write(
+                        f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                    )
                     self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
             except Exception as exc:
+                # Client went away mid-stream: the response cannot be
+                # completed (or re-attempted) — drop the connection.
                 logger.error(f"Chat streaming failed: {exc}")
-            self.wfile.write(b"0\r\n\r\n")
+                self.close_connection = True
         else:
             # ENABLE_STREAMING=false: buffer and send in one response.
             try:
                 answer_parts = list(explainer.chat_session_stream(
-                    session_id, context_block, standalone
+                    session_id, context_block, standalone,
+                    history_text=history_text,
                 ))
             except Exception as exc:
                 logger.error(f"Chat failed: {exc}")

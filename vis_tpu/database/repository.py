@@ -194,6 +194,16 @@ class InspectionRepository:
             "avg_processing_time": avg_time,
         }
 
+    def set_report_path(self, inspection_id: str, report_path: str) -> None:
+        """Backfill the PDF path: the row is created by the database node,
+        which runs BEFORE finalize generates the report."""
+        with self._connect() as conn:
+            conn.execute(
+                "UPDATE inspections SET report_path = ? "
+                "WHERE inspection_id = ?",
+                (report_path, inspection_id),
+            )
+
     def delete_inspection(self, inspection_id: str) -> None:
         with self._connect() as conn:
             conn.execute("DELETE FROM defects WHERE inspection_id = ?", (inspection_id,))

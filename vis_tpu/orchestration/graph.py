@@ -239,6 +239,17 @@ def resume_inspection(
     elif decision == "approve":
         verdict = state.get("safety_verdict") or {}
         verdict["requires_human"] = False
+        if verdict.get("verdict") == "REQUIRES_HUMAN_REVIEW":
+            # The reviewer's sign-off RESOLVES the review: leaving the
+            # verdict at REQUIRES_HUMAN_REVIEW would persist an approved
+            # component as still pending in the DB, PDF stamp, and review
+            # API.  An UNSAFE parked for confirmation stays UNSAFE —
+            # approval acknowledges it, it does not clear the hazard.
+            verdict["verdict"] = "SAFE"
+            verdict["reason"] = (
+                "Human reviewer approved the component. "
+                f"Notes: {notes or 'none'}"
+            )
         state["safety_verdict"] = verdict
     pipeline: Pipeline = parked["pipeline"]
     return pipeline.run(state, on_event=on_event, start_at=parked["resume_index"])

@@ -568,6 +568,14 @@ def save_to_database(state: InspectionState) -> InspectionState:
             "report_path": state.get("report_path"),
         }
 
+        # Provenance: merged defects keep their originating model's
+        # defect_id, so auditor-only findings are attributable (analytics
+        # on detection source would otherwise credit everything to the
+        # inspector).
+        inspector_ids = {
+            d.get("defect_id")
+            for d in state["inspector_result"].get("defects", [])
+        }
         defects_data = []
         for defect in consensus["combined_defects"]:
             record = {
@@ -578,7 +586,10 @@ def save_to_database(state: InspectionState) -> InspectionState:
                 "reasoning": defect["reasoning"],
                 "confidence": defect["confidence"],
                 "recommended_action": defect["recommended_action"],
-                "detected_by": "inspector",
+                "detected_by": (
+                    "inspector" if defect["defect_id"] in inspector_ids
+                    else "auditor"
+                ),
             }
             if defect.get("bbox"):
                 bbox = defect["bbox"]
@@ -611,6 +622,16 @@ def finalize_inspection(state: InspectionState) -> InspectionState:
                 report_path = generate_report(state)
             state["report_path"] = str(report_path)
             logger.info(f"PDF report generated: {report_path}")
+            # The database node persisted the row before the PDF existed;
+            # backfill the path so /api/history rows can link the report.
+            try:
+                from vis_tpu.database.repository import InspectionRepository
+
+                InspectionRepository().set_report_path(
+                    state["request_id"], str(report_path)
+                )
+            except Exception as exc:
+                logger.warning(f"report_path backfill failed: {exc}")
         except Exception as exc:
             logger.error(f"PDF report generation failed: {exc}", exc_info=True)
             state["error"] = f"PDF generation failed: {exc}"
