@@ -903,6 +903,11 @@ class DecodeConstraint(NamedTuple):
     # schema-exact rows in one batched chunk), table_idx [b] picks each
     # row's grammar.  None with 2-D tables = the classic single-table path.
     table_idx: Optional[jnp.ndarray] = None
+    # Column-class compression (real-vocab tables): K is the number of
+    # distinct token BEHAVIORS, and class_of [V] (or [T, V] stacked) maps
+    # each vocab id to its column.  None = dense tables (K == vocab head
+    # width), the byte-level/dev path.
+    class_of: Optional[jnp.ndarray] = None
 
 
 def constrained_pick(
@@ -914,7 +919,6 @@ def constrained_pick(
     Inactive rows see the raw logits (scheduler slots mixing JSON and
     free-form requests share one batched step); active rows are restricted
     to grammar-legal, budget-feasible tokens."""
-    k = constraint.token_ok.shape[-1]
     stacked = constraint.token_ok.ndim == 3
     if stacked:
         cost_row = constraint.cost_after[constraint.table_idx, constraint.state]
@@ -922,6 +926,19 @@ def constrained_pick(
     else:
         cost_row = constraint.cost_after[constraint.state]
         ok_row = constraint.token_ok[constraint.state]
+    if constraint.class_of is not None:
+        # Compressed tables: expand the [b, C] class rows to [b, V]
+        # through each row's vocab -> column map before masking.
+        if stacked:
+            cls_rows = constraint.class_of[constraint.table_idx]  # [b, V]
+        else:
+            cls_rows = jnp.broadcast_to(
+                constraint.class_of[None],
+                (ok_row.shape[0],) + constraint.class_of.shape,
+            )
+        ok_row = jnp.take_along_axis(ok_row, cls_rows, axis=-1)
+        cost_row = jnp.take_along_axis(cost_row, cls_rows, axis=-1)
+    k = ok_row.shape[-1]
     feasible = ok_row & (cost_row < constraint.remaining[:, None])
     # Document-length floor: block closing moves (cost_after == 0) while
     # above the floor — but only where an open continuation exists at all
@@ -940,12 +957,17 @@ def constrained_pick(
         masked = head
     token = pick_fn(masked).astype(jnp.int32)
     clipped = jnp.minimum(token, k - 1)
+    if constraint.class_of is not None:
+        b_idx = jnp.arange(clipped.shape[0])
+        col = cls_rows[b_idx, clipped]  # picked token's table column
+    else:
+        col = clipped
     if stacked:
         trans = constraint.token_trans[
-            constraint.table_idx, constraint.state, clipped
+            constraint.table_idx, constraint.state, col
         ]
     else:
-        trans = constraint.token_trans[constraint.state, clipped]
+        trans = constraint.token_trans[constraint.state, col]
     new_state = jnp.where(constraint.active, trans, constraint.state)
     return token, constraint._replace(
         state=new_state, remaining=constraint.remaining - 1

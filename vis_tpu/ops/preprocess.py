@@ -69,6 +69,26 @@ def smart_resize(
     return h_bar, w_bar
 
 
+def clamp_longest_side(
+    h_bar: int, w_bar: int, max_dim: Optional[int], factor: int = FACTOR
+) -> Tuple[int, int]:
+    """Enforce the reference's per-agent LONGEST-SIDE cap (2048 inspector /
+    1024 auditor, reference vlm_inspector.py:46-88): the pixel-budget
+    mapping alone is a no-op for both production values (dim^2 exceeds
+    DEFAULT_MAX_PIXELS), and an elongated image can satisfy the area
+    budget with a side far beyond the cap."""
+    if max_dim is None:
+        return h_bar, w_bar
+    longest = max(h_bar, w_bar)
+    if longest <= max_dim:
+        return h_bar, w_bar
+    scale = max_dim / longest
+    return (
+        max(factor, math.floor(h_bar * scale / factor) * factor),
+        max(factor, math.floor(w_bar * scale / factor) * factor),
+    )
+
+
 @dataclasses.dataclass
 class ImagePatches:
     """Preprocessed image ready for the vision tower."""
@@ -145,6 +165,7 @@ def preprocess_image(
     h_bar, w_bar = smart_resize(
         image.height, image.width, FACTOR, min_pixels, max_pixels
     )
+    h_bar, w_bar = clamp_longest_side(h_bar, w_bar, max_image_dim)
     grid_h, grid_w = h_bar // PATCH_SIZE, w_bar // PATCH_SIZE
 
     if use_native:

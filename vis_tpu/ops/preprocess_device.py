@@ -205,6 +205,7 @@ def preprocess_image_device(
         DEFAULT_MAX_PIXELS,
         DEFAULT_MIN_PIXELS,
         FACTOR,
+        clamp_longest_side,
         smart_resize,
     )
 
@@ -216,6 +217,7 @@ def preprocess_image_device(
     if max_image_dim is not None:
         max_pixels = min(max_pixels, max_image_dim * max_image_dim)
     h_bar, w_bar = smart_resize(src_h, src_w, FACTOR, min_pixels, max_pixels)
+    h_bar, w_bar = clamp_longest_side(h_bar, w_bar, max_image_dim)
     # The u8 frame transfer is shared with every other device preprocess
     # path touching this file (auditor tiling, batched quality stats).
     patches = preprocess_frame_device(

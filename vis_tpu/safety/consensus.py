@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Optional
 
 from vis_tpu.schemas.models import ConsensusResult, VLMAnalysisResult
-from vis_tpu.utils.config import config
 from vis_tpu.utils.logger import setup_logger
 
 logger = setup_logger(__name__, level="INFO", component="CONSENSUS")

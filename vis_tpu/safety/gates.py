@@ -682,6 +682,11 @@ class SafetyGateEngine:
                 details={"moderate": len(moderate), "cosmetic": len(cosmetic)},
             )
         )
+        # Parity note: a zero-defect result that failed gate 7 (agreement
+        # 0.7-0.8 with both models confident) reaches this branch and is
+        # returned UNSAFE with "0 unclassified defect(s)" — the reference
+        # behaves identically (reference gates.py:742-775) and the verdict
+        # contract is bit-exact, so this stays.
         severity_msg = (
             f"{len(moderate)} MODERATE" if moderate else f"{defect_count} unclassified"
         )

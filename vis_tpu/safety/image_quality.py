@@ -130,6 +130,11 @@ class ImageQualityAssessment:
 
     @staticmethod
     def _resolution_score(width: int, height: int, total_pixels: int) -> float:
+        # Parity note: the reference's exact scoring (image_quality.py:151-
+        # 167) including its discontinuity — a 99x101 image scores 0.3
+        # while 105x100 scores ~0.005, and the MIN_PIXELS branch is
+        # unreachable (min-dim >= 100 implies >= 10k pixels).  Thresholds
+        # are part of the bit-exact quality-gate contract.
         if min(width, height) < MIN_RESOLUTION:
             return 0.3
         if total_pixels < MIN_PIXELS:

@@ -28,10 +28,16 @@ Design (all device-side work is two gathers + a compare per step):
   path.  At the ACCEPT state only EOS is allowed, which terminates the
   engine's chunked decode loop.
 
-Tables are [num_states, vocab]; for byte-level tokenizers (the dev/bench
-profile) this is a few MB.  For very large vocabularies the product is
-capped (``_MAX_TABLE_ENTRIES``) and ``json_constraint_tables`` returns
-None — callers fall back to unconstrained decode + the robust parser.
+Tables are [num_states, K]; for byte-level tokenizers (the dev/bench
+profile) K is the vocab and the tables are a few MB.  For very large
+vocabularies (real checkpoints: ~151k pieces x ~1-2k DFA states would be
+GBs dense) the compiler COMPRESSES columns: tokens whose byte strings act
+identically on every state share one column, K becomes the number of
+distinct behaviors, and a ``class_of`` [V] map carries vocab id ->
+column.  ``json_constraint_tables`` returns None only when the tokenizer
+fails the byte-composability probe (or the grammar is too wide even
+compressed) — callers then fall back to unconstrained decode + the
+robust parser.
 """
 
 from __future__ import annotations
@@ -44,7 +50,11 @@ import numpy as np
 
 MAX_DEPTH = 6
 _INF = np.int32(2**30)
-_MAX_TABLE_ENTRIES = 64_000_000  # states x vocab guard (~256 MB of int32)
+_MAX_TABLE_ENTRIES = 64_000_000  # states x K guard (~256 MB of int32)
+# Vocabularies past this compile column-class-compressed tables (real
+# checkpoints: 32k-152k pieces); smaller vocabs (byte-level dev/bench,
+# tiny test tokenizers) keep dense [S, V] tables.
+_COMPRESS_VOCAB_THRESHOLD = 4096
 
 _WS = frozenset(b" \t\n\r")
 _DIGITS = frozenset(b"0123456789")
@@ -300,9 +310,9 @@ class ConstraintTables:
     """Per-tokenizer JSON constraint tables (host numpy; engines move them
     on device once and reuse across requests)."""
 
-    token_ok: np.ndarray     # [S, V] bool  — token keeps output a valid prefix
-    token_trans: np.ndarray  # [S, V] int32 — DFA state after the token
-    cost_after: np.ndarray   # [S, V] int32 — close_cost of that state (INF if rejected)
+    token_ok: np.ndarray     # [S, K] bool  — token keeps output a valid prefix
+    token_trans: np.ndarray  # [S, K] int32 — DFA state after the token
+    cost_after: np.ndarray   # [S, K] int32 — close_cost of that state (INF if rejected)
     init_state: int
     accept_state: int
     eos_id: int
@@ -311,6 +321,12 @@ class ConstraintTables:
     # single token (schema skeleton runs; EOS at accept).  -1 where free.
     forced_token: np.ndarray = None   # [S] int32
     forced_state: np.ndarray = None   # [S] int32
+    # Column-class compression (None = dense, K == vocab): tokens whose
+    # byte strings act IDENTICALLY on every DFA state share one table
+    # column, so K is the number of distinct behaviors (hundreds) instead
+    # of the vocab size (151k for real checkpoints — a dense [S, V] int32
+    # table would be GBs of HBM).  class_of maps vocab id -> column.
+    class_of: np.ndarray = None       # [V] int32
 
     @property
     def num_states(self) -> int:
@@ -487,6 +503,27 @@ def _tokenizer_fingerprint(tokenizer, vocab_size: int) -> Tuple:
 
 _tables_lock = threading.Lock()
 _tables_cache: Dict[Tuple, Optional[ConstraintTables]] = {}
+_compile_key_locks: Dict[Tuple, threading.Lock] = {}
+
+
+def compile_cached(cache: Dict, cache_lock: threading.Lock, key: Tuple,
+                   compile_fn):
+    """Per-key once-compilation: a table compile is a full vocab x states
+    walk (seconds at large vocabs), so concurrent first requests for the
+    SAME key must not both pay it — while different keys (other engines'
+    vocabs) still compile in parallel."""
+    with cache_lock:
+        if key in cache:
+            return cache[key]
+        key_lock = _compile_key_locks.setdefault(key, threading.Lock())
+    with key_lock:
+        with cache_lock:
+            if key in cache:
+                return cache[key]
+        tables = compile_fn()
+        with cache_lock:
+            cache[key] = tables
+        return tables
 
 
 def json_constraint_tables(
@@ -494,22 +531,20 @@ def json_constraint_tables(
 ) -> Optional[ConstraintTables]:
     """Compile (and cache) JSON constraint tables for a tokenizer.
 
-    Returns None when the state x vocab product is too large for dense
-    device tables — callers then decode unconstrained and rely on the
-    robust parser (reference vlm_inspector.py:142 behavior).
+    Large vocabularies get column-class-compressed tables (class_of set);
+    returns None only for tokenizers that fail the byte-composability
+    probe — callers then decode unconstrained and rely on the robust
+    parser (reference vlm_inspector.py:142 behavior).
     """
-    key = (_tokenizer_fingerprint(tokenizer, vocab_size),
+    key = ("json", _tokenizer_fingerprint(tokenizer, vocab_size),
            getattr(tokenizer, "vocab_size", vocab_size),
            vocab_size, max_depth)
-    with _tables_lock:
-        if key in _tables_cache:
-            return _tables_cache[key]
-
-    dfa = _get_dfa(max_depth)
-    tables = _compile_tables(dfa, tokenizer, vocab_size, require_open=True)
-    with _tables_lock:
-        _tables_cache[key] = tables
-    return tables
+    return compile_cached(
+        _tables_cache, _tables_lock, key,
+        lambda: _compile_tables(
+            _get_dfa(max_depth), tokenizer, vocab_size, require_open=True
+        ),
+    )
 
 
 def _compile_tables(
@@ -528,34 +563,76 @@ def _compile_tables(
     # everything past the table width is implicitly disallowed.
     if type(tokenizer).__name__ == "ByteTokenizer":
         vocab_size = min(vocab_size, 262)
-    if dfa.n_states * vocab_size > _MAX_TABLE_ENTRIES:
-        return None
+    # Dense [S, V] tables at real 151k vocabularies would be GBs of HBM;
+    # compress instead of refusing: tokens whose bytes act identically on
+    # every state share one table COLUMN, and the number of distinct
+    # behaviors is grammar-bounded (hundreds), not vocab-bounded.  The
+    # decoder indexes through class_of ([V] int32).  The trigger is a
+    # VOCAB threshold (not the entry cap) so every grammar of one
+    # tokenizer shares a format — the scheduler stacks a tokenizer's
+    # tables into one [T, S, K] array and cannot mix dense with
+    # compressed.
+    compress = vocab_size > _COMPRESS_VOCAB_THRESHOLD
 
     S, V = dfa.n_states, vocab_size
     contents = _vocab_byte_contents(tokenizer, V)
     if contents is None:
         return None
-    token_trans = np.full((S, V), -1, np.int32)
-    for v in range(V):
+    eos_id = int(getattr(tokenizer, "eos_id", 0))
+
+    def token_column(v: int) -> np.ndarray:
+        """[S] int32 state-action of token v (-1 = rejected), with the
+        accept-state law folded in: at ACCEPT only EOS is allowed
+        (self-loop; repeated EOS after the closed document is stripped by
+        the engine's host-side EOS check)."""
         content = contents[v]
         if content is None or len(content) == 0:
-            continue
-        # Walk every state through this token's bytes, fully vectorized
-        # over states: states [S] -> next states [S].
-        cur = np.arange(S, dtype=np.int64)
-        alive = np.ones(S, bool)
-        for byte in content:
-            step = dfa.trans_table[cur, byte]
-            alive &= step >= 0
-            cur = np.where(alive, step, 0)
-        token_trans[:, v] = np.where(alive, cur, -1).astype(np.int32)
+            col = np.full(S, -1, np.int32)
+        else:
+            # Walk every state through this token's bytes, fully
+            # vectorized over states: states [S] -> next states [S].
+            cur = np.arange(S, dtype=np.int64)
+            alive = np.ones(S, bool)
+            for byte in content:
+                step = dfa.trans_table[cur, byte]
+                alive &= step >= 0
+                cur = np.where(alive, step, 0)
+            col = np.where(alive, cur, -1).astype(np.int32)
+        col[dfa.accept_id] = dfa.accept_id if v == eos_id else -1
+        return col
 
-    eos_id = int(getattr(tokenizer, "eos_id", 0))
-    # EOS is the unique action at ACCEPT (self-loop: repeated EOS after the
-    # document is closed is stripped by the engine's host-side EOS check).
-    token_trans[dfa.accept_id, :] = -1
-    if eos_id < V:
-        token_trans[dfa.accept_id, eos_id] = dfa.accept_id
+    if compress:
+        class_of = np.empty(V, np.int32)
+        class_cols: List[np.ndarray] = []
+        class_counts: List[int] = []
+        class_first: List[int] = []
+        index: Dict[bytes, int] = {}
+        for v in range(V):
+            col = token_column(v)
+            key = col.tobytes()
+            cid = index.get(key)
+            if cid is None:
+                cid = len(class_cols)
+                index[key] = cid
+                class_cols.append(col)
+                class_counts.append(0)
+                class_first.append(v)
+            class_of[v] = cid
+            class_counts[cid] += 1
+        token_trans = np.stack(class_cols, axis=1)  # [S, C]
+        counts = np.asarray(class_counts, np.int64)
+        first_token = np.asarray(class_first, np.int32)
+        if S * token_trans.shape[1] > _MAX_TABLE_ENTRIES:
+            return None  # grammar itself is too wide even compressed
+    else:
+        if S * V > _MAX_TABLE_ENTRIES:
+            return None  # enormous grammar at a small vocab: refuse dense
+        token_trans = np.full((S, V), -1, np.int32)
+        for v in range(V):
+            token_trans[:, v] = token_column(v)
+        class_of = None
+        counts = np.ones(V, np.int64)
+        first_token = np.arange(V, dtype=np.int32)
 
     token_ok = token_trans >= 0
     cost_after = np.where(
@@ -589,12 +666,16 @@ def _compile_tables(
         if not bool(np.all(open_ok[need])):
             return None
 
-    # Forced-move tables: a state with exactly one allowed token has no
-    # model choice — lookahead decode emits the whole forced run in one
-    # weight pass (models/common/decoder.py decode_loop_lookahead).
-    n_allowed = token_ok.sum(axis=1)
+    # Forced-move tables: a state with exactly one allowed TOKEN (not
+    # class — a class may cover many tokens) has no model choice —
+    # lookahead decode emits the whole forced run in one weight pass
+    # (models/common/decoder.py decode_loop_lookahead).  Dense tables use
+    # counts == 1 per column, so the formulas coincide.
+    n_allowed = (token_ok * counts[None, :]).sum(axis=1)
     only = np.argmax(token_ok, axis=1).astype(np.int32)
-    forced_token = np.where(n_allowed == 1, only, -1).astype(np.int32)
+    forced_token = np.where(n_allowed == 1, first_token[only], -1).astype(
+        np.int32
+    )
     forced_state = np.where(
         n_allowed == 1,
         token_trans[np.arange(S), np.clip(only, 0, None)],
@@ -611,6 +692,7 @@ def _compile_tables(
         min_budget=int(dfa.close_cost[dfa.start_id]) + 1,
         forced_token=forced_token,
         forced_state=forced_state,
+        class_of=class_of,
     )
 
 
@@ -619,7 +701,8 @@ def walk_document(tables: ConstraintTables, token_ids, start_state=None) -> int:
     raises if any token was illegal (test/debug helper)."""
     state = tables.init_state if start_state is None else start_state
     for t in token_ids:
-        if not tables.token_ok[state, t]:
+        col = t if tables.class_of is None else int(tables.class_of[t])
+        if not tables.token_ok[state, col]:
             raise ValueError(f"token {t} illegal in state {state}")
-        state = int(tables.token_trans[state, t])
+        state = int(tables.token_trans[state, col])
     return state

@@ -81,8 +81,10 @@ def load_constraint_tables(
 ):
     """Compile + device-place constraint tables (generic JSON when
     schema=None, else the registered schema's exact-document tables).
-    Returns (token_ok, token_trans, cost_after, host ConstraintTables) or
-    None when the tokenizer/vocab is unsupported."""
+    Returns (token_ok, token_trans, cost_after, class_of-or-None, host
+    ConstraintTables) or None when the tokenizer/vocab is unsupported;
+    class_of is the column-compression map for real-vocab tables (see
+    serving/constrained.py), None for dense byte-level tables."""
     if schema is not None:
         from vis_tpu.serving.schema import schema_constraint_tables
 
@@ -102,6 +104,7 @@ def load_constraint_tables(
         jnp.asarray(tables.token_ok),
         jnp.asarray(tables.token_trans),
         jnp.asarray(tables.cost_after),
+        None if tables.class_of is None else jnp.asarray(tables.class_of),
         tables,
     )
 
@@ -534,7 +537,7 @@ class Engine:
             if json_mode:
                 max_tokens = max(
                     max_tokens,
-                    self._json_tables(json_schema)[3].min_budget,
+                    self._json_tables(json_schema)[-1].min_budget,
                 )
             with self._lock:
                 cache, logits, next_pos, kv_len, _ = self._prefill_request(
@@ -864,7 +867,7 @@ class Engine:
         json_tables = self._json_tables(json_schema) if json_mode else None
         sampled = temperature > 0.0
         if json_tables is not None:
-            max_tokens = max(max_tokens, json_tables[3].min_budget)
+            max_tokens = max(max_tokens, json_tables[-1].min_budget)
         cache, logits, next_pos, _, ids = self._prefill_request(
             prompt, image_path, max_tokens=max_tokens,
             max_image_dim=max_image_dim, right_size_cache=True,
@@ -888,13 +891,14 @@ class Engine:
                 # fused chunks with a DFA carry; the budget-feasibility mask
                 # guarantees the emitted JSON closes before the budget runs
                 # out, ending at EOS.
-                ok_t, trans_t, cost_t, tables = json_tables
+                ok_t, trans_t, cost_t, cls_t, tables = json_tables
                 min_tok = min(
                     max(app_config.constrained_json_min_tokens, 0),
                     max_tokens - 32,
                 )
                 constraint = DecodeConstraint(
                     token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
+                    class_of=cls_t,
                     state=jnp.full((1,), tables.init_state, jnp.int32),
                     remaining=jnp.full((1,), max_tokens, jnp.int32),
                     active=jnp.ones((1,), bool),

@@ -416,7 +416,7 @@ class MllamaEngine:
         # Mirrors Engine._generate_locked ordering (engine.py).
         json_tables = self._json_tables(json_schema) if json_mode else None
         if json_tables is not None:
-            max_tokens = max(max_tokens, json_tables[3].min_budget)
+            max_tokens = max(max_tokens, json_tables[-1].min_budget)
         cross_kv = None
         if image_path is not None:
             with span("mllama.preprocess", logger):
@@ -479,13 +479,14 @@ class MllamaEngine:
 
         constraint = None
         if json_tables is not None:
-            ok_t, trans_t, cost_t, tables = json_tables
+            ok_t, trans_t, cost_t, cls_t, tables = json_tables
             min_tok = min(
                 max(app_config.constrained_json_min_tokens, 0),
                 max_tokens - 32,
             )
             constraint = DecodeConstraint(
                 token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
+                class_of=cls_t,
                 state=jnp.full((1,), tables.init_state, jnp.int32),
                 remaining=jnp.full((1,), max_tokens, jnp.int32),
                 active=jnp.ones((1,), bool),
@@ -506,11 +507,11 @@ class MllamaEngine:
         window = max(0, int(app_config.constrained_lookahead))
         use_lookahead = (
             constraint is not None and 2 <= window <= 16
-            and json_tables[3].forced_token is not None
+            and json_tables[-1].forced_token is not None
         )
         if use_lookahead:
-            forced_tok_dev = jnp.asarray(json_tables[3].forced_token)
-            forced_state_dev = jnp.asarray(json_tables[3].forced_state)
+            forced_tok_dev = jnp.asarray(json_tables[-1].forced_token)
+            forced_state_dev = jnp.asarray(json_tables[-1].forced_state)
         with span("mllama.decode", logger):
             while remaining > 0 and not done:
                 steps = min(self.decode_chunk, remaining)

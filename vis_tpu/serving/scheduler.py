@@ -227,18 +227,30 @@ class ContinuousBatchingScheduler:
         self._json_tables = kept.get(None)  # generic JSON (back-compat)
         if kept:
             smax = max(t.token_ok.shape[0] for t in kept.values())
-            oks, transs, costs = [], [], []
+            # Column-compressed tables (real vocabs) have per-grammar K:
+            # pad K to the max as well and stack each grammar's vocab ->
+            # column map ([T, V]); padded columns are unreachable (every
+            # class_of value is < that grammar's own K).  Compression is
+            # per-TOKENIZER (constrained.py), so dense and compressed
+            # grammars never mix within one engine's stack.
+            kmax = max(t.token_ok.shape[1] for t in kept.values())
+            compressed = any(t.class_of is not None for t in kept.values())
+            oks, transs, costs, classes = [], [], [], []
             for t in kept.values():
-                pad = ((0, smax - t.token_ok.shape[0]), (0, 0))
+                pad = ((0, smax - t.token_ok.shape[0]),
+                       (0, kmax - t.token_ok.shape[1]))
                 oks.append(np.pad(t.token_ok, pad))
                 transs.append(np.pad(t.token_trans, pad))
                 costs.append(
                     np.pad(t.cost_after, pad, constant_values=2**30)
                 )
+                if compressed:
+                    classes.append(t.class_of)
             self._json_dev = (
                 jnp.asarray(np.stack(oks)),
                 jnp.asarray(np.stack(transs)),
                 jnp.asarray(np.stack(costs)),
+                jnp.asarray(np.stack(classes)) if compressed else None,
             )
         else:
             self._json_dev = None
@@ -742,13 +754,14 @@ class ContinuousBatchingScheduler:
 
         constraint = None
         if self._json_dev is not None:
-            ok_t, trans_t, cost_t = self._json_dev
+            ok_t, trans_t, cost_t, cls_t = self._json_dev
             constraint = DecodeConstraint(
                 token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
                 state=self._fsm_state, remaining=self._fsm_remaining,
                 active=self._fsm_active,
                 min_remaining=self._fsm_min_remaining,
                 table_idx=self._fsm_table,
+                class_of=cls_t,
             )
         # Per-slot sampling: any temp>0 row switches the chunk to the
         # sampled program (greedy rows stay EXACT via the in-kernel where).

@@ -318,24 +318,26 @@ def get_schema_dfa(name: str) -> SchemaDfa:
 def schema_constraint_tables(
     tokenizer, vocab_size: int, name: str
 ) -> Optional[ConstraintTables]:
-    """Per-tokenizer tables for a registered schema; None when the
-    states x vocab product is too large for dense device tables (callers
-    fall back to generic-JSON or unconstrained decode).
+    """Per-tokenizer tables for a registered schema; large vocabularies
+    get column-class-compressed tables (class_of set); None only when the
+    tokenizer fails the byte-composability probe (callers fall back to
+    generic-JSON or unconstrained decode).
 
     ``require_open=False``: unlike generic JSON, a schema has forced-close
     states (e.g. the final '}') with no open continuation — the decoder's
     floor mask falls through to the forced move there."""
     key = (
+        "schema",
         _tokenizer_fingerprint(tokenizer, vocab_size),
         getattr(tokenizer, "vocab_size", vocab_size),
         vocab_size,
         name,
     )
-    with _tables_lock:
-        if key in _tables_cache:
-            return _tables_cache[key]
-    dfa = get_schema_dfa(name)
-    tables = _compile_tables(dfa, tokenizer, vocab_size, require_open=False)
-    with _tables_lock:
-        _tables_cache[key] = tables
-    return tables
+    from vis_tpu.serving.constrained import compile_cached
+
+    return compile_cached(
+        _tables_cache, _tables_lock, key,
+        lambda: _compile_tables(
+            get_schema_dfa(name), tokenizer, vocab_size, require_open=False
+        ),
+    )

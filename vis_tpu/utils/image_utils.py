@@ -84,7 +84,10 @@ def validate_image(image_path) -> Tuple[bool, Optional[str]]:
     ext = path.suffix.lower().lstrip(".")
     if ext not in config.allowed_extensions_list:
         return False, f"Unsupported extension: {ext}"
-    size_mb = path.stat().st_size / (1024 * 1024)
+    size = path.stat().st_size
+    if size == 0:
+        return False, "File is empty"
+    size_mb = size / (1024 * 1024)
     if size_mb > config.max_file_size_mb:
         return False, f"File too large: {size_mb:.1f}MB"
     try:

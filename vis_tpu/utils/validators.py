@@ -77,7 +77,11 @@ def validate_request_id(value: Optional[str]) -> str:
 def sanitize_filename(filename: str) -> str:
     """Strip path components and shell-dangerous characters; cap length."""
     filename = Path(filename).name
-    cleaned = re.sub(r'[<>:"/\\|?*]', "_", filename)
+    # Control bytes (NUL, newline, ...) beyond the reference's character
+    # class: an embedded NUL in a crafted multipart filename crashes
+    # Path.write_bytes with an unhandled ValueError instead of failing
+    # validation cleanly.
+    cleaned = re.sub(r'[<>:"/\\|?*\x00-\x1f\x7f]', "_", filename)
     stem = Path(cleaned).stem[:50]
     suffix = Path(cleaned).suffix[:10]
     return f"{stem}{suffix}"
