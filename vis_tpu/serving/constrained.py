@@ -580,26 +580,54 @@ def _compile_tables(
         return None
     eos_id = int(getattr(tokenizer, "eos_id", 0))
 
-    def token_column(v: int) -> np.ndarray:
-        """[S] int32 state-action of token v (-1 = rejected), with the
-        accept-state law folded in: at ACCEPT only EOS is allowed
-        (self-loop; repeated EOS after the closed document is stripped by
-        the engine's host-side EOS check)."""
-        content = contents[v]
-        if content is None or len(content) == 0:
-            col = np.full(S, -1, np.int32)
-        else:
-            # Walk every state through this token's bytes, fully
-            # vectorized over states: states [S] -> next states [S].
-            cur = np.arange(S, dtype=np.int64)
-            alive = np.ones(S, bool)
-            for byte in content:
-                step = dfa.trans_table[cur, byte]
-                alive &= step >= 0
-                cur = np.where(alive, step, 0)
-            col = np.where(alive, cur, -1).astype(np.int32)
-        col[dfa.accept_id] = dfa.accept_id if v == eos_id else -1
-        return col
+    def token_columns(vs: List[int]) -> np.ndarray:
+        """[n, S] int32 state-actions (-1 = rejected) for a BLOCK of token
+        ids, vectorized over tokens x states (a per-token python walk at
+        151k-piece vocabularies costs a minute per grammar on a slow
+        host), with the accept-state law folded in: at ACCEPT only EOS is
+        allowed (self-loop; repeated EOS after the closed document is
+        stripped by the engine's host-side EOS check)."""
+        n = len(vs)
+        conts = [contents[v] or b"" for v in vs]
+        lens = np.array([len(c) for c in conts], np.int32)
+        L = int(lens.max()) if n else 0
+        byte_mat = np.zeros((n, L), np.int32)
+        for i, c in enumerate(conts):
+            if c:
+                byte_mat[i, : len(c)] = np.frombuffer(c, np.uint8)
+        cur = np.broadcast_to(
+            np.arange(S, dtype=np.int32), (n, S)
+        ).copy()
+        alive = np.ones((n, S), bool)
+        for pos in range(L):
+            live_rows = lens > pos
+            step = dfa.trans_table[cur, byte_mat[:, pos][:, None]]
+            new_alive = alive & (step >= 0)
+            cur = np.where(
+                live_rows[:, None], np.where(new_alive, step, 0), cur
+            )
+            alive = np.where(live_rows[:, None], new_alive, alive)
+        cols = np.where(alive, cur, -1).astype(np.int32)
+        cols[lens == 0] = -1  # specials / undecodable: never legal
+        cols[:, dfa.accept_id] = np.where(
+            np.asarray(vs) == eos_id, dfa.accept_id, -1
+        )
+        return cols
+
+    _BLOCK = 2048  # token block: n x S walk state stays tens of MB
+
+    def _blocks_by_length() -> List[List[int]]:
+        """Token-id blocks grouped by content length, so a block's walk
+        runs exactly its tokens' byte count (mixed-length blocks pay the
+        longest member for every row)."""
+        by_len: Dict[int, List[int]] = {}
+        for v in range(V):
+            by_len.setdefault(len(contents[v] or b""), []).append(v)
+        blocks = []
+        for _, vs in sorted(by_len.items()):
+            for start in range(0, len(vs), _BLOCK):
+                blocks.append(vs[start:start + _BLOCK])
+        return blocks
 
     if compress:
         class_of = np.empty(V, np.int32)
@@ -607,18 +635,19 @@ def _compile_tables(
         class_counts: List[int] = []
         class_first: List[int] = []
         index: Dict[bytes, int] = {}
-        for v in range(V):
-            col = token_column(v)
-            key = col.tobytes()
-            cid = index.get(key)
-            if cid is None:
-                cid = len(class_cols)
-                index[key] = cid
-                class_cols.append(col)
-                class_counts.append(0)
-                class_first.append(v)
-            class_of[v] = cid
-            class_counts[cid] += 1
+        for vs in _blocks_by_length():
+            cols = token_columns(vs)
+            for i, v in enumerate(vs):
+                key = cols[i].tobytes()
+                cid = index.get(key)
+                if cid is None:
+                    cid = len(class_cols)
+                    index[key] = cid
+                    class_cols.append(cols[i])
+                    class_counts.append(0)
+                    class_first.append(v)
+                class_of[v] = cid
+                class_counts[cid] += 1
         token_trans = np.stack(class_cols, axis=1)  # [S, C]
         counts = np.asarray(class_counts, np.int64)
         first_token = np.asarray(class_first, np.int32)
@@ -628,8 +657,8 @@ def _compile_tables(
         if S * V > _MAX_TABLE_ENTRIES:
             return None  # enormous grammar at a small vocab: refuse dense
         token_trans = np.full((S, V), -1, np.int32)
-        for v in range(V):
-            token_trans[:, v] = token_column(v)
+        for vs in _blocks_by_length():
+            token_trans[:, vs] = token_columns(vs).T
         class_of = None
         counts = np.ones(V, np.int64)
         first_token = np.arange(V, dtype=np.int32)
