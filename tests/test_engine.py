@@ -83,6 +83,21 @@ class TestSmartResize:
         h2, w2 = smart_resize(10, 10)
         assert h2 * w2 >= 56 * 56
 
+    def test_longest_side_cap(self):
+        """The reference's per-agent caps (2048/1024) bound the LONGEST
+        side, not just the area: an elongated image inside the pixel
+        budget must still be clamped."""
+        from vis_tpu.ops.preprocess import clamp_longest_side
+
+        h, w = smart_resize(500, 4000)  # elongated, within area budget
+        assert max(h, w) > 1024  # the budget alone does not cap the side
+        h2, w2 = clamp_longest_side(h, w, 1024)
+        assert max(h2, w2) <= 1024
+        assert h2 % 28 == 0 and w2 % 28 == 0
+        # No-ops below the cap.
+        assert clamp_longest_side(560, 840, 1024) == (560, 840)
+        assert clamp_longest_side(560, 840, None) == (560, 840)
+
 
 class TestPreprocess:
     def test_patch_shapes(self, image_file):
