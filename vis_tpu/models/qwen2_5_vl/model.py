@@ -27,6 +27,10 @@ def init_params(config: Qwen25VLConfig, key: jax.Array) -> Params:
 
 
 def _np(tensor) -> np.ndarray:
+    # Torch tensors (incl. bf16, which numpy cannot represent directly)
+    # detach through float32 — same contract as qwen2_vl/model.py:_np.
+    if hasattr(tensor, "detach"):
+        return tensor.detach().to("cpu").float().numpy()
     return np.asarray(tensor)
 
 

@@ -417,6 +417,11 @@ class Engine:
                     emitted = text
             session.cache = cache
             session.logits = logits
+            # Telemetry parity with generate(): chat-session tokens count
+            # toward the per-role totals the bench diffs (still under the
+            # engine lock — += is a read-modify-write).
+            self.last_decode_tokens = len(generated)
+            self.decode_tokens_total += len(generated)
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]
@@ -631,9 +636,15 @@ class Engine:
                     self.vlm_config.vision, image.grid_h, image.grid_w,
                     src_len=bucket,
                 )
+                # Bucket padding adds WHOLE masked windows, so the bucket
+                # must stay a multiple of window_patches (64 for the
+                # production 112px window, but config-dependent — a
+                # checkpoint with window_size=84 has 36).
+                wp = self.vlm_config.vision.window_patches
                 win_bucket = next(
-                    (b for b in PATCH_BUCKETS if b >= base.win_len),
-                    ((base.win_len + 63) // 64) * 64,
+                    (b for b in PATCH_BUCKETS
+                     if b >= base.win_len and b % wp == 0),
+                    ((base.win_len + wp - 1) // wp) * wp,
                 )
                 layout = window_layout(
                     self.vlm_config.vision, image.grid_h, image.grid_w,
@@ -679,6 +690,16 @@ class Engine:
         # backward over valid KV (dynamic_update_slice semantics) rather
         # than error.  _request_cache_len carries the same +32.
         bucket = min(bucket, self.max_cache_tokens - max_tokens - 32)
+        if bucket < 2:
+            # A budget that leaves no room for even a truncated prompt
+            # must fail loudly: negative buckets would otherwise slice
+            # nonsense ids and crash inside np.zeros.
+            raise RuntimeError(
+                f"max_tokens={max_tokens} leaves no prompt room in a "
+                f"{self.max_cache_tokens}-token KV cache (32 tokens of "
+                "chunk slack are reserved); lower max_tokens or raise "
+                "KV_CACHE_MAX_TOKENS"
+            )
         if seq_len > bucket:
             keep_head = bucket // 2
             keep_tail = bucket - keep_head
@@ -954,7 +975,12 @@ class Engine:
                                     break
                                 generated.append(token_id)
                                 if emitted_n >= remaining:
+                                    # Budget exhausted mid-window: stop
+                                    # appending (the EOS branch above
+                                    # breaks; this one must too, or the
+                                    # window's tail overruns max_tokens).
                                     done = True
+                                    break
                             if done:
                                 break
                         yield from emit_progress()
