@@ -125,8 +125,12 @@ def cmd_batch(args: argparse.Namespace) -> int:
 
 def cmd_chat(args: argparse.Namespace) -> int:
     from vis_tpu.agents import get_explainer
-    from vis_tpu.chat_memory import get_session_history
+    from vis_tpu.chat_memory import (
+        get_session_history,
+        rewrite_query_with_history,
+    )
     from vis_tpu.database import InspectionRepository
+    from vis_tpu.utils.config import config
 
     repo = InspectionRepository()
     record = repo.get_inspection(args.request_id)
@@ -142,15 +146,35 @@ def cmd_chat(args: argparse.Namespace) -> int:
             for d in defects
         )
     )
-    history = get_session_history(f"chat-{args.request_id}")
+    # Mirror the server's chat path (app/server.py): persisted history
+    # rewrites follow-up questions ("where is it?") into standalone form
+    # and seeds fresh engine sessions; ENABLE_CHAT_MEMORY=false keeps
+    # turns stateless and persists nothing.
+    session_id = f"chat-{args.request_id}"
+    history = (
+        get_session_history(session_id) if config.enable_chat_memory
+        else None
+    )
+    question = args.question
+    history_text = None
+    if history is not None and history.messages:
+        question = rewrite_query_with_history(question, history.messages)
+        recent = history.messages[-8:]
+        history_text = "\n".join(
+            f"{'User' if m.is_user else 'Assistant'}: {m.content}"
+            for m in recent
+        )
     explainer = get_explainer()
     answer_parts = []
-    for chunk in explainer.chat_stream(context, args.question):
+    for chunk in explainer.chat_session_stream(
+        session_id, context, question, history_text=history_text
+    ):
         answer_parts.append(chunk)
         print(chunk, end="", flush=True)
     print()
-    history.add_user_message(args.question)
-    history.add_ai_message("".join(answer_parts))
+    if history is not None:
+        history.add_user_message(args.question)
+        history.add_ai_message("".join(answer_parts))
     return 0
 
 

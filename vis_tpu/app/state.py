@@ -106,6 +106,23 @@ class SessionJob:
 
 _jobs: Dict[str, InspectionJob] = {}
 _sessions: Dict[str, SessionJob] = {}
+# Retention bound: jobs hold their full final state (consensus, defects,
+# explanation text) — a long-running server would otherwise grow until
+# OOM.  Durable results live in SQLite; in-memory jobs only serve live
+# progress/result views, so evicting the oldest FINISHED entries is safe.
+_MAX_FINISHED = 256
+
+
+def _evict_finished(store: Dict[str, Any]) -> None:
+    finished = [
+        (j.started_at, rid) for rid, j in store.items()
+        if getattr(j, "finished_at", None)
+    ]
+    if len(finished) <= _MAX_FINISHED:
+        return
+    finished.sort()
+    for _, rid in finished[: len(finished) - _MAX_FINISHED]:
+        store.pop(rid, None)
 
 
 def create_job(image_path: str, request_id: Optional[str] = None) -> InspectionJob:
@@ -113,6 +130,7 @@ def create_job(image_path: str, request_id: Optional[str] = None) -> InspectionJ
     job = InspectionJob(request_id, image_path)
     with _lock:
         _jobs[request_id] = job
+        _evict_finished(_jobs)
     return job
 
 
@@ -132,6 +150,7 @@ def create_session_job(image_paths: List[str]) -> SessionJob:
     job = SessionJob(session_id, image_paths)
     with _lock:
         _sessions[session_id] = job
+        _evict_finished(_sessions)
     return job
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import sqlite3
 import threading
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, Callable, Dict, List, Optional
@@ -74,11 +75,19 @@ class SQLiteChatHistory:
         self.db_path = str(db_path or config.chat_history_db)
         self._ensure_schema()
 
-    def _connect(self) -> sqlite3.Connection:
+    @contextmanager
+    def _connect(self):
+        # Closes the connection on exit (per-op connections would otherwise
+        # leak WAL handles until GC); the inner `with conn` keeps sqlite3's
+        # commit/rollback semantics.
         conn = sqlite3.connect(self.db_path, timeout=30.0)
         conn.row_factory = sqlite3.Row
         conn.execute("PRAGMA journal_mode=WAL;")
-        return conn
+        try:
+            with conn:
+                yield conn
+        finally:
+            conn.close()
 
     def _ensure_schema(self) -> None:
         with _schema_lock:
@@ -151,10 +160,15 @@ class ChatMemoryManager:
         self.db_path = str(db_path or config.chat_history_db)
         SQLiteChatHistory("__bootstrap__", self.db_path)  # ensure schema
 
-    def _connect(self) -> sqlite3.Connection:
+    @contextmanager
+    def _connect(self):
         conn = sqlite3.connect(self.db_path, timeout=30.0)
         conn.row_factory = sqlite3.Row
-        return conn
+        try:
+            with conn:
+                yield conn
+        finally:
+            conn.close()
 
     def get_history(self, session_id: str) -> SQLiteChatHistory:
         return SQLiteChatHistory(session_id, self.db_path)

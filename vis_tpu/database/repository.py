@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import sqlite3
+from contextlib import contextmanager
 import threading
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -52,7 +53,11 @@ class InspectionRepository:
         self._ensure_schema()
 
     # -- connection management -----------------------------------------
-    def _connect(self) -> sqlite3.Connection:
+    @contextmanager
+    def _connect(self):
+        # Closes on exit (per-op connections would otherwise leak WAL
+        # handles until GC); the inner `with conn` keeps sqlite3's
+        # commit/rollback semantics.
         conn = sqlite3.connect(self.db_path, timeout=30.0)
         conn.row_factory = sqlite3.Row
         conn.execute("PRAGMA journal_mode=WAL;")
@@ -63,7 +68,11 @@ class InspectionRepository:
             # DATABASE_ECHO (reference SQLAlchemy echo=True equivalent):
             # every executed statement at DEBUG.
             conn.set_trace_callback(lambda s: logger.debug(f"SQL: {s}"))
-        return conn
+        try:
+            with conn:
+                yield conn
+        finally:
+            conn.close()
 
     def _ensure_schema(self) -> None:
         with _init_lock:

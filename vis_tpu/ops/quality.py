@@ -6,9 +6,9 @@ Device-side replacements for the reference's OpenCV calls
 cv2.Laplacian(..., CV_64F) exactly on uint8 input, so host (numpy) and
 device (jnp) paths agree bit-for-bit in float64 / to ~1e-6 in float32.
 
-The jax variant is jit-compiled per input shape; the serving pipeline calls
-it on bucketed (padded) shapes with a pixel-count mask to avoid
-recompilation storms.
+The jax variant is jit-compiled per input shape; the quality gate calls it
+once per inspection (DEVICE_PREPROCESS drives), so per-shape compiles are
+bounded by the distinct upload sizes.
 """
 
 from __future__ import annotations
@@ -47,31 +47,9 @@ if _HAS_JAX:
         lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g
         return jnp.var(lap)
 
-    @jax.jit
-    def _masked_quality_stats_jit(gray: "jnp.ndarray", mask: "jnp.ndarray"):
-        """Laplacian variance + mean brightness over a padded image.
-
-        `gray` is a padded (bucketed) float32 image, `mask` is 1.0 on valid
-        pixels.  The Laplacian is only meaningful where the full 3x3 stencil
-        sits inside the valid region; we approximate by masking the response.
-        Used by the batched device pipeline; the exact host path is used for
-        the per-image verdict.
-        """
-        g = gray.astype(jnp.float32)
-        p = jnp.pad(g, 1, mode="edge")
-        lap = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g) * mask
-        n = jnp.maximum(jnp.sum(mask), 1.0)
-        mean_lap = jnp.sum(lap) / n
-        var_lap = jnp.sum(mask * (lap - mean_lap) ** 2) / n
-        mean_brightness = jnp.sum(g * mask) / n
-        return var_lap, mean_brightness
-
     def laplacian_variance_jax(gray: np.ndarray) -> float:
         return float(_laplacian_variance_jit(jnp.asarray(gray)))
 
-    batched_laplacian_variance = jax.jit(
-        jax.vmap(lambda g: _laplacian_variance_jit(g))
-    )
 else:  # pragma: no cover
 
     def laplacian_variance_jax(gray: np.ndarray) -> float:

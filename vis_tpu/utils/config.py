@@ -225,7 +225,13 @@ class Config(BaseModel):
     @classmethod
     def _check_mesh_shape(cls, v: str) -> str:
         parts = v.lower().split("x")
-        if not parts or not all(p.isdigit() and int(p) >= 1 for p in parts):
+        # Exactly "data x model": downstream `dp, tp = mesh_shape_tuple`
+        # (serving/engine.py dp_submeshes) unpacks two values — a bare "8"
+        # or "2x2x2" would crash at engine build instead of failing here
+        # with the readable CONFIGURATION ERROR.
+        if len(parts) != 2 or not all(
+            p.isdigit() and int(p) >= 1 for p in parts
+        ):
             raise ValueError(f"mesh_shape must look like '2x4', got {v!r}")
         return v.lower()
 
@@ -369,9 +375,17 @@ def get_config(reload: bool = False, **overrides: Any) -> Config:
     matching the reference's SystemExit-on-invalid behavior (utils/config.py:330-346).
     """
     global _config
-    if _config is None or reload or overrides:
+    if overrides:
+        # Overrides build a TRANSIENT view: assigning it to the singleton
+        # would silently reconfigure every other caller of get_config()
+        # (and the module-level `config` proxy) for the process lifetime.
         try:
-            _config = _load_from_env(**overrides)
+            return _load_from_env(**overrides)
+        except ValidationError as exc:
+            raise SystemExit(1) from exc
+    if _config is None or reload:
+        try:
+            _config = _load_from_env()
         except ValidationError as exc:
             print("=" * 72, file=sys.stderr)
             print("CONFIGURATION ERROR — fix the following and restart:", file=sys.stderr)

@@ -150,6 +150,12 @@ def setup_logger(
             to_console = to_console and cfg.log_to_console
             to_file = to_file and cfg.log_to_file
             json_console = cfg.log_format.lower() == "json"
+            # LOG_LEVEL is the operator's knob; call sites all pass the
+            # INFO default, so the env var must win or it is dead.
+            if cfg.log_level:
+                logger.setLevel(
+                    getattr(logging, cfg.log_level.upper(), logging.INFO)
+                )
         except Exception:
             pass
 

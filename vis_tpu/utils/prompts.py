@@ -197,12 +197,45 @@ def load_prompt_overrides(path=None) -> List[str]:
     prompts = doc.get("prompts")
     if not isinstance(prompts, dict):
         return overridden
+    import string
+
+    def _placeholders(template: str):
+        """Format-field names, or None when the template cannot even be
+        parsed (unbalanced braces)."""
+        try:
+            return {
+                field for _, field, _, _ in string.Formatter().parse(template)
+                if field
+            }
+        except ValueError:
+            return None
+
     for name, text in prompts.items():
         if (
             name in PROMPT_REGISTRY
             and isinstance(text, str)
             and text.strip()
         ):
+            # An override with unparseable braces or unknown placeholders
+            # would defer its crash to .format() inside every inspection;
+            # validate here so a bad file degrades to the default prompt
+            # with a loud warning instead.
+            base_key = next(
+                k for k in PROMPT_REGISTRY[name]
+                if k not in ("current", "file")
+            )
+            allowed = _placeholders(PROMPT_REGISTRY[name][base_key])
+            fields = _placeholders(text)
+            if fields is None or (allowed is not None
+                                  and not fields <= allowed):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    f"prompts.yaml override for '{name}' skipped: "
+                    + ("unbalanced braces" if fields is None else
+                       f"unknown placeholders {sorted(fields - allowed)}")
+                )
+                continue
             PROMPT_REGISTRY[name]["file"] = text
             PROMPT_REGISTRY[name]["current"] = text
             overridden.append(name)
