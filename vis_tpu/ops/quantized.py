@@ -264,6 +264,19 @@ def fused_swiglu_mlp(
 # int4 weight-only quantization
 # ---------------------------------------------------------------------------
 
+def unpack_int4(packed_i32: jnp.ndarray, scales: jnp.ndarray,
+                dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Split-nibble int4 layout law in ONE place: packed bytes
+    [..., half] hold (value+8) nibbles — low nibble = first input half,
+    high nibble = second — with per-(row, half) scales [..., 2].  The
+    Pallas matmul kernel re-states this arithmetic in-kernel
+    (_q4_matmul_kernel) for VMEM staging; any layout change must update
+    both."""
+    lo = ((packed_i32 & 15) - 8).astype(jnp.float32) * scales[..., 0:1]
+    hi = (((packed_i32 >> 4) & 15) - 8).astype(jnp.float32) * scales[..., 1:2]
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantizedWeight4:
@@ -297,10 +310,7 @@ class QuantizedWeight4:
         return (self.q.shape[0], self.q.shape[1] * 2)
 
     def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
-        b = self.q.astype(jnp.int32)
-        lo = ((b & 15) - 8).astype(jnp.float32) * self.scale[:, 0:1]
-        hi = (((b >> 4) & 15) - 8).astype(jnp.float32) * self.scale[:, 1:2]
-        return jnp.concatenate([lo, hi], axis=1).astype(dtype)
+        return unpack_int4(self.q.astype(jnp.int32), self.scale, dtype)
 
 
 def quantize_weight4(w: jnp.ndarray, pad_out_multiple: int = 1) -> QuantizedWeight4:
@@ -412,9 +422,7 @@ def embed_rows4(table: QuantizedWeight4, token_ids: jnp.ndarray) -> jnp.ndarray:
     """Embedding gather from a packed int4 table (dequantized on the fly)."""
     rows = jnp.take(table.q, token_ids, axis=0).astype(jnp.int32)
     s = jnp.take(table.scale, token_ids, axis=0)  # [..., 2]
-    lo = ((rows & 15) - 8).astype(jnp.float32) * s[..., 0:1]
-    hi = (((rows >> 4) & 15) - 8).astype(jnp.float32) * s[..., 1:2]
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
+    return unpack_int4(rows, s)
 
 
 __all__ = [
@@ -428,4 +436,5 @@ __all__ = [
     "quantized_matmul4",
     "quantized_linear4",
     "embed_rows4",
+    "unpack_int4",
 ]
