@@ -1017,23 +1017,10 @@ class Engine:
                 # Greedy: fused multi-token decode (one dispatch per chunk),
                 # EOS checked host-side between chunks; chunks chain via the
                 # final logits returned by decode_loop.
-                remaining = max_tokens
-                step0 = 0
-                done = False
-                while remaining > 0 and not done:
-                    steps = min(self.decode_chunk, remaining)
-                    tokens, logits, cache = self._decode_loop_jit(
-                        params, logits, jnp.int32(next_pos + step0), cache,
-                        num_steps=steps, eos_id=self.tokenizer.eos_id,
-                    )
-                    for token_id in np.asarray(tokens)[0].tolist():
-                        if token_id == self.tokenizer.eos_id:
-                            done = True
-                            break
-                        generated.append(token_id)
-                    yield from emit_progress()
-                    remaining -= steps
-                    step0 += steps
+                yield from self._greedy_chunk_loop(
+                    params, logits, cache, next_pos, generated,
+                    emit_progress, max_tokens,
+                )
             else:
                 # Temperature sampling, fused: in-scan Gumbel-max chunks —
                 # one device dispatch per chunk like greedy (the previous
@@ -1065,6 +1052,32 @@ class Engine:
         final = self.tokenizer.decode(generated)
         if len(final) > len(emitted):
             yield final[len(emitted):]
+
+    def _greedy_chunk_loop(self, params, logits, cache, start_pos,
+                           generated, emit_progress,
+                           budget) -> Iterator[str]:
+        """Fused greedy chunks until EOS or `budget` tokens: one device
+        dispatch per chunk (device-side EOS exit inside), host EOS check
+        between chunks, chunks chained through decode_loop's final logits.
+        Shared by the plain greedy path and the PLD tail — the two copies
+        had already begun to drift before this helper."""
+        remaining = budget
+        step0 = 0
+        done = False
+        while remaining > 0 and not done:
+            steps = min(self.decode_chunk, remaining)
+            tokens, logits, cache = self._decode_loop_jit(
+                params, logits, jnp.int32(start_pos + step0), cache,
+                num_steps=steps, eos_id=self.tokenizer.eos_id,
+            )
+            for token_id in np.asarray(tokens)[0].tolist():
+                if token_id == self.tokenizer.eos_id:
+                    done = True
+                    break
+                generated.append(token_id)
+            yield from emit_progress()
+            remaining -= steps
+            step0 += steps
 
     def _decode_pld(self, params, logits, cache, next_pos, context,
                     generated, emit_progress, max_tokens) -> Iterator[str]:
@@ -1150,23 +1163,9 @@ class Engine:
         emb = self._embed_jit(table, jnp.asarray([[cur]], jnp.int32))
         logits, cache = self._decode_jit(params, emb, step_positions, cache)
         rope += 1
-        step0 = 0
-        while remaining > 0:
-            steps = min(self.decode_chunk, remaining)
-            tokens, logits, cache = self._decode_loop_jit(
-                params, logits, jnp.int32(rope + step0), cache,
-                num_steps=steps, eos_id=self.tokenizer.eos_id,
-            )
-            for token_id in np.asarray(tokens)[0].tolist():
-                if token_id == self.tokenizer.eos_id:
-                    yield from emit_progress()
-                    return
-                generated.append(token_id)
-                remaining -= 1
-                if remaining <= 0:
-                    break
-            yield from emit_progress()
-            step0 += steps
+        yield from self._greedy_chunk_loop(
+            params, logits, cache, rope, generated, emit_progress, remaining
+        )
 
     def generate(self, prompt, image_path=None, **kwargs) -> str:
         return "".join(self.generate_stream(prompt, image_path, **kwargs))
