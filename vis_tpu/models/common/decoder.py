@@ -225,6 +225,16 @@ def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp
     )[..., : config.vocab_size]
 
 
+def cache_key_mask(lengths, width) -> "jnp.ndarray":
+    """[b, 1, 1, width] additive mask: 0 on cached positions < each row's
+    cursor, -1e30 beyond — the shared "attend only to valid KV" law every
+    decode/extend variant applies."""
+    kj = jnp.arange(width)[None, None, None, :]
+    return jnp.where(
+        kj < lengths[:, None, None, None], 0.0, -1e30
+    ).astype(jnp.float32)
+
+
 def prefill(
     config: DecoderConfig,
     params: Params,
@@ -601,10 +611,7 @@ def extend_scan(
     b, s = input_embeds.shape[:2]
     cos, sin = _position_tables(config, positions)
     max_len = cache.k.shape[2]
-    kj = jnp.arange(max_len)[None, None, None, :]
-    cache_mask = jnp.where(
-        kj < cache.lengths[:, None, None, None], 0.0, -1e30
-    ).astype(jnp.float32)
+    cache_mask = cache_key_mask(cache.lengths, max_len)
     chunk_mask = causal_mask(s, s) + length_mask(s, new_lengths)
 
     def body(x, layer_and_cache):
@@ -693,10 +700,7 @@ def verify_scan(
     b, s = input_embeds.shape[:2]
     cos, sin = _position_tables(config, positions)
     max_len = cache.k.shape[2]
-    kj = jnp.arange(max_len)[None, None, None, :]
-    cache_mask = jnp.where(
-        kj < cache.lengths[:, None, None, None], 0.0, -1e30
-    ).astype(jnp.float32)
+    cache_mask = cache_key_mask(cache.lengths, max_len)
     chunk_mask = causal_mask(s, s) + length_mask(s, new_lengths)
 
     def body(x, layer_and_cache):
@@ -742,10 +746,7 @@ def decode_step_scan(
     b = token_embeds.shape[0]
     cos, sin = _position_tables(config, positions)
     max_len = cache.k.shape[2]
-    kj = jnp.arange(max_len)[None, None, None, :]
-    cache_mask = jnp.where(
-        kj < cache.lengths[:, None, None, None], 0.0, -1e30
-    ).astype(jnp.float32)
+    cache_mask = cache_key_mask(cache.lengths, max_len)
 
     def body(x, layer_and_cache):
         layer, ck, cv = layer_and_cache
@@ -808,10 +809,7 @@ def decode_loop_scan(
         cos, sin = _position_tables(config, positions)
         x = embed(token[:, None], params["embed_tokens"])
 
-        kj = jnp.arange(max_len)[None, None, None, :]
-        cache_mask = jnp.where(
-            kj < lengths[:, None, None, None], 0.0, -1e30
-        ).astype(jnp.float32)
+        cache_mask = cache_key_mask(lengths, max_len)
 
         def body(x, layer_and_cache):
             layer, ck, cv = layer_and_cache
@@ -1038,10 +1036,7 @@ def decode_loop_scan_sampled(
         cos, sin = _position_tables(config, positions)
         x = embed(token[:, None], params["embed_tokens"])
 
-        kj = jnp.arange(max_len)[None, None, None, :]
-        cache_mask = jnp.where(
-            kj < lengths[:, None, None, None], 0.0, -1e30
-        ).astype(jnp.float32)
+        cache_mask = cache_key_mask(lengths, max_len)
 
         def body(x, layer_and_cache):
             layer, ck, cv = layer_and_cache
@@ -1309,10 +1304,7 @@ def decode_loop_scan_constrained(
         cos, sin = _position_tables(config, positions)
         x = embed(token[:, None], params["embed_tokens"])
 
-        kj = jnp.arange(max_len)[None, None, None, :]
-        cache_mask = jnp.where(
-            kj < lengths[:, None, None, None], 0.0, -1e30
-        ).astype(jnp.float32)
+        cache_mask = cache_key_mask(lengths, max_len)
 
         def body(x, layer_and_cache):
             layer, ck, cv = layer_and_cache
@@ -1419,10 +1411,7 @@ def decode_loop_paged(
         cos, sin = _position_tables(config, positions)
         x = embed(token[:, None], params["embed_tokens"])
 
-        kj = jnp.arange(width)[None, None, None, :]
-        cache_mask = jnp.where(
-            kj < lengths[:, None, None, None], 0.0, -1e30
-        ).astype(jnp.float32)
+        cache_mask = cache_key_mask(lengths, width)
 
         def body(x, layer_and_pool):
             layer, pk, pv = layer_and_pool  # pk/pv: [n_pages, page, kvh, hd]
@@ -1531,10 +1520,7 @@ def decode_loop_paged_constrained(
         cos, sin = _position_tables(config, positions)
         x = embed(token[:, None], params["embed_tokens"])
 
-        kj = jnp.arange(width)[None, None, None, :]
-        cache_mask = jnp.where(
-            kj < lengths[:, None, None, None], 0.0, -1e30
-        ).astype(jnp.float32)
+        cache_mask = cache_key_mask(lengths, width)
 
         def body(x, layer_and_pool):
             layer, pk, pv = layer_and_pool
