@@ -591,7 +591,7 @@ def prefill_scan(
     return logits, cache
 
 
-def extend_scan(
+def _extend_chunk(
     config: DecoderConfig,
     params: Params,
     input_embeds: jnp.ndarray,
@@ -599,16 +599,11 @@ def extend_scan(
     cache: KVCache,
     new_lengths: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Append a (padded) chunk to an EXISTING cache — KV-cached follow-ups.
-
-    Chat turns re-use the conversation's cache instead of re-prefilling the
-    whole history: queries attend jointly over the cached keys (all valid
-    up to each row's cursor) and the causal new chunk.  input_embeds:
-    [b, s_pad]; new_lengths: [b] true chunk lengths.  Batch rows should share
-    one true length (chat sessions run batch-1).  Returns logits for the last
-    valid position and the cache advanced by the true lengths.
-    """
-    b, s = input_embeds.shape[:2]
+    """Shared body of extend_scan / verify_scan: run a padded chunk through
+    the stacked layers attending jointly over valid cached KV + the causal
+    chunk, write the chunk's K/V at each row's cursor, and return the
+    final-norm hidden states [b, s, h] with the advanced cache."""
+    s = input_embeds.shape[1]
     cos, sin = _position_tables(config, positions)
     max_len = cache.k.shape[2]
     cache_mask = cache_key_mask(cache.lengths, max_len)
@@ -641,6 +636,29 @@ def extend_scan(
     cache = KVCache(
         k=k_buf, v=v_buf,
         lengths=cache.lengths + new_lengths.astype(jnp.int32),
+    )
+    return x, cache
+
+
+def extend_scan(
+    config: DecoderConfig,
+    params: Params,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    new_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Append a (padded) chunk to an EXISTING cache — KV-cached follow-ups.
+
+    Chat turns re-use the conversation's cache instead of re-prefilling the
+    whole history: queries attend jointly over the cached keys (all valid
+    up to each row's cursor) and the causal new chunk.  input_embeds:
+    [b, s_pad]; new_lengths: [b] true chunk lengths.  Batch rows should share
+    one true length (chat sessions run batch-1).  Returns logits for the last
+    valid position and the cache advanced by the true lengths.
+    """
+    x, cache = _extend_chunk(
+        config, params, input_embeds, positions, cache, new_lengths
     )
     last_idx = jnp.maximum(new_lengths - 1, 0)
     last_hidden = jnp.take_along_axis(
@@ -697,39 +715,8 @@ def verify_scan(
     the accepted prefix length (prompt-lookup decoding; greedy outputs are
     exactly preserved by construction).  The cache gains the chunk's K/V at
     the cursors; the caller rewinds `lengths` to the accepted count."""
-    b, s = input_embeds.shape[:2]
-    cos, sin = _position_tables(config, positions)
-    max_len = cache.k.shape[2]
-    cache_mask = cache_key_mask(cache.lengths, max_len)
-    chunk_mask = causal_mask(s, s) + length_mask(s, new_lengths)
-
-    def body(x, layer_and_cache):
-        layer, ck, cv = layer_and_cache
-        x, k, v = _layer_body(
-            config, x, layer, cos, sin, chunk_mask, ck, cv, cache_mask
-        )
-        return x, (k, v)
-
-    x, (k_new, v_new) = lax.scan(
-        body, input_embeds, (params["layers_stacked"], cache.k, cache.v)
-    )
-    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-
-    def write_row(kb_row, vb_row, k_row, v_row, start):
-        kb = lax.dynamic_update_slice(
-            kb_row, encode_kv(k_row, kb_row.dtype), (0, start, 0, 0)
-        )
-        vb = lax.dynamic_update_slice(
-            vb_row, encode_kv(v_row, vb_row.dtype), (0, start, 0, 0)
-        )
-        return kb, vb
-
-    k_buf, v_buf = jax.vmap(
-        write_row, in_axes=(1, 1, 1, 1, 0), out_axes=1
-    )(cache.k, cache.v, k_new, v_new, cache.lengths)
-    cache = KVCache(
-        k=k_buf, v=v_buf,
-        lengths=cache.lengths + new_lengths.astype(jnp.int32),
+    x, cache = _extend_chunk(
+        config, params, input_embeds, positions, cache, new_lengths
     )
     greedy = jnp.argmax(lm_logits(config, params, x), axis=-1).astype(jnp.int32)
     return greedy, cache
