@@ -144,7 +144,9 @@ class TestPagedScheduler:
         engine, scheduler = setup
         request = scheduler.submit("too big", max_tokens=100_000)
         assert request.out.get(timeout=60) is None
-        assert "exceeds the paged-KV limit" in (request.error or "")
+        err = request.error or ""
+        assert ("exceeds the paged-KV limit" in err
+                or "leaves no prompt room" in err), err
 
     def test_matches_dense_scheduler(self, setup):
         engine, scheduler = setup

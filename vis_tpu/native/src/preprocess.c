@@ -45,7 +45,7 @@ static inline int clampi(int v, int lo, int hi) {
  * On downscale the kernel support widens by the scale factor (area-aware
  * filtering, matching PIL's resample), and weights are normalized.
  * Returns tap bounds/weights; *max_taps is the per-pixel stride of weights. */
-static void compute_taps(
+static int compute_taps(
     int src_size, int dst_size,
     int **bounds_out, float **weights_out, int *max_taps_out)
 {
@@ -56,6 +56,10 @@ static void compute_taps(
 
     int *bounds = (int *)malloc(sizeof(int) * 2 * dst_size);
     float *weights = (float *)malloc(sizeof(float) * (size_t)max_taps * dst_size);
+    if (bounds == NULL || weights == NULL) {
+        free(bounds); free(weights);
+        return -1;  /* caller raises MemoryError instead of a segfault */
+    }
 
     for (int o = 0; o < dst_size; o++) {
         double center = ((double)o + 0.5) * scale;
@@ -82,24 +86,32 @@ static void compute_taps(
     *bounds_out = bounds;
     *weights_out = weights;
     *max_taps_out = max_taps;
+    return 0;
 }
 
 /* Separable PIL-parity bicubic resample of interleaved RGB u8 into a planar
  * f32 [3, dst_h, dst_w] buffer with per-channel normalization.  Horizontal
  * pass keeps float precision (PIL quantizes to u8 between passes; we stay
  * within ~1/255 of it with better accuracy). */
-static void resize_normalize(
+static int resize_normalize(
     const uint8_t *src, int src_h, int src_w,
     float *dst, int dst_h, int dst_w,
     const float *mean, const float *stdv)
 {
-    int *xb, *yb, x_taps, y_taps;
-    float *xw, *yw;
-    compute_taps(src_w, dst_w, &xb, &xw, &x_taps);
-    compute_taps(src_h, dst_h, &yb, &yw, &y_taps);
+    int *xb = NULL, *yb = NULL, x_taps, y_taps;
+    float *xw = NULL, *yw = NULL;
+    if (compute_taps(src_w, dst_w, &xb, &xw, &x_taps) != 0) return -1;
+    if (compute_taps(src_h, dst_h, &yb, &yw, &y_taps) != 0) {
+        free(xb); free(xw);
+        return -1;
+    }
 
     /* Horizontal pass: [src_h, dst_w, 3] float. */
     float *tmp = (float *)malloc(sizeof(float) * (size_t)src_h * dst_w * 3);
+    if (tmp == NULL) {
+        free(xb); free(xw); free(yb); free(yw);
+        return -1;
+    }
     #pragma omp parallel for schedule(static)
     for (int y = 0; y < src_h; y++) {
         const uint8_t *row = src + (size_t)y * src_w * 3;
@@ -147,6 +159,7 @@ static void resize_normalize(
     }
     free(tmp);
     free(xb); free(xw); free(yb); free(yw);
+    return 0;
 }
 
 /* Rearrange planar [3, H, W] into Qwen2-VL merge-window patch rows:
@@ -213,8 +226,14 @@ static PyObject *py_resize_normalize_patchify(PyObject *self, PyObject *args)
     }
     float mean[3], stdv[3];
     for (int i = 0; i < 3; i++) {
-        mean[i] = (float)PyFloat_AsDouble(PySequence_GetItem(mean_obj, i));
-        stdv[i] = (float)PyFloat_AsDouble(PySequence_GetItem(std_obj, i));
+        /* PySequence_GetItem returns NEW references: decref them or the
+         * hot path leaks six float objects per preprocessed frame. */
+        PyObject *m_item = PySequence_GetItem(mean_obj, i);
+        PyObject *s_item = PySequence_GetItem(std_obj, i);
+        mean[i] = m_item ? (float)PyFloat_AsDouble(m_item) : 0.f;
+        stdv[i] = s_item ? (float)PyFloat_AsDouble(s_item) : 1.f;
+        Py_XDECREF(m_item);
+        Py_XDECREF(s_item);
     }
     if (PyErr_Occurred()) {
         PyBuffer_Release(&src);
@@ -239,15 +258,23 @@ static PyObject *py_resize_normalize_patchify(PyObject *self, PyObject *args)
         return PyErr_NoMemory();
     }
 
+    int rn_rc;
     Py_BEGIN_ALLOW_THREADS
-    resize_normalize((const uint8_t *)src.buf, src_h, src_w,
-                     planar, dst_h, dst_w, mean, stdv);
-    patchify(planar, dst_h, dst_w,
-             (float *)PyBytes_AS_STRING(out_bytes), temporal, patch, merge);
+    rn_rc = resize_normalize((const uint8_t *)src.buf, src_h, src_w,
+                             planar, dst_h, dst_w, mean, stdv);
+    if (rn_rc == 0) {
+        patchify(planar, dst_h, dst_w,
+                 (float *)PyBytes_AS_STRING(out_bytes), temporal, patch,
+                 merge);
+    }
     Py_END_ALLOW_THREADS
 
     free(planar);
     PyBuffer_Release(&src);
+    if (rn_rc != 0) {
+        Py_DECREF(out_bytes);
+        return PyErr_NoMemory();
+    }
     return out_bytes;
 }
 

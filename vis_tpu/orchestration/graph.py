@@ -143,15 +143,16 @@ def _initial_state(
     request_id: Optional[str],
     interactive_review: bool = False,
 ) -> InspectionState:
+    request_id = request_id or str(uuid.uuid4())[:8]
     state: InspectionState = {
         "image_path": image_path,
         "context": {
-            "image_id": request_id or str(uuid.uuid4())[:8],
+            "image_id": request_id,
             "criticality": criticality,
             "domain": domain,
             "user_notes": user_notes,
         },
-        "request_id": request_id or str(uuid.uuid4())[:8],
+        "request_id": request_id,
         "start_time": time.time(),
         "inspector_result": None,
         "auditor_result": None,
@@ -172,7 +173,6 @@ def _initial_state(
         "image_quality": None,
         "current_step": "pending",
     }
-    state["context"]["image_id"] = state["request_id"]
     if interactive_review:
         state["_interactive_review"] = True  # type: ignore[typeddict-unknown-key]
     return state

@@ -23,8 +23,12 @@ _EMPTY_SUMMARY = {
 
 
 def determine_aggregate_verdict(verdicts: List[str], total_defects: int) -> str:
-    """Conservative precedence: UNSAFE > REQUIRES_HUMAN_REVIEW > all-SAFE.
-    Anything mixed or defect-bearing falls back to review."""
+    """Conservative precedence: UNSAFE > REQUIRES_HUMAN_REVIEW > all-SAFE;
+    any other mix falls back to review.  total_defects is accepted for
+    reference-signature parity but — exactly like the reference
+    (session_aggregation.py:88-113) — does not affect the verdict: an
+    all-SAFE session stays SAFE regardless of defect counts (per-image
+    gates already weighed them)."""
     if not verdicts:
         return "UNKNOWN"
     if any(v == "UNSAFE" for v in verdicts):

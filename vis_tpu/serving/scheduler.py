@@ -213,7 +213,15 @@ class ContinuousBatchingScheduler:
                 [t.token_ok.shape[0] for t in kept.values()]
                 + [tbl.token_ok.shape[0]]
             )
-            new_entries = (len(kept) + 1) * smax * tbl.token_ok.shape[1]
+            # Both axes pad to the max: the stacked arrays are
+            # [T, smax, kmax], so the size estimate must use the widest K
+            # too (a narrow compressed grammar next to a dense one costs
+            # the dense width).
+            kmax = max(
+                [t.token_ok.shape[1] for t in kept.values()]
+                + [tbl.token_ok.shape[1]]
+            )
+            new_entries = (len(kept) + 1) * smax * kmax
             if kept and new_entries > _MAX_STACKED_ENTRIES:
                 logger.info(
                     f"constraint table '{name}' skipped: stacked size "
@@ -314,7 +322,11 @@ class ContinuousBatchingScheduler:
         # chunks, so an in-flight request's TTFT/throughput is not stalled
         # behind a multi-thousand-token admission.
         self.chunked_prefill = app_config.chunked_prefill_tokens
-        self._extend_jit = jax.jit(partial(extend_scan, text_config))
+        # Donate the staging cache: each segment rebinds it to the result,
+        # and an undonated call copies the full max_len buffer per segment.
+        self._extend_jit = jax.jit(
+            partial(extend_scan, text_config), donate_argnums=(3,)
+        )
         self._prefilling: Optional[dict] = None
         self.prefill_segments_done = 0  # observability/testing
 
@@ -547,12 +559,37 @@ class ContinuousBatchingScheduler:
                 seq_len = next_position
                 if kv_len is None:
                     kv_len = int(np.asarray(tmp_cache.lengths)[0])
+                if (
+                    not self.paged
+                    and kv_len + request.max_tokens + self.decode_chunk
+                    > self.max_len
+                ):
+                    # Dense slots have no reservation step: without this
+                    # check decode writes past max_len would CLAMP onto the
+                    # last KV slot and silently corrupt attention (the
+                    # paged path rejects the same case in _reserve_paged).
+                    request.error = (
+                        f"prefilled KV ({kv_len}) + max_tokens "
+                        f"({request.max_tokens}) + chunk slack exceeds the "
+                        f"scheduler's max_len ({self.max_len})"
+                    )
+                    request.out.put(None)
+                    logger.error(f"{request.request_id}: {request.error}")
+                    return False
                 if not self._reserve_paged(free, request, kv_len):
                     return False  # requeued; prefilled hand-off kept intact
                 request.prefilled = None  # free the reference
             else:
                 ids = self.tokenizer.encode(request.prompt)
                 budget = self.max_len - request.max_tokens - 1
+                if budget < 2:
+                    request.error = (
+                        f"max_tokens ({request.max_tokens}) leaves no "
+                        f"prompt room in max_len ({self.max_len})"
+                    )
+                    request.out.put(None)
+                    logger.error(f"{request.request_id}: {request.error}")
+                    return False
                 if len(ids) > budget:
                     ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
                 seq_len = len(ids)
@@ -620,6 +657,12 @@ class ContinuousBatchingScheduler:
         except Exception as exc:
             logger.error(f"Prefill failed for {request.request_id}: {exc}",
                          exc_info=True)
+            if self.paged:
+                # The reservation made above must not outlive the failed
+                # admission: leaked pages shrink the pool forever and
+                # disable the idle release_buffers() path (its guard
+                # requires an empty owned map).
+                self.pool.release(free)
             request.error = str(exc)
             request.out.put(None)
             return False
@@ -879,6 +922,15 @@ class ContinuousBatchingScheduler:
                 request.out.put(text[len(request.emitted):])
                 request.emitted = text
             if finished:
+                # Final flush WITHOUT the replacement-char guard: the
+                # streaming guard holds back text ending in an incomplete
+                # UTF-8 sequence, but at completion whatever decoded is
+                # the output (the unbatched engine path flushes the same
+                # way) — without this, a generation ending in U+FFFD
+                # silently dropped its tail.
+                if len(text) > len(request.emitted):
+                    request.out.put(text[len(request.emitted):])
+                    request.emitted = text
                 slot.request = None
                 lengths[i] = 0
                 self._temps_host[i] = 0.0
