@@ -632,24 +632,32 @@ def _compile_tables(
     if compress:
         class_of = np.empty(V, np.int32)
         class_cols: List[np.ndarray] = []
-        class_counts: List[int] = []
         class_first: List[int] = []
         index: Dict[bytes, int] = {}
         for vs in _blocks_by_length():
             cols = token_columns(vs)
-            for i, v in enumerate(vs):
-                key = cols[i].tobytes()
+            # Dedup inside the block first: hashing every token's [S]
+            # column re-serializes ~S*4 bytes x 151k tokens per grammar;
+            # np.unique leaves only the grammar-bounded distinct rows
+            # (hundreds) for the python-level cross-block merge.
+            uniq, first_idx, inv = np.unique(
+                cols, axis=0, return_index=True, return_inverse=True
+            )
+            gid = np.empty(len(uniq), np.int32)
+            for j in np.argsort(first_idx):  # first-seen creation order
+                key = uniq[j].tobytes()
                 cid = index.get(key)
                 if cid is None:
                     cid = len(class_cols)
                     index[key] = cid
-                    class_cols.append(cols[i])
-                    class_counts.append(0)
-                    class_first.append(v)
-                class_of[v] = cid
-                class_counts[cid] += 1
+                    class_cols.append(uniq[j])
+                    class_first.append(vs[int(first_idx[j])])
+                gid[j] = cid
+            class_of[np.asarray(vs, np.int64)] = gid[inv]
         token_trans = np.stack(class_cols, axis=1)  # [S, C]
-        counts = np.asarray(class_counts, np.int64)
+        counts = np.bincount(class_of, minlength=len(class_cols)).astype(
+            np.int64
+        )
         first_token = np.asarray(class_first, np.int32)
         if S * token_trans.shape[1] > _MAX_TABLE_ENTRIES:
             return None  # grammar itself is too wide even compressed

@@ -368,6 +368,16 @@ def _load_from_env(env_file: Optional[Path] = None, **overrides: Any) -> Config:
 _config: Optional[Config] = None
 
 
+def _report_config_error(exc: ValidationError) -> None:
+    """Readable per-field error table (reference utils/config.py:330-346)."""
+    print("=" * 72, file=sys.stderr)
+    print("CONFIGURATION ERROR — fix the following and restart:", file=sys.stderr)
+    for err in exc.errors():
+        loc = ".".join(str(p) for p in err["loc"])
+        print(f"  - {loc}: {err['msg']}", file=sys.stderr)
+    print("=" * 72, file=sys.stderr)
+
+
 def get_config(reload: bool = False, **overrides: Any) -> Config:
     """Return the process-wide Config singleton (reference utils/config.py:313).
 
@@ -382,17 +392,13 @@ def get_config(reload: bool = False, **overrides: Any) -> Config:
         try:
             return _load_from_env(**overrides)
         except ValidationError as exc:
+            _report_config_error(exc)
             raise SystemExit(1) from exc
     if _config is None or reload:
         try:
             _config = _load_from_env()
         except ValidationError as exc:
-            print("=" * 72, file=sys.stderr)
-            print("CONFIGURATION ERROR — fix the following and restart:", file=sys.stderr)
-            for err in exc.errors():
-                loc = ".".join(str(p) for p in err["loc"])
-                print(f"  - {loc}: {err['msg']}", file=sys.stderr)
-            print("=" * 72, file=sys.stderr)
+            _report_config_error(exc)
             raise SystemExit(1) from exc
     return _config
 

@@ -133,7 +133,20 @@ def setup_logger(
     Mirrors the reference's setup_logger API (utils/logger.py:84).
     """
     logger = logging.getLogger(name)
-    logger.setLevel(getattr(logging, level.upper(), logging.INFO))
+    # LOG_LEVEL is the operator's knob; call sites all pass the INFO
+    # default, so the env var must win — and it must win on EVERY call,
+    # because repeat setup_logger() for an already-configured name skips
+    # the handlers block but still runs this setLevel.
+    effective = level
+    try:
+        from vis_tpu.utils.config import get_config
+
+        cfg_level = get_config().log_level
+        if cfg_level:
+            effective = cfg_level
+    except Exception:
+        pass
+    logger.setLevel(getattr(logging, effective.upper(), logging.INFO))
     logger.propagate = False
 
     if not logger.handlers:  # configure once; idempotent on repeat calls
@@ -150,12 +163,6 @@ def setup_logger(
             to_console = to_console and cfg.log_to_console
             to_file = to_file and cfg.log_to_file
             json_console = cfg.log_format.lower() == "json"
-            # LOG_LEVEL is the operator's knob; call sites all pass the
-            # INFO default, so the env var must win or it is dead.
-            if cfg.log_level:
-                logger.setLevel(
-                    getattr(logging, cfg.log_level.upper(), logging.INFO)
-                )
         except Exception:
             pass
 

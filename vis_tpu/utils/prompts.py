@@ -203,9 +203,12 @@ def load_prompt_overrides(path=None) -> List[str]:
         """Format-field names, or None when the template cannot even be
         parsed (unbalanced braces)."""
         try:
+            # Keep '' (bare '{}') and digit names ('{0}'): positional
+            # fields crash get_prompt(...).format(**kwargs) just like
+            # unknown names do, so they must fail validation too.
             return {
                 field for _, field, _, _ in string.Formatter().parse(template)
-                if field
+                if field is not None
             }
         except ValueError:
             return None
