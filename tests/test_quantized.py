@@ -574,3 +574,24 @@ class TestMixedVocabPrecision:
             ):
                 monkeypatch.delenv(k, raising=False)
             get_config(reload=True)
+
+    def test_no_roleless_vocab_mode_calls_in_builders(self):
+        """Every _vocab_quant_mode() call site in the engine module must
+        thread the role: the bare form silently drops per-role
+        {ROLE}_VOCAB_QUANTIZATION overrides, and that exact bug shipped
+        twice (r3 advisor: real-checkpoint path; r4 self-review: the
+        target-dev Mllama builder).  Source-level guard so a third call
+        site can't regress it."""
+        import re
+        from pathlib import Path
+
+        import vis_tpu.serving.engine as engine_mod
+
+        src = Path(engine_mod.__file__).read_text()
+        bare = [
+            ln.strip()
+            for ln in src.splitlines()
+            if re.search(r"_vocab_quant_mode\(\s*\)", ln)
+            and "def _vocab_quant_mode" not in ln
+        ]
+        assert bare == [], f"role-less _vocab_quant_mode() calls: {bare}"

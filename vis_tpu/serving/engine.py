@@ -1364,7 +1364,9 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
         def make_mllama(k):
             p = init_mllama(cfg, k)
             if quantize:
-                p = quantize_mllama_params(p, mode=mode, vocab_mode=_vocab_quant_mode())
+                p = quantize_mllama_params(
+                    p, mode=mode, vocab_mode=_vocab_quant_mode(role)
+                )
                 p = {
                     name: (_quantize_vision_tree(v, mode) if name != "text" else v)
                     for name, v in p.items()
