@@ -252,6 +252,69 @@ class TestPrefixCaching:
         assert warm_q2 == cold_q2
 
 
+class TestPrefixFallback:
+    def test_suffix_overflow_falls_back_to_full_prefill(self, monkeypatch):
+        """A cached prefix whose padded suffix chunk would not fit the
+        prompt-only cache must be SKIPPED, not written: extend_scan's
+        dynamic_update_slice would clamp backward and overwrite the seeded
+        prefix KV (regression: p=128 + s_bucket=512 into a 512-row cache)."""
+        import jax as _jax
+        from vis_tpu.models.common.decoder import init_decoder_params
+        from vis_tpu.utils.config import get_config
+
+        config = tiny_text_config()
+        params = init_decoder_params(config, _jax.random.PRNGKey(41))
+        tok = ByteTokenizer(vocab_size=config.vocab_size)
+        engine = Engine("prefix-overflow", config, params, tok,
+                        max_cache_tokens=2048)
+
+        # q1 stores a 256-token prefix entry; q2 shares only ~135 tokens
+        # (lookup rounds the common prefix down to 128) and is ~400 tokens
+        # total -> suffix 272 -> s_bucket 512; prompt-only cache_len is 512.
+        head = "SHARED INSPECTION PREAMBLE " * 5          # 135 chars
+        q1 = head + ("alpha " * 35)[:165]                  # ~300 tokens
+        q2 = head + ("omega " * 60)[:265]                  # ~400 tokens
+
+        def prompt_logits(prompt):
+            cache, logits, _, _, _ = engine._prefill_request(
+                prompt, None, max_tokens=8, max_image_dim=None,
+                prompt_only_cache=True,
+            )
+            return np.asarray(logits)
+
+        cold_q2 = prompt_logits(q2)
+
+        monkeypatch.setenv("PREFIX_CACHING", "true")
+        get_config(reload=True)
+        try:
+            engine._prefix_cache = {}
+            prompt_logits(q1)                              # populates p=256
+            warm_q2 = prompt_logits(q2)                    # hit would overflow
+        finally:
+            monkeypatch.delenv("PREFIX_CACHING")
+            get_config(reload=True)
+        np.testing.assert_array_equal(warm_q2, cold_q2)
+
+
+class TestPatchBucketLaw:
+    def test_host_and_device_padded_agree(self, image_file):
+        """ONE statement of the bucket law: host ImagePatches.padded and
+        DeviceImagePatches.padded must pick the same compiled shape."""
+        from vis_tpu.ops.preprocess import patch_bucket_for, PATCH_BUCKETS
+
+        assert patch_bucket_for(1) == PATCH_BUCKETS[0]
+        assert patch_bucket_for(256) == 256
+        assert patch_bucket_for(257) == 384
+        assert patch_bucket_for(16385) == 16640   # past the table: 256-mult
+        host = preprocess_image(image_file, max_image_dim=256)
+        _, host_bucket = host.padded()
+        from vis_tpu.ops.preprocess_device import preprocess_image_device
+
+        dev = preprocess_image_device(image_file, max_image_dim=256)
+        _, dev_bucket = dev.padded()
+        assert host_bucket == dev_bucket
+
+
 class TestFlagInteractions:
     """All serving flags ON together must stay token-exact vs defaults:
     the scheduler path ignores PLD (batched decode), prefix caching feeds

@@ -100,6 +100,14 @@ class TestMllamaEngine:
     def test_health_check(self, engine):
         assert engine.health_check() is True
 
+    def test_no_prompt_room_fails_loudly(self, engine):
+        """budget <= 1 must raise, not silently mis-truncate: ids[:0] +
+        ids[-0:] is the FULL prompt, and the decode cursor then walks past
+        cache_len into clamped-slice garbage (Engine raises the same way)."""
+        with pytest.raises(RuntimeError, match="no prompt room"):
+            engine.generate("audit this part",
+                            max_tokens=engine.max_cache_tokens - 1)
+
 
 class TestTilingHFParity:
     # Shapes hitting distinct code paths: wide landscape (no-resize +

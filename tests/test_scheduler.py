@@ -229,3 +229,34 @@ class TestBatchedSampling:
                 break
             chunks.append(c)
         assert isinstance("".join(chunks), str)
+
+
+class TestDecodeCrashRecovery:
+    """A decode-chunk device failure must fail the in-flight requests
+    loudly (error + terminating None) and leave the scheduler serving —
+    an unguarded exception would kill the daemon thread and wedge every
+    caller forever on out.get()."""
+
+    def test_injected_decode_failure_recovers(self, setup):
+        engine, scheduler = setup
+        original = scheduler._decode_once
+        fired = threading.Event()
+
+        def exploding_once():
+            if not fired.is_set():
+                fired.set()
+                raise RuntimeError("injected device failure")
+            return original()
+
+        scheduler._decode_once = exploding_once
+        try:
+            with pytest.raises(RuntimeError, match="batched decode failed"):
+                scheduler.generate("doomed request", max_tokens=8, timeout=60)
+            assert fired.is_set()
+            assert scheduler.active_count == 0
+        finally:
+            scheduler._decode_once = original
+
+        # The loop survived: a fresh request completes and stays token-exact.
+        out = scheduler.generate("after the crash", max_tokens=8, timeout=120)
+        assert out == engine.generate("after the crash", max_tokens=8)

@@ -45,6 +45,18 @@ DEFAULT_MAX_PIXELS = 14 * 14 * 4 * 1280
 PATCH_BUCKETS = (256, 384, 512, 768, 1024, 2048, 4096, 8192, 16384)
 
 
+def patch_bucket_for(n: int) -> int:
+    """The padded patch-sequence length for `n` patches: the next bucket,
+    or the next 256-multiple beyond the table.  ONE statement of the law —
+    the host (ImagePatches.padded) and device (DeviceImagePatches.padded)
+    preprocess paths must pick identical compiled shapes for the same
+    image."""
+    bucket = next((b for b in PATCH_BUCKETS if b >= n), None)
+    if bucket is None:
+        bucket = ((n + 255) // 256) * 256
+    return bucket
+
+
 def smart_resize(
     height: int,
     width: int,
@@ -112,9 +124,7 @@ class ImagePatches:
         (padded_patches, bucket_len)."""
         n = self.num_patches
         if bucket is None:
-            bucket = next((b for b in PATCH_BUCKETS if b >= n), None)
-            if bucket is None:
-                bucket = ((n + 255) // 256) * 256
+            bucket = patch_bucket_for(n)
         if n > bucket:
             raise ValueError(f"{n} patches exceed bucket {bucket}")
         padded = np.zeros((bucket, self.patches.shape[1]), dtype=self.patches.dtype)
@@ -243,4 +253,5 @@ __all__ = [
     "MERGE_SIZE",
     "TEMPORAL_PATCH_SIZE",
     "PATCH_BUCKETS",
+    "patch_bucket_for",
 ]

@@ -174,13 +174,11 @@ class DeviceImagePatches:
         return self.num_patches // (MERGE_SIZE * MERGE_SIZE)
 
     def padded(self, bucket=None) -> Tuple[jnp.ndarray, int]:
-        from vis_tpu.ops.preprocess import PATCH_BUCKETS
+        from vis_tpu.ops.preprocess import patch_bucket_for
 
         n = self.num_patches
         if bucket is None:
-            bucket = next((b for b in PATCH_BUCKETS if b >= n), None)
-            if bucket is None:
-                bucket = ((n + 255) // 256) * 256
+            bucket = patch_bucket_for(n)
         if n > bucket:
             raise ValueError(f"{n} patches exceed bucket {bucket}")
         return (

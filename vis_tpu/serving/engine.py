@@ -387,9 +387,14 @@ class Engine:
             emitted = ""
             remaining = max_tokens
             done = False
+            # Host cursor mirror, seeded from the turn's single device read
+            # (`used`): reading cache.lengths per chunk would pay a blocking
+            # tunnel round-trip every iteration (the scheduler avoids the
+            # same read with _lengths_host).  When a chunk ends without EOS
+            # the device ran all `steps`, so the mirror advances exactly.
+            chunk_start = used + seq_len
             while remaining > 0 and not done:
                 steps = min(self.decode_chunk, remaining)
-                chunk_start = int(np.asarray(cache.lengths)[0])
                 tokens, logits, cache = self._decode_loop_jit(
                     params, logits, jnp.int32(session.position), cache,
                     num_steps=steps, eos_id=self.tokenizer.eos_id,
@@ -410,6 +415,7 @@ class Engine:
                         lengths=jnp.asarray([chunk_start + kept], jnp.int32),
                     )
                 session.position += kept
+                chunk_start += kept
                 remaining -= steps
                 text = self.tokenizer.decode(generated)
                 if len(text) > len(emitted) and not text.endswith("�"):
@@ -745,10 +751,12 @@ class Engine:
         if image is None and app_config.prefix_caching:
             hit = self._prefix_lookup(ids[0].tolist())
             if hit is not None:
-                logits, cache = self._prefill_from_prefix(
+                seeded = self._prefill_from_prefix(
                     params, ids, seq_len, hit, cache_len
                 )
-                return cache, logits, seq_len, seq_len, ids
+                if seeded is not None:
+                    logits, cache = seeded
+                    return cache, logits, seq_len, seq_len, ids
 
         padded_ids = np.zeros((1, bucket), dtype=np.int32)
         padded_ids[0, :seq_len] = ids[0]
@@ -833,13 +841,21 @@ class Engine:
 
     def _prefill_from_prefix(self, params, ids, seq_len, hit, cache_len):
         """Seed a fresh cache with the stored prefix KV, then extend_scan
-        over only the suffix tokens."""
+        over only the suffix tokens.  Returns (logits, cache), or None when
+        the padded suffix chunk would not fit the cache (caller falls back
+        to a full prefill)."""
         tc = self.text_config
         p, (k_pref, v_pref) = hit
         k_pref = k_pref[:, :, :p]
         v_pref = v_pref[:, :, :p]
         suffix = ids[0, p:].tolist()
         s_bucket = _bucket_for(len(suffix), [128, 256, 512, 1024, 2048])
+        if p + s_bucket > cache_len:
+            # extend_scan writes the whole padded suffix chunk at cursor p
+            # with a dynamic slice; a chunk that does not fit would CLAMP
+            # backward and silently overwrite the seeded prefix KV.  Tight
+            # caches (prompt_only / right-sized) fall back to full prefill.
+            return None
         padded = np.zeros((1, s_bucket), np.int32)
         padded[0, : len(suffix)] = suffix
         cache = KVCache.create(
@@ -948,9 +964,14 @@ class Engine:
                             temperature=temp_arr,
                         )
                     if use_lookahead:
-                        # Each window emits >= 1 token, so `remaining`
-                        # windows always cover the rest of the budget.
-                        n_win = min(self.decode_chunk, remaining)
+                        # Constant window count: `remaining` is data-
+                        # dependent (each window emits 1..window tokens),
+                        # and num_windows is a STATIC jit arg — sizing the
+                        # chunk to it would recompile the full decode loop
+                        # per distinct tail value.  The device-side EOS
+                        # exit already stops unused windows, and the host
+                        # emitted_n>=remaining guard enforces the budget.
+                        n_win = self.decode_chunk
                         tokens, valid, logits, cache, constraint = (
                             self._decode_loop_lookahead_jit(
                                 params, logits, jnp.int32(next_pos + step0),
@@ -1379,7 +1400,8 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         logger.info(f"{role}: target-scale Mllama-11B dev profile ({mode})")
         return MllamaEngine(
-            f"target-{role}-mllama-11b", cfg, params, tokenizer, mesh=mesh
+            f"target-{role}-mllama-11b", cfg, params, tokenizer, mesh=mesh,
+            role=role,
         )
 
     if is_vlm and _is_qwen25(model_name):
@@ -1654,7 +1676,8 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
             )
             params = _converted(lambda state: convert_mllama(state, cfg))
             logger.info(f"{role}: loaded Mllama {model_name} from {ckpt_dir}")
-            return MllamaEngine(model_name, cfg, params, tokenizer, mesh=mesh)
+            return MllamaEngine(model_name, cfg, params, tokenizer,
+                                mesh=mesh, role=role)
         if is_vlm and (model_type == "qwen2_5_vl" or
                        (not model_type and _is_qwen25(model_name))):
             from vis_tpu.models import qwen2_5_vl as q25
@@ -1733,7 +1756,7 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
         params = init_mllama(cfg, key)
         tokenizer = ByteTokenizer(vocab_size=cfg.text.vocab_size)
         return MllamaEngine(f"dev-{role}-mllama", cfg, params, tokenizer,
-                            mesh=mesh)
+                            mesh=mesh, role=role)
     if is_vlm and _is_qwen25(model_name):
         from vis_tpu.models import qwen2_5_vl as q25
 

@@ -57,20 +57,23 @@ class MllamaEngine:
         tokenizer: Tokenizer,
         max_cache_tokens: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        role: Optional[str] = None,
     ):
         self.name = name
         self.config = config
         self.mesh = mesh
         if app_config.quantization in ("int8", "int4"):
             from vis_tpu.models.llama.mllama import quantize_mllama_params
+            from vis_tpu.serving.engine import _vocab_quant_mode
 
-            vocab_quant = (
-                app_config.auditor_vocab_quantization
-                or app_config.vocab_quantization
-            )
+            # Per-role vocab override ({ROLE}_VOCAB_QUANTIZATION): the role
+            # comes from build_engine — an Mllama checkpoint can back the
+            # inspector too, so hardcoding the auditor override here would
+            # apply the wrong engine's HBM-budget shaping.  Defaults to the
+            # auditor (the flagship assignment) when no role is threaded.
             params = quantize_mllama_params(
                 params, mode=app_config.quantization,
-                vocab_mode=None if vocab_quant == "same" else vocab_quant,
+                vocab_mode=_vocab_quant_mode(role or "auditor"),
             )
             logger.info(
                 f"{name}: {app_config.quantization} weight-only "
@@ -447,6 +450,17 @@ class MllamaEngine:
             ids.append(self.tokenizer.image_token_id)
         ids.extend(self.tokenizer.encode(prompt))
         budget = self.max_cache_tokens - max_tokens - 1
+        if budget < 2:
+            # Fail loudly: with budget <= 0 the truncation slices below
+            # return the FULL (or near-double) prompt — ids[:0] + ids[-0:]
+            # is ids — and the decode cursor then walks past cache_len into
+            # clamped dynamic_update_slice garbage.  Engine._prefill_request
+            # raises for the same condition.
+            raise RuntimeError(
+                f"max_tokens={max_tokens} leaves no prompt room in a "
+                f"{self.max_cache_tokens}-token KV cache; lower max_tokens "
+                "or raise KV_CACHE_MAX_TOKENS"
+            )
         if len(ids) > budget:
             ids = ids[: budget // 2] + ids[-(budget - budget // 2):]
         seq_len = len(ids)
@@ -522,12 +536,18 @@ class MllamaEngine:
                             key=jax.random.fold_in(base_key, chunk_idx),
                             temperature=temp_arr,
                         )
+                    # Constant window count (n_windows is a STATIC jit
+                    # arg): `remaining` becomes data-dependent after the
+                    # first chunk, so sizing to it would recompile the 11B
+                    # decode loop per distinct tail value.  The device-side
+                    # EOS exit stops unused windows; the host budget guard
+                    # below drops any overrun.
                     tokens, valid, logits, cache, constraint = (
                         self._decode_window_json_jit(
                             self.params, logits, cross_kv, cache,
                             jnp.int32(pos), constraint, forced_tok_dev,
-                            forced_state_dev, n_windows=steps, window=window,
-                            **kwargs,
+                            forced_state_dev, n_windows=self.decode_chunk,
+                            window=window, **kwargs,
                         )
                     )
                     tok_mat = np.asarray(tokens)[0]
@@ -545,7 +565,13 @@ class MllamaEngine:
                                 break
                             generated.append(token_id)
                             if emitted_n >= remaining:
+                                # Budget exhausted mid-window: stop
+                                # appending (without the break the rest of
+                                # the window's tokens overrun max_tokens —
+                                # the engine.py twin documents the same
+                                # failure).
                                 done = True
+                                break
                         if done:
                             break
                     chunk_idx += 1

@@ -990,8 +990,42 @@ class ContinuousBatchingScheduler:
                         self.pool.release_buffers()
                     time.sleep(0.005)
                 continue
-            self._decode_once()
+            try:
+                self._decode_once()
+            except Exception as exc:
+                # A decode-chunk device failure (OOM allocating the donated
+                # cache, a lowering error on a new shape) must not kill the
+                # scheduler thread: every in-flight request would block
+                # forever on out.get() with no terminating None.  Fail the
+                # active slots loudly and keep serving new work.
+                logger.exception(f"batched decode chunk failed: {exc}")
+                self._fail_active(exc)
         logger.info("Scheduler stopped")
+
+    def _fail_active(self, exc: Exception) -> None:
+        """Error out every active slot after a decode-chunk crash: callers
+        get their terminating None (with request.error set), pages return
+        to the pool, and the slots free up for later admissions."""
+        for i, slot in enumerate(self.slots):
+            if not slot.active:
+                continue
+            request = slot.request
+            slot.request = None
+            self._lengths_host[i] = 0
+            self._temps_host[i] = 0.0
+            if self.paged:
+                try:
+                    self.pool.release(i)
+                except Exception:
+                    logger.exception(f"page release failed for slot {i}")
+            request.error = f"batched decode failed: {exc}"
+            request.out.put(None)
+            logger.error(f"{request.request_id}: {request.error}")
+        if not self.paged:
+            self.cache = KVCache(
+                k=self.cache.k, v=self.cache.v,
+                lengths=jnp.asarray(self._lengths_host),
+            )
 
 
 __all__ = ["ContinuousBatchingScheduler", "Request"]
