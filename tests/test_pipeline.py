@@ -346,3 +346,91 @@ class TestCounterfactualWiring:
         assert len(sections["COUNTERFACTUAL"]) > 40
         # The PDF report generates with the section present.
         assert state.get("report_path") and Path(state["report_path"]).exists()
+
+
+class TestReviewFixesR4:
+    """Regressions pinned by the round-4 directory review."""
+
+    def test_sliver_bbox_clamp_stays_in_bounds(self):
+        # A thin sliver at the right edge: flooring width to 0.1 must not
+        # push x+width past 100 (that would fail BoundingBox validation and
+        # turn one odd box into analysis_failed).
+        out = validate_and_fix_result({
+            "overall_condition": "damaged",
+            "overall_confidence": "high",
+            "defects": [{
+                "type": "crack", "location": "right edge",
+                "safety_impact": "CRITICAL", "reasoning": "visible seam",
+                "confidence": "high", "recommended_action": "replace",
+                "bbox": {"x": 99.905, "y": 20.0, "width": 0.09, "height": 60.0},
+            }],
+        })
+        from vis_tpu.schemas.models import VLMAnalysisResult
+
+        result = VLMAnalysisResult(**out)  # must validate
+        bbox = result.defects[0].bbox
+        assert bbox is not None
+        assert bbox.x + bbox.width <= 100.0
+        assert bbox.y + bbox.height <= 100.0
+
+    def test_invalid_criticality_fails_fast(self, tmp_path):
+        img = _make_image(tmp_path, "clean_v.jpg")
+        with pytest.raises(ValueError, match="criticality"):
+            run_inspection(str(img), criticality="EXTREME")
+
+    def test_uppercase_criticality_normalized(self, tmp_path):
+        img = _make_image(tmp_path, "clean_w.jpg")
+        state = run_inspection(str(img), criticality="HIGH")
+        assert state["context"]["criticality"] == "high"
+        assert state["current_step"] == "completed"
+
+    def test_inferred_criticality_replaces_context_atomically(self, tmp_path):
+        # _apply_inferred_criticality must swap in a NEW dict (readers
+        # snapshotting the old one stay consistent), not mutate in place
+        # while the concurrent sibling node unpacks it.
+        from vis_tpu.orchestration.nodes import _apply_inferred_criticality
+        from vis_tpu.schemas.models import VLMAnalysisResult
+
+        ctx = {"image_id": "t", "criticality": "low", "domain": None,
+               "user_notes": None}
+        state = {"context": ctx}
+        result = VLMAnalysisResult(
+            object_identified="pressure valve",
+            overall_condition="damaged",
+            overall_confidence="high",
+            defects=[],
+            inferred_criticality="high",
+            inferred_criticality_reasoning="safety-critical component",
+        )
+        _apply_inferred_criticality(state, result)
+        assert state["context"]["criticality"] == "high"
+        assert state["context"] is not ctx
+        assert ctx["criticality"] == "low"  # old snapshot untouched
+
+    def test_finalize_survives_none_verdict(self, tmp_path):
+        from vis_tpu.orchestration.nodes import finalize_inspection
+
+        state = {
+            "request_id": "t-none", "start_time": __import__("time").time(),
+            "safety_verdict": None, "error": "consensus blew up",
+            "failure_history": [], "current_step": "failed",
+            "explanation": None, "consensus": None,
+            "inspector_result": None, "auditor_result": None,
+            "image_path": str(_make_image(tmp_path, "clean_x.jpg")),
+            "report_path": None, "processing_time": None,
+        }
+        out = finalize_inspection(state)  # must not raise
+        assert out["current_step"] == "completed"
+
+    def test_defect_ids_unique_same_millisecond(self):
+        from vis_tpu.schemas.models import DefectInfo
+
+        defects = [
+            DefectInfo(
+                type="crack", location="left", safety_impact="CRITICAL",
+                reasoning="r", confidence="high", recommended_action="fix",
+            )
+            for _ in range(50)
+        ]
+        ids = {d.defect_id for d in defects}
+        assert len(ids) == 50

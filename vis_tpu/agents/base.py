@@ -282,11 +282,17 @@ def validate_and_fix_result(
                         defect["bbox"] = None
                         defect["bbox_approximate"] = True
                     else:
+                        # Floor tiny extents at 0.1 but never past the image
+                        # edge: bumping w for a sliver at x=99.95 would make
+                        # x+w exceed 100 and fail BoundingBox validation,
+                        # turning one odd box into a whole-analysis failure.
+                        cx = max(0.0, min(100.0, x))
+                        cy = max(0.0, min(100.0, y))
                         defect["bbox"] = {
-                            "x": max(0.0, min(100.0, x)),
-                            "y": max(0.0, min(100.0, y)),
-                            "width": max(0.1, min(100.0, w)),
-                            "height": max(0.1, min(100.0, h)),
+                            "x": cx,
+                            "y": cy,
+                            "width": min(max(0.1, min(100.0, w)), 100.0 - cx),
+                            "height": min(max(0.1, min(100.0, h)), 100.0 - cy),
                         }
         if skip_defect:
             continue

@@ -335,12 +335,17 @@ class ExplainerAgent(BaseVLMAgent):
             session = self._chat_sessions.get(session_key)
             if session is not None:
                 self._chat_sessions.move_to_end(session_key)
-        if session is None:
-            seed = f"{get_prompt('chat_system')}\n\n{system_context}"
-            if history_text:
-                seed += f"\n\nConversation so far:\n{history_text}"
-            session = engine.chat_start(seed)
-            with self._chat_lock:
+            else:
+                # Build INSIDE the lock: a check-then-act gap here lets two
+                # ThreadingHTTPServer threads each run a full device prefill
+                # for the same key, with one session's KV silently orphaned.
+                # Holding the lock serializes only first-message prefills
+                # (device calls serialize on the chip anyway); streaming
+                # below runs unlocked.
+                seed = f"{get_prompt('chat_system')}\n\n{system_context}"
+                if history_text:
+                    seed += f"\n\nConversation so far:\n{history_text}"
+                session = engine.chat_start(seed)
                 self._chat_sessions[session_key] = session
                 while len(self._chat_sessions) > 4:
                     evicted_key, _ = self._chat_sessions.popitem(last=False)

@@ -26,6 +26,7 @@ from vis_tpu.orchestration.session_aggregation import aggregate_session_results
 from vis_tpu.orchestration.state import InspectionState
 from vis_tpu.utils.config import config
 from vis_tpu.utils.logger import setup_logger
+from vis_tpu.utils.validators import validate_inspection_context
 
 logger = setup_logger(__name__, level="INFO", component="GRAPH")
 
@@ -144,13 +145,28 @@ def _initial_state(
     interactive_review: bool = False,
 ) -> InspectionState:
     request_id = request_id or str(uuid.uuid4())[:8]
+    # Validate + normalize user-supplied context fields at the entry point
+    # (reference utils/validators.py contract): a malformed criticality from
+    # an HTTP form must fail fast with an actionable message, not explode
+    # inside a pipeline node as a pydantic ValidationError.  Image-path
+    # problems intentionally stay on the degradation path (quality check ->
+    # Gate 0) rather than raising here.
+    ok, errors, normalized = validate_inspection_context(
+        image_path if isinstance(image_path, str) else "",
+        criticality,
+        domain,
+        user_notes,
+    )
+    context_errors = [e for e in errors if not e.startswith("Image:")]
+    if context_errors:
+        raise ValueError("Invalid inspection request: " + "; ".join(context_errors))
     state: InspectionState = {
         "image_path": image_path,
         "context": {
             "image_id": request_id,
-            "criticality": criticality,
-            "domain": domain,
-            "user_notes": user_notes,
+            "criticality": normalized.get("criticality", criticality),
+            "domain": normalized.get("domain", domain),
+            "user_notes": normalized.get("user_notes", user_notes),
         },
         "request_id": request_id,
         "start_time": time.time(),

@@ -121,7 +121,13 @@ def _run_agent_with_retry(
 ) -> VLMAnalysisResult:
     """Shared retry loop for inspector/auditor (reference nodes.py:115-296)."""
     retry_count = state.get(retry_key, 0) or 0
-    context = InspectionContext(**state["context"])
+    # Snapshot under the lock: the sibling node's _apply_inferred_criticality
+    # may replace state["context"] concurrently (run_inspector_and_auditor
+    # overlaps both nodes), and **-unpacking a dict that mutates mid-iteration
+    # raises RuntimeError.
+    with _state_mutation_lock:
+        context_snapshot = dict(state["context"])
+    context = InspectionContext(**context_snapshot)
     image_path = Path(_as_path_list(state["image_path"])[0])
 
     while True:
@@ -168,10 +174,16 @@ def _apply_inferred_criticality(state: InspectionState, result: VLMAnalysisResul
             f"Upgrading criticality '{user_level}' -> '{inferred}' per model "
             f"inference: {result.inferred_criticality_reasoning}"
         )
-        state["context"]["criticality"] = inferred
-        state["context"]["criticality_upgraded"] = True
-        state["context"]["original_criticality"] = user_level
-        state["context"]["upgrade_reason"] = result.inferred_criticality_reasoning
+        # Replace the dict atomically (under the shared lock) instead of
+        # inserting keys in place: the auditor thread may be snapshotting
+        # state["context"] at this moment (run_inspector_and_auditor).
+        with _state_mutation_lock:
+            ctx = dict(state["context"])
+            ctx["criticality"] = inferred
+            ctx["criticality_upgraded"] = True
+            ctx["original_criticality"] = user_level
+            ctx["upgrade_reason"] = result.inferred_criticality_reasoning
+            state["context"] = ctx
 
 
 def run_inspector(state: InspectionState) -> InspectionState:
@@ -646,7 +658,7 @@ def finalize_inspection(state: InspectionState) -> InspectionState:
 
     logger.info(
         f"Inspection {state['request_id']} complete: "
-        f"{state.get('safety_verdict', {}).get('verdict', 'UNKNOWN')} "
+        f"{(state.get('safety_verdict') or {}).get('verdict', 'UNKNOWN')} "
         f"in {state['processing_time']:.2f}s"
         + (f" ({len(errors)} error(s))" if errors else "")
     )

@@ -117,7 +117,16 @@ class GateResult:
 
 
 def _bbox_out_of_range(defect: DefectInfo) -> bool:
-    """True when a defect carries a bbox with impossible coordinates."""
+    """True when a defect carries a bbox with impossible coordinates.
+
+    Defense-in-depth mirroring the reference gate engine (reference
+    src/safety/gates.py:186-215).  A validated BoundingBox can never be
+    out-of-range (schemas/models.py enforces the same bounds at
+    construction), so on the normal parse path this never fires; it guards
+    against validation-skipping construction (model_construct, deserialized
+    state) and future schema relaxation — the gate engine must not trust
+    its input layer.
+    """
     b = defect.bbox
     if b is None:
         return False

@@ -11,6 +11,7 @@ models, so their semantics must not drift.
 
 from __future__ import annotations
 
+import itertools
 import time
 from datetime import datetime, timezone
 from typing import Any, Dict, List, Literal, Optional
@@ -38,6 +39,9 @@ IOU_MERGE_THRESHOLD = 0.5
 
 def _utcnow() -> datetime:
     return datetime.now(timezone.utc)
+
+
+_DEFECT_ID_COUNTER = itertools.count()
 
 
 class BoundingBox(BaseModel):
@@ -99,7 +103,16 @@ class BoundingBox(BaseModel):
 class DefectInfo(BaseModel):
     """A single detected defect (reference src/schemas/models.py:57-82)."""
 
-    defect_id: str = Field(default_factory=lambda: f"defect_{int(time.time() * 1000)}")
+    # Millisecond prefix keeps IDs time-sortable (reference format,
+    # src/schemas/models.py:59-61); the process-wide counter suffix makes
+    # them unique — same-millisecond parses are routine when inspector and
+    # auditor results arrive concurrently, and save_to_database attributes
+    # detected_by via ID-set membership.
+    defect_id: str = Field(
+        default_factory=lambda: (
+            f"defect_{int(time.time() * 1000)}_{next(_DEFECT_ID_COUNTER)}"
+        )
+    )
     type: str = Field(..., description="Defect type, e.g. crack, rust")
     location: str = Field(..., description="Human-readable location")
     bbox: Optional[BoundingBox] = Field(None, description="Box when localizable")
