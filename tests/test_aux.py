@@ -219,14 +219,18 @@ class TestOrbaxCheckpoint:
 
 
 class TestProfiling:
-    def test_device_trace_span_only(self):
+    def test_device_trace_noop_when_disabled(self):
+        # Disabled device_trace must be a PURE pass-through: the pipeline
+        # runner wraps every node in it, and a phantom span per node would
+        # pollute the bench's span-tree attribution.
         from vis_tpu.utils.logger import get_timings
         from vis_tpu.utils.profiling import device_trace, profiling_enabled
 
         assert profiling_enabled() is False  # PROFILE_DIR unset in tests
+        get_timings(reset=True)
         with device_trace("unit-phase"):
             _ = jnp.ones(4).sum()
-        assert "unit-phase" in get_timings(reset=True)
+        assert "unit-phase" not in get_timings(reset=True)
 
     def test_device_trace_with_profile_dir(self, tmp_path, monkeypatch):
         monkeypatch.setenv("PROFILE_DIR", str(tmp_path / "traces"))
@@ -242,6 +246,26 @@ class TestProfiling:
         assert any(trace_root.rglob("*"))
         monkeypatch.delenv("PROFILE_DIR")
         get_config(reload=True)
+
+    def test_pipeline_nodes_emit_traces(self, tmp_path, monkeypatch):
+        """PROFILE_DIR must actually be wired into the pipeline runner:
+        a full inspection emits per-node xplane traces (SURVEY §5.1)."""
+        monkeypatch.setenv("PROFILE_DIR", str(tmp_path / "nt"))
+        monkeypatch.setenv("USE_MOCK_RESPONSES", "true")
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            from vis_tpu.orchestration import run_inspection
+
+            state = run_inspection("assets/sample.jpg", criticality="medium")
+            assert state["current_step"] == "completed"
+            traces = list((tmp_path / "nt").rglob("*.xplane.pb"))
+            assert traces, "no per-node profiler traces written"
+        finally:
+            monkeypatch.delenv("PROFILE_DIR")
+            monkeypatch.delenv("USE_MOCK_RESPONSES")
+            get_config(reload=True)
 
 
 class TestCounterfactual:

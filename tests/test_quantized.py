@@ -394,6 +394,43 @@ class TestInt4:
         assert isinstance(q, QuantizedWeight4)
         assert len(q.q.sharding.device_set) == 2
 
+    def test_int4_row_sharded_scale_keeps_both_halves(self):
+        """o_proj/down_proj shard the PACKED input axis; the [.., out, 2]
+        lo/hi scale pair must replicate across the model axis — at tp=2 a
+        reused q spec would give each device only one half's scale while
+        its nibble shard needs both."""
+        if jax.device_count() < 2:
+            pytest.skip("needs multiple devices")
+        from jax.sharding import Mesh
+        from vis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from vis_tpu.parallel.sharding import shard_stacked_decoder_params
+        from vis_tpu.ops.quantized import QuantizedWeight4
+
+        devices = np.array(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+        config = DecoderConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, qkv_bias=False,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        stacked = quantize_stacked_params(
+            stack_decoder_layers(init_decoder_params(config, jax.random.PRNGKey(2))),
+            mode="int4",
+        )
+        sharded = shard_stacked_decoder_params(stacked, mesh)
+        for name in ("o_proj",):
+            w = sharded["layers_stacked"][name]
+            assert isinstance(w, QuantizedWeight4)
+            # Packed q is sharded on its input axis across the 2 devices...
+            assert len(w.q.sharding.device_set) == 2
+            for shard in w.scale.addressable_shards:
+                # ...but every device holds the FULL trailing scale pair.
+                assert shard.data.shape[-1] == 2
+        down = sharded["layers_stacked"]["mlp"]["down_proj"]
+        assert isinstance(down, QuantizedWeight4)
+        for shard in down.scale.addressable_shards:
+            assert shard.data.shape[-1] == 2
+
 
 class TestFusedInitPath:
     def test_prefinished_params_match_engine_quantization(self, monkeypatch):

@@ -183,6 +183,10 @@ def decoder_forward(
     """
     x = input_embeds
     cos, sin = _position_tables(config, positions)
+    if cache is None:
+        for layer in params["layers"]:
+            x = decoder_layer_nocache(config, layer, x, cos, sin, mask)
+        return rms_norm(x, params["final_norm"], config.rms_norm_eps), None
     for idx, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
         attn_out, cache = _attention_block(
@@ -192,9 +196,28 @@ def decoder_forward(
         h = rms_norm(x, layer["post_attn_norm"], config.rms_norm_eps)
         x = x + swiglu_mlp(h, layer["mlp"])
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-    if cache is not None:
-        cache = cache.advance(jnp.int32(input_embeds.shape[1]))
+    cache = cache.advance(jnp.int32(input_embeds.shape[1]))
     return x, cache
+
+
+def decoder_layer_nocache(
+    config: DecoderConfig,
+    layer: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """One decoder layer without a KV cache — THE statement of the layer
+    law (norm -> attention -> residual -> norm -> swiglu -> residual).
+    Shared by cache-free decoder_forward and the trainer's per-layer
+    jax.checkpoint wrapper, so training can never silently diverge from
+    inference semantics."""
+    h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
+    attn_out, _ = _attention_block(config, layer, 0, h, cos, sin, None, mask)
+    x = x + attn_out
+    h = rms_norm(x, layer["post_attn_norm"], config.rms_norm_eps)
+    return x + swiglu_mlp(h, layer["mlp"])
 
 
 def lm_logits(config: DecoderConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -27,10 +27,21 @@ def _load():
     if so_path.exists():
         import importlib.util
 
-        spec = importlib.util.spec_from_file_location("_vis_native", so_path)
-        module = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(module)
-        _native = module
+        try:
+            spec = importlib.util.spec_from_file_location("_vis_native", so_path)
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+            _native = module
+        except Exception as exc:
+            # A stale or ABI-mismatched .so (built on another host/Python)
+            # must degrade to the numpy path, not fail the first inspection.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native preprocess extension failed to load (%s); "
+                "falling back to the numpy path", exc
+            )
+            _native = None
     return _native
 
 
@@ -55,6 +66,18 @@ def fused_preprocess(
     native = _load()
     if native is None:
         return None
+    # Validate before crossing into C: a zero patch/merge reaches an integer
+    # modulo in the extension and a SIGFPE kills the interpreter, not just
+    # the request.
+    if temporal < 1 or patch < 1 or merge < 1:
+        raise ValueError(
+            f"temporal/patch/merge must be >= 1, got {temporal}/{patch}/{merge}"
+        )
+    if dst_h % (patch * merge) or dst_w % (patch * merge):
+        raise ValueError(
+            f"dst dims ({dst_h}x{dst_w}) must be multiples of "
+            f"patch*merge={patch * merge}"
+        )
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     src_h, src_w = rgb.shape[:2]
     raw = native.resize_normalize_patchify(

@@ -20,11 +20,18 @@ def build() -> Path:
     src = HERE / "src" / "preprocess.c"
     out = HERE / "_vis_native.so"
     include = sysconfig.get_path("include")
-    cmd = [
+    base = [
         "gcc", "-O3", "-march=native", "-shared", "-fPIC",
         f"-I{include}", str(src), "-o", str(out), "-lm",
     ]
-    subprocess.run(cmd, check=True)
+    # The resize loops carry `#pragma omp parallel for` — without -fopenmp
+    # they silently compile single-threaded.  Fall back for toolchains
+    # built without OpenMP support.
+    try:
+        subprocess.run(base + ["-fopenmp"], check=True,
+                       capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True)
     return out
 
 

@@ -218,6 +218,15 @@ static PyObject *py_resize_normalize_patchify(PyObject *self, PyObject *args)
         PyErr_SetString(PyExc_ValueError, "src buffer size mismatch");
         return NULL;
     }
+    /* Positivity first: patch*merge==0 would SIGFPE in the modulo below,
+     * taking the interpreter down instead of raising. */
+    if (temporal < 1 || patch < 1 || merge < 1 || dst_h < 1 || dst_w < 1 ||
+        src_h < 1 || src_w < 1) {
+        PyBuffer_Release(&src);
+        PyErr_SetString(PyExc_ValueError,
+                        "temporal/patch/merge and all dims must be >= 1");
+        return NULL;
+    }
     if (dst_h % (patch * merge) || dst_w % (patch * merge)) {
         PyBuffer_Release(&src);
         PyErr_SetString(PyExc_ValueError,

@@ -26,6 +26,7 @@ from vis_tpu.orchestration.session_aggregation import aggregate_session_results
 from vis_tpu.orchestration.state import InspectionState
 from vis_tpu.utils.config import config
 from vis_tpu.utils.logger import setup_logger
+from vis_tpu.utils.profiling import device_trace
 from vis_tpu.utils.validators import validate_inspection_context
 
 logger = setup_logger(__name__, level="INFO", component="GRAPH")
@@ -87,7 +88,10 @@ class Pipeline:
             emit({"event": "node_start", "node": step.name, "index": idx,
                   "total": len(self.steps)})
             t0 = time.perf_counter()
-            state = step.fn(state)
+            # PROFILE_DIR set -> per-node xplane trace (SURVEY §5.1);
+            # device_trace is a pure pass-through when profiling is off.
+            with device_trace(step.name):
+                state = step.fn(state)
             emit({
                 "event": "node_end",
                 "node": step.name,

@@ -124,12 +124,12 @@ def pipeline_forward(
 
         def tick(carry, t):
             buf, out_buf = carry
-            # Stage 0 injects microbatch t (when in range); other stages use
-            # the activations handed over by the previous stage.
-            inject = jnp.clip(t, 0, num_microbatches - 1)
-            x_in = jnp.where(stage == 0, micros[inject], buf)
-            # Every stage's microbatch index at tick t is t - stage.
+            # Every stage's microbatch index at tick t is t - stage (for
+            # stage 0 that is t itself, so the same index selects the
+            # microbatch to inject); other stages use the activations
+            # handed over by the previous stage.
             m_idx = jnp.clip(t - stage, 0, num_microbatches - 1)
+            x_in = jnp.where(stage == 0, micros[m_idx], buf)
             pos = pos_micro[m_idx]
             y = run_stage(x_in, pos)
             # Last stage stores its finished microbatch when valid.

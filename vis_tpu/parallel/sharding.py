@@ -32,9 +32,12 @@ def _put(x, mesh: Mesh, spec: P):
     """device_put with a sharding, falling back to replication when the
     dimension does not divide the mesh axis.  Int8 QuantizedWeight leaves
     shard like their q tensor; the per-output-row scales drop the trailing
-    (input) axis of the spec.  Packed int4 QuantizedWeight4 scales keep the
-    full spec (their trailing size-2 axis matches q's packed input axis
-    rank-for-rank and only ever takes a None spec there)."""
+    (input) axis of the spec.  Packed int4 QuantizedWeight4 scales share
+    the q spec on every leading axis but force the trailing axis to None:
+    that axis is the size-2 lo/hi scale pair, and on row-sharded
+    projections (o_proj/down_proj, spec ending in MODEL_AXIS) reusing the
+    q spec would split lo from hi across a tp=2 model axis even though
+    every device's packed-nibble shard needs BOTH halves' scales."""
     from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4
 
     if isinstance(x, QuantizedWeight):
@@ -45,7 +48,7 @@ def _put(x, mesh: Mesh, spec: P):
     if isinstance(x, QuantizedWeight4):
         return QuantizedWeight4(
             q=_put(x.q, mesh, spec),
-            scale=_put(x.scale, mesh, spec),
+            scale=_put(x.scale, mesh, P(*tuple(spec)[:-1], None)),
         )
     try:
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -27,7 +27,6 @@ from vis_tpu.models.common.decoder import DecoderConfig, lm_logits
 from vis_tpu.models.common.layers import (
     causal_mask,
     rms_norm,
-    swiglu_mlp,
 )
 from vis_tpu.models.common import decoder as dec
 from vis_tpu.parallel.mesh import DATA_AXIS
@@ -39,17 +38,15 @@ def _forward_remat(
     config: DecoderConfig, params: Params, embeds: jnp.ndarray,
     positions: jnp.ndarray, mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Decoder forward with per-layer rematerialization (jax.checkpoint)."""
+    """Decoder forward with per-layer rematerialization: exactly the
+    canonical decoder_layer_nocache wrapped in jax.checkpoint, so the
+    trained function is the inference function by construction."""
     cos, sin = dec._position_tables(config, positions)
-
-    def layer_fn(x, layer):
-        h = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
-        attn, _ = dec._attention_block(config, layer, 0, h, cos, sin, None, mask)
-        x = x + attn
-        h = rms_norm(x, layer["post_attn_norm"], config.rms_norm_eps)
-        return x + swiglu_mlp(h, layer["mlp"])
-
-    layer_fn = jax.checkpoint(layer_fn)
+    layer_fn = jax.checkpoint(
+        lambda x, layer: dec.decoder_layer_nocache(
+            config, layer, x, cos, sin, mask
+        )
+    )
     x = embeds
     for layer in params["layers"]:
         x = layer_fn(x, layer)

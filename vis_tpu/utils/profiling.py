@@ -25,17 +25,21 @@ def profiling_enabled() -> bool:
 
 @contextmanager
 def device_trace(phase: str) -> Iterator[None]:
-    """Wall-clock span always; JAX profiler trace when PROFILE_DIR is set."""
+    """JAX profiler trace when PROFILE_DIR is set; no-op otherwise.
+
+    The disabled path is a pure pass-through (no extra span): the pipeline
+    runner wraps every node in this, and phantom spans would pollute the
+    bench's span-tree attribution.  The profiling span is namespaced
+    "profile.<phase>" for the same reason."""
     if not profiling_enabled():
-        with span(phase, logger):
-            yield
+        yield
         return
 
     import jax
 
     trace_dir = Path(config.profile_dir) / (get_request_id() or "session")
     trace_dir.mkdir(parents=True, exist_ok=True)
-    with span(phase, logger):
+    with span(f"profile.{phase}", logger):
         with jax.profiler.trace(str(trace_dir)):
             with jax.profiler.TraceAnnotation(phase):
                 yield
