@@ -449,3 +449,171 @@ def test_quick_questions_and_comparison_endpoint(app_server):
         orig = Image.open(io.BytesIO(resp.read()))
     assert img.width == orig.width * 3 + 16
     assert img.height == orig.height
+
+
+def _run_inspection(app_server, seed=41):
+    """Submit one mock inspection and wait for it to finish; returns rid."""
+    rng = np.random.default_rng(seed)
+    body, ctype = _multipart({
+        "criticality": "low", "image": (f"rev_{seed}.jpg", _jpeg(rng)),
+    })
+    req = urllib.request.Request(
+        f"{app_server}/api/inspect", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        rid = json.loads(resp.read())["request_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if _get_json(f"{app_server}/api/progress/{rid}")["status"] != "running":
+            break
+        time.sleep(0.2)
+    return rid
+
+
+def test_batch_body_admits_full_batch_over_single_file_cap(
+        app_server, monkeypatch):
+    """Round-4 app review: the multipart body cap must admit a full batch of
+    individually-valid files — a cap sized to ONE file rejected every
+    multi-image session totalling over max_file_size_mb."""
+    from vis_tpu.utils.config import get_config
+
+    monkeypatch.setenv("MAX_FILE_SIZE_MB", "1")
+    get_config(reload=True)
+    try:
+        rng = np.random.default_rng(7)
+
+        def _png():
+            # Noise PNG ≈ raw size: 540*540*3 ≈ 0.87 MB, under the 1 MB
+            # per-file limit; four of them exceed the old (1+2) MB body cap.
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (540, 540, 3), dtype=np.uint8)
+            ).save(buf, format="PNG")
+            return buf.getvalue()
+
+        fields = {"criticality": "low"}
+        for i in range(4):
+            fields[f"image{i:03d}"] = (f"big_{i}.png", _png())
+        body, ctype = _multipart(fields)
+        assert len(body) > 3 * 1024 * 1024  # over the old aggregate cap
+        req = urllib.request.Request(
+            f"{app_server}/api/inspect_batch", data=body,
+            headers={"Content-Type": ctype}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            data = json.loads(resp.read())
+        assert data["image_count"] == 4
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            d = _get_json(f"{app_server}/api/session/{data['session_id']}")
+            if d["status"] != "running":
+                break
+            time.sleep(0.3)
+        assert d["status"] == "completed"
+    finally:
+        monkeypatch.delenv("MAX_FILE_SIZE_MB")
+        get_config(reload=True)
+
+
+def test_batch_image_count_cap(app_server):
+    from vis_tpu.app.server import MAX_BATCH_IMAGES
+
+    rng = np.random.default_rng(11)
+    jpeg = _jpeg(rng)
+    fields = {"criticality": "low"}
+    for i in range(MAX_BATCH_IMAGES + 1):
+        fields[f"image{i:03d}"] = (f"n_{i}.jpg", jpeg)
+    body, ctype = _multipart(fields)
+    req = urllib.request.Request(
+        f"{app_server}/api/inspect_batch", data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=60)
+    assert err.value.code == 400
+    assert "too many images" in json.loads(err.value.read())["error"]
+
+
+def test_ui_escapes_untrusted_fields(app_server):
+    """Stored-XSS regression: every model- or user-derived string must pass
+    through esc() before innerHTML (VLM free text, reviewer notes resumed
+    into verdict.reason, DB filenames)."""
+    with urllib.request.urlopen(app_server, timeout=30) as resp:
+        html = resp.read().decode()
+    assert "const esc =" in html
+    for marker in (
+        "${esc(v.reason)}", "${esc(d.location)}", "${esc(d.type)}",
+        "${esc(g.message)}", "${esc(ds.reasoning)}",
+        "${esc(r.image_filename)}", "${esc(r.reason)}",
+        "${esc(s.explanation)}",
+    ):
+        assert marker in html, marker
+    # Multibyte-safe streaming decode + poll retry also pinned here.
+    assert "decoder.decode(value, { stream: true })" in html
+    assert "pollProgress(btn, failures + 1)" in html
+    assert "pollSession(sessionId, btn, failures + 1)" in html
+
+
+class TestChatFailureHandling:
+    def test_unstreamed_chat_error_returns_500_and_persists_nothing(
+            self, app_server, monkeypatch):
+        from vis_tpu.utils.config import get_config
+
+        rid = _run_inspection(app_server, seed=43)
+        monkeypatch.setenv("ENABLE_STREAMING", "false")
+        get_config(reload=True)
+
+        import vis_tpu.agents as agents_mod
+
+        class _Boom:
+            def chat_session_stream(self, *a, **k):
+                raise RuntimeError("engine down")
+
+        monkeypatch.setattr(agents_mod, "get_explainer", lambda: _Boom())
+        try:
+            chat = urllib.request.Request(
+                f"{app_server}/api/chat",
+                data=json.dumps({"request_id": rid, "question": "verdict?"}
+                                ).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(chat, timeout=60)
+            assert err.value.code == 500
+            assert "error" in json.loads(err.value.read())
+
+            from vis_tpu.chat_memory import get_session_history
+
+            assert get_session_history(f"chat-{rid}").get_message_count() == 0
+        finally:
+            monkeypatch.delenv("ENABLE_STREAMING")
+            get_config(reload=True)
+
+    def test_streamed_chat_error_marks_in_band_and_persists_nothing(
+            self, app_server, monkeypatch):
+        rid = _run_inspection(app_server, seed=47)
+
+        import vis_tpu.agents as agents_mod
+
+        class _Partial:
+            def chat_session_stream(self, *a, **k):
+                yield "The verdict was "
+                raise RuntimeError("engine died mid-answer")
+
+        monkeypatch.setattr(agents_mod, "get_explainer", lambda: _Partial())
+        chat = urllib.request.Request(
+            f"{app_server}/api/chat",
+            data=json.dumps({"request_id": rid, "question": "verdict?"}
+                            ).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(chat, timeout=60) as resp:
+            text = resp.read().decode()
+        assert "The verdict was " in text
+        assert "[error: answer generation failed]" in text
+
+        from vis_tpu.chat_memory import get_session_history
+
+        # The truncated turn must NOT pollute the durable history.
+        assert get_session_history(f"chat-{rid}").get_message_count() == 0

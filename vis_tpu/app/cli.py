@@ -125,12 +125,8 @@ def cmd_batch(args: argparse.Namespace) -> int:
 
 def cmd_chat(args: argparse.Namespace) -> int:
     from vis_tpu.agents import get_explainer
-    from vis_tpu.chat_memory import (
-        get_session_history,
-        rewrite_query_with_history,
-    )
+    from vis_tpu.chat_memory import persist_chat_turn, prepare_chat_turn
     from vis_tpu.database import InspectionRepository
-    from vis_tpu.utils.config import config
 
     repo = InspectionRepository()
     record = repo.get_inspection(args.request_id)
@@ -146,35 +142,22 @@ def cmd_chat(args: argparse.Namespace) -> int:
             for d in defects
         )
     )
-    # Mirror the server's chat path (app/server.py): persisted history
-    # rewrites follow-up questions ("where is it?") into standalone form
+    # Same chat-memory flow as the web server (vis_tpu/chat_memory.py):
+    # persisted history rewrites follow-up questions into standalone form
     # and seeds fresh engine sessions; ENABLE_CHAT_MEMORY=false keeps
     # turns stateless and persists nothing.
-    session_id = f"chat-{args.request_id}"
-    history = (
-        get_session_history(session_id) if config.enable_chat_memory
-        else None
+    session_id, history, standalone, history_text = prepare_chat_turn(
+        args.request_id, args.question
     )
-    question = args.question
-    history_text = None
-    if history is not None and history.messages:
-        question = rewrite_query_with_history(question, history.messages)
-        recent = history.messages[-8:]
-        history_text = "\n".join(
-            f"{'User' if m.is_user else 'Assistant'}: {m.content}"
-            for m in recent
-        )
     explainer = get_explainer()
     answer_parts = []
     for chunk in explainer.chat_session_stream(
-        session_id, context, question, history_text=history_text
+        session_id, context, standalone, history_text=history_text
     ):
         answer_parts.append(chunk)
         print(chunk, end="", flush=True)
     print()
-    if history is not None:
-        history.add_user_message(args.question)
-        history.add_ai_message("".join(answer_parts))
+    persist_chat_turn(history, args.question, "".join(answer_parts))
     return 0
 
 

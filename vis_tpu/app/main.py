@@ -66,7 +66,6 @@ def main() -> int:
     parser = argparse.ArgumentParser(description="Vision Inspection System (TPU)")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8501)
-    parser.add_argument("--no-browser-banner", action="store_true")
     args = parser.parse_args()
 
     config = get_config()

@@ -16,7 +16,6 @@ import io
 import json
 import re
 import threading
-import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
@@ -26,7 +25,6 @@ from vis_tpu.app.state import (
     create_session_job,
     get_job,
     get_session_job,
-    list_jobs,
 )
 from vis_tpu.utils.config import config
 from vis_tpu.utils.logger import setup_logger
@@ -35,6 +33,10 @@ from vis_tpu.utils.validators import sanitize_filename
 logger = setup_logger(__name__, level="INFO", component="WEBAPP")
 
 _UI_HTML = (Path(__file__).parent / "ui.html").read_bytes()
+
+# Upper bound on images per batch session (and therefore on the multipart
+# body size a single request may carry).
+MAX_BATCH_IMAGES = 16
 
 
 def _start_inspection(image_path: str, criticality: str, domain: Optional[str],
@@ -178,7 +180,12 @@ class AppHandler(BaseHTTPRequestHandler):
             raise ValueError("missing multipart boundary")
         boundary = match.group(1).strip('"').encode()
         length = int(self.headers.get("Content-Length", 0))
-        if length > (config.max_file_size_mb + 2) * 1024 * 1024:
+        # The aggregate body must admit a full batch of individually-valid
+        # files (per-file size is enforced by validate_image after save);
+        # capping the body at ONE file's limit would reject every multi-
+        # image session over max_file_size_mb total.
+        max_body = (config.max_file_size_mb * MAX_BATCH_IMAGES + 4) * 1024 * 1024
+        if length > max_body:
             raise ValueError("payload too large")
         body = self.rfile.read(length)
         fields: Dict[str, Any] = {}
@@ -242,6 +249,10 @@ class AppHandler(BaseHTTPRequestHandler):
             self._json(self._error_payload(exc), 500)
 
     def do_POST(self) -> None:  # noqa: N802
+        # One handler instance serves many requests on an HTTP/1.1
+        # keep-alive connection: reset the per-REQUEST stream flag here or
+        # a later request's error would be mis-handled as mid-stream.
+        self._stream_started = False
         try:
             path = self.path.split("?")[0]
             if path == "/api/inspect":
@@ -335,6 +346,10 @@ class AppHandler(BaseHTTPRequestHandler):
         ]
         if not images:
             self._json({"error": "no images uploaded"}, 400)
+            return
+        if len(images) > MAX_BATCH_IMAGES:
+            self._json({"error": f"too many images (max {MAX_BATCH_IMAGES})"},
+                       400)
             return
         paths = []
         for image in images:
@@ -554,38 +569,22 @@ class AppHandler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(length))
         request_id = payload.get("request_id", "")
-        question = str(payload.get("question", ""))[:2000]
+        question = str(payload.get("question", ""))
         job = get_job(request_id)
         if job is None or job.state is None:
             self._json({"error": "no completed inspection for chat"}, 404)
             return
 
         from vis_tpu.agents import get_explainer
-        from vis_tpu.chat_memory import get_session_history, rewrite_query_with_history
+        from vis_tpu.chat_memory import persist_chat_turn, prepare_chat_turn
 
-        session_id = f"chat-{request_id}"
         explainer = get_explainer()
-        # ENABLE_CHAT_MEMORY=false: stateless turns, nothing persisted
-        # (reference utils/config.py ENABLE_CHAT_MEMORY).
-        history = (
-            get_session_history(session_id) if config.enable_chat_memory
-            else None
-        )
-        standalone = (
-            rewrite_query_with_history(question, history.messages)
-            if history is not None else question
+        # Shared server/CLI chat-memory flow: truncation, session id,
+        # ENABLE_CHAT_MEMORY gating, standalone rewrite, session seed.
+        session_id, history, standalone, history_text = prepare_chat_turn(
+            request_id, question
         )
         context_block = _chat_context(job.state)
-        # Persisted transcript (last few turns) seeds a FRESH engine
-        # session — after a restart/eviction the device KV is empty and
-        # the SQLite memory is the only copy of the conversation.
-        history_text = None
-        if history is not None and history.messages:
-            recent = history.messages[-8:]
-            history_text = "\n".join(
-                f"{'User' if m.is_user else 'Assistant'}: {m.content}"
-                for m in recent
-            )
 
         answer_parts = []
         if config.enable_streaming:
@@ -619,13 +618,22 @@ class AppHandler(BaseHTTPRequestHandler):
             self.send_header("X-Accel-Buffering", "no")
             self.end_headers()
             self._stream_started = True
+            generation_failed = False
             try:
                 while True:
                     item = chunk_q.get()
                     if item is None:
                         break
                     if isinstance(item, Exception):
+                        # Generation died mid-stream: tell the reader in-band
+                        # (the 200 is already on the wire) and do NOT persist
+                        # the truncated answer below.
                         logger.error(f"Chat generation failed: {item}")
+                        generation_failed = True
+                        data = b"\n[error: answer generation failed]"
+                        self.wfile.write(
+                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                        )
                         break
                     answer_parts.append(item)
                     data = item.encode()
@@ -639,20 +647,26 @@ class AppHandler(BaseHTTPRequestHandler):
                 # completed (or re-attempted) — drop the connection.
                 logger.error(f"Chat streaming failed: {exc}")
                 self.close_connection = True
+                generation_failed = True
         else:
             # ENABLE_STREAMING=false: buffer and send in one response.
+            generation_failed = False
             try:
                 answer_parts = list(explainer.chat_session_stream(
                     session_id, context_block, standalone,
                     history_text=history_text,
                 ))
             except Exception as exc:
-                logger.error(f"Chat failed: {exc}")
+                logger.error(f"Chat failed: {exc}", exc_info=True)
+                self._json(self._error_payload(exc), 500)
+                return
             self._send(200, "".join(answer_parts).encode(),
                        "text/plain; charset=utf-8")
-        if history is not None:
-            history.add_user_message(question)
-            history.add_ai_message("".join(answer_parts))
+        # Persist only complete turns: an errored/truncated answer in the
+        # durable history would pollute rewrite_query_with_history and the
+        # history_text seed of every later turn in this conversation.
+        if not generation_failed:
+            persist_chat_turn(history, question, "".join(answer_parts))
 
 
 def serve(host: str = "0.0.0.0", port: int = 8501) -> ThreadingHTTPServer:

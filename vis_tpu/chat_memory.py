@@ -15,7 +15,7 @@ import time
 from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from vis_tpu.utils.config import config
 from vis_tpu.utils.logger import setup_logger
@@ -279,11 +279,62 @@ def get_session_history(session_id: str) -> SQLiteChatHistory:
     return get_memory_manager().get_history(session_id)
 
 
+#: Hard cap on one chat question (shared by the web API and the CLI).
+MAX_CHAT_QUESTION_CHARS = 2000
+#: How many persisted turns seed a fresh engine session after restart.
+HISTORY_SEED_TURNS = 8
+
+
+def prepare_chat_turn(
+    request_id: str, question: str,
+) -> Tuple[str, Optional[SQLiteChatHistory], str, Optional[str]]:
+    """One chat-memory entry flow shared by the web server and the CLI.
+
+    Returns ``(session_id, history, standalone_question, history_text)``:
+    the per-inspection session id, the SQLite history (None when
+    ENABLE_CHAT_MEMORY=false — stateless turns, nothing persisted), the
+    question rewritten standalone against the history, and the last few
+    persisted turns formatted to seed a FRESH engine session (after a
+    restart/eviction the device KV is empty and the SQLite memory is the
+    only copy of the conversation).
+    """
+    from vis_tpu.utils.config import config
+
+    question = str(question)[:MAX_CHAT_QUESTION_CHARS]
+    session_id = f"chat-{request_id}"
+    history = (
+        get_session_history(session_id) if config.enable_chat_memory else None
+    )
+    standalone = question
+    history_text = None
+    if history is not None and history.messages:
+        standalone = rewrite_query_with_history(question, history.messages)
+        recent = history.messages[-HISTORY_SEED_TURNS:]
+        history_text = "\n".join(
+            f"{'User' if m.is_user else 'Assistant'}: {m.content}"
+            for m in recent
+        )
+    return session_id, history, standalone, history_text
+
+
+def persist_chat_turn(
+    history: Optional[SQLiteChatHistory], question: str, answer: str,
+) -> None:
+    """Persist one COMPLETE turn; no-op for stateless or empty/failed turns
+    (a truncated answer in the durable history would pollute every later
+    rewrite and session seed)."""
+    if history is not None and answer:
+        history.add_user_message(str(question)[:MAX_CHAT_QUESTION_CHARS])
+        history.add_ai_message(answer)
+
+
 __all__ = [
     "ChatMessage",
     "SQLiteChatHistory",
     "ChatMemoryManager",
     "rewrite_query_with_history",
+    "prepare_chat_turn",
+    "persist_chat_turn",
     "get_memory_manager",
     "get_session_history",
     "ROLE_USER",
