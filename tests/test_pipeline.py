@@ -434,3 +434,91 @@ class TestReviewFixesR4:
         ]
         ids = {d.defect_id for d in defects}
         assert len(ids) == 50
+
+
+class TestReportingReviewFixesR4:
+    """Regressions pinned by the round-4 reporting/database review pass."""
+
+    def test_explainer_prompt_format_parses_into_four_sections(self):
+        # The parser must recognize the system's OWN explainer headers
+        # (utils/prompts.py EXPLAINER_PROMPT) — before the fix the whole
+        # text collapsed into SUMMARY and the PDF rendered it twice.
+        from vis_tpu.reporting import parse_explanation_sections
+
+        text = (
+            "EXECUTIVE SUMMARY\n"
+            "The bracket was inspected by two models; verdict UNSAFE.\n\n"
+            "INSPECTION DETAILS\n"
+            "Inspector Findings: one corrosion defect.\n"
+            "Auditor Findings: confirmed.\n"
+            "Agreement: high.\n\n"
+            "DEFECT ANALYSIS\n"
+            "1. corrosion at lower right quadrant (MODERATE).\n\n"
+            "FINAL RECOMMENDATION\n"
+            "Verdict: UNSAFE\nAction Required: repair."
+        )
+        sections = parse_explanation_sections(text)
+        assert set(sections) == {
+            "EXECUTIVE SUMMARY", "INSPECTION DETAILS",
+            "DEFECT ANALYSIS", "FINAL RECOMMENDATION",
+        }
+        # No duplicated full-text SUMMARY, and sections split cleanly.
+        assert "FINAL RECOMMENDATION" not in sections["EXECUTIVE SUMMARY"]
+        assert sections["DEFECT ANALYSIS"].startswith("1. corrosion")
+
+    def test_freeform_text_still_synthesizes_summary(self):
+        from vis_tpu.reporting import parse_explanation_sections
+
+        sections = parse_explanation_sections(
+            "Just prose with no headers. More prose. And more. " * 10
+        )
+        assert "SUMMARY" in sections or "EXECUTIVE SUMMARY" in sections
+
+    def test_pdf_transliterates_unicode_punctuation(self):
+        # Model text routinely carries em-dashes/curly quotes/ellipses;
+        # the latin-1 writer must render visual equivalents, not '?'.
+        from vis_tpu.reporting.pdf import _escape, string_width
+
+        s = "temperature 40°C — replace ‘part’ … → done"
+        out = _escape(s)
+        assert "?" not in out
+        assert "--" in out and "->" in out and "..." in out
+        # Measurement matches what renders: width of the transliterated
+        # string equals width of the original (same code path).
+        assert string_width(s) == string_width(
+            "temperature 40°C -- replace 'part' ... -> done"
+        )
+
+    def test_repository_schema_survives_db_rotation(self, tmp_path, monkeypatch):
+        # Deleting/rotating the DB file must not leave a tableless DB
+        # behind the schema cache (writes would fail until restart).
+        monkeypatch.setenv("DATABASE_PATH", str(tmp_path / "rot.db"))
+        from vis_tpu.utils.config import get_config
+
+        get_config(reload=True)
+        try:
+            from vis_tpu.database import InspectionRepository
+
+            repo = InspectionRepository()
+            repo.get_inspection_count()  # initializes schema + cache
+            (tmp_path / "rot.db").unlink()
+            repo2 = InspectionRepository()
+            assert repo2.get_inspection_count() == 0  # tables recreated
+        finally:
+            monkeypatch.delenv("DATABASE_PATH")
+            get_config(reload=True)
+
+    def test_safety_rules_cache_tracks_mtime(self, tmp_path):
+        import os
+        from vis_tpu.safety.gates import load_safety_rules
+
+        rules = tmp_path / "rules.yaml"
+        rules.write_text("domains:\n  general:\n    max_cosmetic_defects: 3\n")
+        first = load_safety_rules(rules)
+        assert first["domains"]["general"]["max_cosmetic_defects"] == 3
+        # Same mtime -> cached object.
+        assert load_safety_rules(rules) is first
+        rules.write_text("domains:\n  general:\n    max_cosmetic_defects: 7\n")
+        os.utime(rules, ns=(1, 1))  # force a distinct mtime
+        assert load_safety_rules(rules)["domains"]["general"][
+            "max_cosmetic_defects"] == 7

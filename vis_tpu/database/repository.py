@@ -76,14 +76,20 @@ class InspectionRepository:
 
     def _ensure_schema(self) -> None:
         with _init_lock:
-            if self.db_path in _initialized_paths:
+            # Key the cache on the RESOLVED path and bypass it when the file
+            # is gone: a rotated/deleted DB (or a chdir moving a relative
+            # path) would otherwise be recreated empty by sqlite3.connect
+            # while the early-return skips the DDL, and every write after
+            # that fails with 'no such table'.
+            resolved = str(Path(self.db_path).resolve())
+            if resolved in _initialized_paths and Path(resolved).exists():
                 return
             with self._connect() as conn:
                 conn.execute(INSPECTIONS_DDL)
                 conn.execute(DEFECTS_DDL)
                 for ddl in INDEX_DDL:
                     conn.execute(ddl)
-            _initialized_paths.add(self.db_path)
+            _initialized_paths.add(resolved)
 
     # -- writes ---------------------------------------------------------
     def create_inspection(

@@ -49,11 +49,35 @@ FONTS = {
 }
 
 
+# Common model-output unicode that base-14 latin-1 fonts cannot encode,
+# mapped to visual equivalents instead of '?' artifacts.  Applied both when
+# rendering (_escape) and when measuring (string_width) so centered text and
+# wrap budgets match what actually prints.
+_TRANSLIT_TABLE = {
+    0x2010: "-", 0x2011: "-", 0x2012: "-", 0x2013: "-", 0x2014: "--",
+    0x2015: "--", 0x2212: "-",
+    0x2018: "'", 0x2019: "'", 0x201A: "'", 0x2032: "'",
+    0x201C: '"', 0x201D: '"', 0x201E: '"', 0x2033: '"',
+    0x2022: "\xb7", 0x25CF: "\xb7", 0x25E6: "\xb7",
+    0x2026: "...",
+    0x2190: "<-", 0x2192: "->",
+    0x2264: "<=", 0x2265: ">=", 0x2260: "!=", 0x2248: "~",
+    0x00A0: " ", 0x202F: " ", 0x2009: " ",
+    0x03BC: "\xb5",
+    0x2713: "*", 0x2714: "*", 0x2717: "x", 0x2718: "x",
+}
+
+
+def _transliterate(text: str) -> str:
+    return text.translate(_TRANSLIT_TABLE)
+
+
 def string_width(text: str, font: str = "Helvetica", size: float = 10.0) -> float:
-    """Width of `text` in points using AFM metrics (non-ASCII ≈ 600/1000 em)."""
+    """Width of `text` in points using AFM metrics (non-ASCII ≈ 600/1000 em),
+    measured AFTER the same transliteration the renderer applies."""
     widths = FONTS.get(font, _HELV_WIDTHS)
     total = 0
-    for ch in text:
+    for ch in _transliterate(text):
         code = ord(ch)
         if 32 <= code <= 126:
             total += widths[code - 32]
@@ -94,8 +118,9 @@ def wrap_text(
 
 
 def _escape(text: str) -> str:
-    out = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-    # Strip non-latin1 characters (base-14 fonts are WinAnsi-ish).
+    out = _transliterate(text)
+    out = out.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    # Strip whatever non-latin1 remains (base-14 fonts are WinAnsi-ish).
     return out.encode("latin-1", errors="replace").decode("latin-1")
 
 

@@ -22,8 +22,17 @@ from vis_tpu.utils.logger import setup_logger
 
 logger = setup_logger(__name__, level="INFO", component="REPORTING")
 
-# Section-name normalization used across all parsing strategies.
+# Section-name normalization used across all parsing strategies.  The first
+# four entries are the system's OWN explainer headers (utils/prompts.py
+# EXPLAINER_PROMPT emits EXECUTIVE SUMMARY / INSPECTION DETAILS / DEFECT
+# ANALYSIS / FINAL RECOMMENDATION) — without them every in-house report
+# collapsed into SUMMARY and the PDF rendered the explanation twice.
+# Order matters: specific names before the generic "summary" catch-all.
 _SECTION_PATTERNS: List[Tuple[str, List[str]]] = [
+    ("EXECUTIVE SUMMARY", ["executive summary"]),
+    ("INSPECTION DETAILS", ["inspection details"]),
+    ("DEFECT ANALYSIS", ["defect analysis"]),
+    ("FINAL RECOMMENDATION", ["final recommendation"]),
     ("REASONING CHAINS", ["reasoning chains", "reasoning chain"]),
     ("INSPECTOR ANALYSIS", ["inspector analysis", "inspector:"]),
     ("AUDITOR VERIFICATION", ["auditor verification", "auditor:"]),
@@ -37,6 +46,8 @@ _SECTION_PATTERNS: List[Tuple[str, List[str]]] = [
 _KEYWORD_SECTIONS: Dict[str, List[str]] = {
     "EXECUTIVE SUMMARY": ["executive summary", "summary", "overview",
                            "inspection summary"],
+    "INSPECTION DETAILS": ["inspection details"],
+    "DEFECT ANALYSIS": ["defect analysis", "defect details"],
     "KEY TAKEAWAYS": ["key takeaways", "key findings", "highlights",
                        "main points", "takeaways"],
     "RECOMMENDATIONS": ["recommendations", "recommended actions", "next steps",
@@ -122,7 +133,10 @@ def parse_explanation_sections(explanation: str) -> Dict[str, str]:
                 if buffer:
                     buffer.append("")
                 continue
-            clean = _strip_md(stripped).replace(":", "").strip()
+            # Match BEFORE stripping colons: patterns like "inspector:" can
+            # only ever match the raw line (the _is_header_line remainder
+            # strip tolerates a trailing colon on plain headers).
+            clean = _strip_md(stripped).strip()
             lower = clean.lower()
             matched = None
             for sname, patterns in _SECTION_PATTERNS:
@@ -175,7 +189,11 @@ def parse_explanation_sections(explanation: str) -> Dict[str, str]:
         if name not in sections or len(content) > len(sections.get(name, "")):
             sections[name] = content
 
-    if not sections or "SUMMARY" not in sections:
+    # Synthesize a SUMMARY from leading sentences only when NO summary-like
+    # section was parsed — duplicating an EXECUTIVE SUMMARY would render the
+    # same explanation twice in the PDF.
+    if not sections or not ("SUMMARY" in sections
+                            or "EXECUTIVE SUMMARY" in sections):
         sentences = explanation.split(".")
         summary = ". ".join(sentences[:5]).strip() or explanation[:500]
         sections["SUMMARY"] = _strip_md(summary)
@@ -485,7 +503,8 @@ class InspectionReport:
 
         # Explanation sections
         sections = parse_explanation_sections(state.get("explanation") or "")
-        order = ["EXECUTIVE SUMMARY", "SUMMARY", "INSPECTOR ANALYSIS",
+        order = ["EXECUTIVE SUMMARY", "SUMMARY", "INSPECTION DETAILS",
+                 "DEFECT ANALYSIS", "INSPECTOR ANALYSIS",
                  "AUDITOR VERIFICATION", "REASONING CHAINS", "KEY TAKEAWAYS",
                  "RECOMMENDATIONS", "FINAL RECOMMENDATION", "COUNTERFACTUAL"]
         seen = set()

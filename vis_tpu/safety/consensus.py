@@ -57,6 +57,10 @@ def analyze_consensus(
                 f"auditor={auditor_result.overall_confidence}); forcing disagreement"
             )
             type_agreement = 0.0
+            # Reference-parity (consensus.py:70): the forced override can
+            # yield a "Inspector says 'good', Auditor says 'good'"
+            # disagreement message when both conditions match — kept
+            # bit-identical; Gate 3 embeds it verbatim.
             conditions_agree = False
 
     count_diff = abs(n_inspector - n_auditor)

@@ -24,6 +24,7 @@ Gate order and outcomes:
 
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -75,13 +76,31 @@ CRITICAL_LOW_AGREEMENT = 0.5
 CLEAN_AGREEMENT_FLOOR = 0.8
 
 
+_rules_cache: Dict[Any, Tuple[float, Dict[str, Any]]] = {}
+_rules_lock = threading.Lock()
+
+
 def load_safety_rules(path: Optional[Path] = None) -> Dict[str, Any]:
-    """Load domain rules / agent-trust settings from YAML; {} when absent."""
+    """Load domain rules / agent-trust settings from YAML; {} when absent.
+
+    Cached per (path, mtime): evaluate_safety runs on every inspection and
+    must not pay a YAML parse per verdict; editing the rules file still
+    takes effect on the next inspection via the mtime check.
+    """
     rules_path = path or SAFETY_RULES_PATH
     try:
         if rules_path.exists():
+            mtime = rules_path.stat().st_mtime_ns
+            key = str(rules_path)
+            with _rules_lock:
+                cached = _rules_cache.get(key)
+                if cached is not None and cached[0] == mtime:
+                    return cached[1]
             with open(rules_path) as fh:
-                return yaml.safe_load(fh) or {}
+                rules = yaml.safe_load(fh) or {}
+            with _rules_lock:
+                _rules_cache[key] = (mtime, rules)
+            return rules
     except Exception as exc:  # malformed rules never crash the gate engine
         logger.warning(f"Could not load safety rules from {rules_path}: {exc}")
     return {}
@@ -213,6 +232,10 @@ class SafetyGateEngine:
                     )
                     continue
 
+            # Reference-parity (gates.py:218): low-confidence defects drop
+            # REGARDLESS of severity on non-high criticality — deliberately
+            # kept bit-identical even though it can drop a low-confidence
+            # CRITICAL finding; the verdict contract owns this tradeoff.
             if defect.confidence == "low" and context.criticality != "high":
                 logger.debug(
                     f"Dropping low-confidence defect '{defect.type}' "
@@ -220,7 +243,7 @@ class SafetyGateEngine:
                 )
                 continue
 
-            non_critical = defect.safety_impact in ("MODERATE", "COSMETIC", "MINOR")
+            non_critical = defect.safety_impact in ("MODERATE", "COSMETIC")
             if non_critical:
                 # FP strategy 1: a model confidently declared the image clean.
                 if inspector_clean_high or auditor_clean_high:
@@ -338,6 +361,9 @@ class SafetyGateEngine:
             logger.warning(f"Gate 1 FAILED: {len(critical)} critical defects")
 
         # Gate 2 — domain zero tolerance --------------------------------
+        # Reference-parity (gates.py:366): zero-tolerance types only block
+        # when the domain ALSO sets require_human_review_always — domains
+        # with the flag false keep their list advisory, bit-identically.
         flagged = [d for d in defects if self._flagged_for_domain(d.type, context.domain)]
         gate2_passed = not (flagged and domain_rules.get("require_human_review_always", False))
         gate2 = GateResult(
@@ -659,6 +685,9 @@ class SafetyGateEngine:
                     },
                 )
 
+            # Reference-parity (gates.py:724): GATE_7 is appended as a
+            # "safe indicator" on the cosmetic-only SAFE path even though
+            # the gate itself recorded FAIL ("N valid defects found").
             triggered.append(GATE_NO_DEFECTS)
             logger.info(
                 f"Only cosmetic defects ({len(cosmetic)}) on {context.criticality} "
