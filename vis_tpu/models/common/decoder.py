@@ -625,7 +625,15 @@ def _extend_chunk(
     """Shared body of extend_scan / verify_scan: run a padded chunk through
     the stacked layers attending jointly over valid cached KV + the causal
     chunk, write the chunk's K/V at each row's cursor, and return the
-    final-norm hidden states [b, s, h] with the advanced cache."""
+    final-norm hidden states [b, s, h] with the advanced cache.
+
+    OVERRUN CONTRACT: the write is a dynamic_update_slice of the WHOLE
+    padded chunk at the cursor; XLA CLAMPS a start index that does not fit
+    (cursor + s_pad > max_len) backward over the newest valid KV instead of
+    erroring — silent corruption.  Every caller must budget against the
+    padded chunk length host-side BEFORE dispatch (engine chat turns, the
+    +32 lookahead slack in generate_stream, and the prefix-suffix fit check
+    all do; cite those guards when adding a new call site)."""
     s = input_embeds.shape[1]
     cos, sin = _position_tables(config, positions)
     max_len = cache.k.shape[2]
@@ -775,6 +783,136 @@ def decode_step_scan(
     return logits, KVCache(k=k_buf, v=v_buf, lengths=cache.lengths + 1)
 
 
+def _dense_token_step(
+    config: DecoderConfig,
+    params: Params,
+    token: jnp.ndarray,
+    pos_vec: jnp.ndarray,
+    k_buf: jnp.ndarray,
+    v_buf: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused decode step over a DENSE cache, shared by every decode-loop
+    variant (greedy / sampled / constrained): embed the chosen token [b],
+    scan the stacked layers reading valid cached KV (cursor-masked), and
+    write all layers' new K/V at the per-row cursors in one fused update.
+    Returns (new_logits, k_buf, v_buf); the caller advances `lengths`."""
+    b = token.shape[0]
+    if config.mrope_section is not None:
+        positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
+    else:
+        positions = pos_vec[:, None]
+    cos, sin = _position_tables(config, positions)
+    x = embed(token[:, None], params["embed_tokens"])
+    cache_mask = cache_key_mask(lengths, k_buf.shape[2])
+
+    def body(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        x, k, v = _layer_body(
+            config, x, layer, cos, sin, None, ck, cv, cache_mask
+        )
+        return x, (k, v)
+
+    x, (k_new, v_new) = lax.scan(
+        body, x, (params["layers_stacked"], k_buf, v_buf)
+    )
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = lm_logits(config, params, x)[:, 0]
+    k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
+    return logits, k_buf, v_buf
+
+
+def _paged_token_step(
+    config: DecoderConfig,
+    params: Params,
+    token: jnp.ndarray,
+    pos_vec: jnp.ndarray,
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    page_tables: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """_dense_token_step's PAGED twin: each layer gathers the slot's pages
+    into a [slots, max_pages*page] key window (masked past each cursor) and
+    the new K/V lands at (page_tables[i, len//page], len % page) with one
+    fused scatter across layers.  Returns (new_logits, pool_k, pool_v)."""
+    slots, max_pages = page_tables.shape
+    page = pool_k.shape[2]
+    width = max_pages * page
+    if config.mrope_section is not None:
+        positions = jnp.broadcast_to(pos_vec[None, :, None], (3, slots, 1))
+    else:
+        positions = pos_vec[:, None]
+    cos, sin = _position_tables(config, positions)
+    x = embed(token[:, None], params["embed_tokens"])
+    cache_mask = cache_key_mask(lengths, width)
+
+    def body(x, layer_and_pool):
+        layer, pk, pv = layer_and_pool  # pk/pv: [n_pages, page, kvh, hd]
+        ck = pk[page_tables].reshape(slots, width, *pk.shape[2:])
+        cv = pv[page_tables].reshape(slots, width, *pv.shape[2:])
+        x, k, v = _layer_body(
+            config, x, layer, cos, sin, None, ck, cv, cache_mask
+        )
+        return x, (k, v)
+
+    x, (k_new, v_new) = lax.scan(
+        body, x, (params["layers_stacked"], pool_k, pool_v)
+    )
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = lm_logits(config, params, x)[:, 0]
+
+    rows = jnp.arange(slots)
+    page_idx = page_tables[rows, lengths // page]
+    offset = lengths % page
+    pool_k = pool_k.at[:, page_idx, offset].set(
+        encode_kv(k_new[:, :, 0], pool_k.dtype)
+    )
+    pool_v = pool_v.at[:, page_idx, offset].set(
+        encode_kv(v_new[:, :, 0], pool_v.dtype)
+    )
+    return logits, pool_k, pool_v
+
+
+def _eos_while_loop(b, num_steps, eos_id, budget, init_inner, step_fn):
+    """The device-side early-exit scaffold shared by every eos-aware decode
+    loop: run `step_fn(inner_carry, step_idx) -> (inner_carry, token)` until
+    every row has emitted EOS or spent its per-row `budget` (rows with
+    budget<=0 start done: inactive scheduler slots).  Token slots past a
+    row's EOS read eos_id.  Returns (tokens [b, num_steps], final inner
+    carry tuple).
+
+    CURSOR CONTRACT: done rows keep stepping (their recorded token is
+    masked to eos_id, but the model still runs and their KV cursor still
+    ADVANCES past garbage writes) — callers that chain chunks on the
+    returned cache/lengths must rewind done rows host-side first
+    (serving.scheduler._postprocess_chunk and the engine's chunked decode
+    both do).  decode_loop_lookahead instead freezes done rows' cursors on
+    device; see its docstring for why the contract differs there."""
+    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
+    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
+
+    def cond(carry):
+        return (carry[0] < num_steps) & ~jnp.all(carry[1])
+
+    def while_body(carry):
+        step_idx, done, tokens = carry[0], carry[1], carry[2]
+        inner, token = step_fn(carry[3:], step_idx)
+        token = jnp.where(done, eos_id, token)
+        tokens = lax.dynamic_update_slice(
+            tokens, token[:, None], (0, step_idx)
+        )
+        done = done | (token == eos_id)
+        if budget is not None:
+            done = done | (step_idx + 1 >= budget)
+        return (step_idx + 1, done, tokens) + tuple(inner)
+
+    out = lax.while_loop(
+        cond, while_body, (jnp.int32(0), done0, tokens0) + tuple(init_inner)
+    )
+    return out[2], out[3:]
+
+
 def decode_loop_scan(
     config: DecoderConfig,
     params: Params,
@@ -807,79 +945,25 @@ def decode_loop_scan(
     """
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
-    max_len = cache.k.shape[2]
 
-    def forward(logits, k_buf, v_buf, lengths, step_idx):
+    def step(carry, step_idx):
+        logits, k_buf, v_buf, lengths = carry
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        pos_vec = start_vec + step_idx
-        if config.mrope_section is not None:
-            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
-        else:
-            positions = pos_vec[:, None]
-        cos, sin = _position_tables(config, positions)
-        x = embed(token[:, None], params["embed_tokens"])
-
-        cache_mask = cache_key_mask(lengths, max_len)
-
-        def body(x, layer_and_cache):
-            layer, ck, cv = layer_and_cache
-            x, k, v = _layer_body(
-                config, x, layer, cos, sin, None, ck, cv, cache_mask
-            )
-            return x, (k, v)
-
-        x, (k_new, v_new) = lax.scan(
-            body, x, (params["layers_stacked"], k_buf, v_buf)
+        logits, k_buf, v_buf = _dense_token_step(
+            config, params, token, start_vec + step_idx, k_buf, v_buf, lengths
         )
-        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        new_logits = lm_logits(config, params, x)[:, 0]
+        return (logits, k_buf, v_buf, lengths + 1), token
 
-        # Fused write of all layers' new K/V at the per-row cursors.
-        k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
-        return token, new_logits, k_buf, v_buf, lengths + 1
-
+    init = (first_logits, cache.k, cache.v, cache.lengths)
     if eos_id is None:
-        def step(carry, step_idx):
-            logits, k_buf, v_buf, lengths = carry
-            token, logits, k_buf, v_buf, lengths = forward(
-                logits, k_buf, v_buf, lengths, step_idx
-            )
-            return (logits, k_buf, v_buf, lengths), token
-
         (logits, k_buf, v_buf, lengths), tokens = lax.scan(
-            step, (first_logits, cache.k, cache.v, cache.lengths),
-            jnp.arange(num_steps),
+            step, init, jnp.arange(num_steps)
         )
         cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
         return tokens.T, logits, cache  # tokens: [steps, b] -> [b, steps]
 
-    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
-    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
-
-    def cond(carry):
-        step_idx, done = carry[0], carry[1]
-        return (step_idx < num_steps) & ~jnp.all(done)
-
-    def while_body(carry):
-        step_idx, done, logits, k_buf, v_buf, lengths, tokens = carry
-        token, logits, k_buf, v_buf, lengths = forward(
-            logits, k_buf, v_buf, lengths, step_idx
-        )
-        token = jnp.where(done, eos_id, token)
-        tokens = lax.dynamic_update_slice(
-            tokens, token[:, None], (0, step_idx)
-        )
-        done = done | (token == eos_id)
-        if budget is not None:
-            done = done | (step_idx + 1 >= budget)
-        return (step_idx + 1, done, logits, k_buf, v_buf, lengths, tokens)
-
-    (_, _, logits, k_buf, v_buf, lengths, tokens) = lax.while_loop(
-        cond,
-        while_body,
-        (jnp.int32(0), done0, first_logits, cache.k, cache.v,
-         cache.lengths, tokens0),
-    )
+    tokens, final = _eos_while_loop(b, num_steps, eos_id, budget, init, step)
+    logits, k_buf, v_buf, lengths = final[:4]
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
     return tokens, logits, cache
 
@@ -1033,79 +1117,26 @@ def decode_loop_scan_sampled(
     decode_loop_scan)."""
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
-    max_len = cache.k.shape[2]
 
-    def forward(logits, k_buf, v_buf, lengths, key, step_idx):
+    def step(carry, step_idx):
+        logits, k_buf, v_buf, lengths, key = carry
         key, sub = jax.random.split(key)
         token = gumbel_sample_token(logits, sub, temperature)
-        pos_vec = start_vec + step_idx
-        if config.mrope_section is not None:
-            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
-        else:
-            positions = pos_vec[:, None]
-        cos, sin = _position_tables(config, positions)
-        x = embed(token[:, None], params["embed_tokens"])
-
-        cache_mask = cache_key_mask(lengths, max_len)
-
-        def body(x, layer_and_cache):
-            layer, ck, cv = layer_and_cache
-            x, k, v = _layer_body(
-                config, x, layer, cos, sin, None, ck, cv, cache_mask
-            )
-            return x, (k, v)
-
-        x, (k_new, v_new) = lax.scan(
-            body, x, (params["layers_stacked"], k_buf, v_buf)
+        logits, k_buf, v_buf = _dense_token_step(
+            config, params, token, start_vec + step_idx, k_buf, v_buf, lengths
         )
-        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        new_logits = lm_logits(config, params, x)[:, 0]
-        k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
-        return token, new_logits, k_buf, v_buf, lengths + 1, key
+        return (logits, k_buf, v_buf, lengths + 1, key), token
 
+    init = (first_logits, cache.k, cache.v, cache.lengths, key)
     if eos_id is None:
-        def step(carry, step_idx):
-            logits, k_buf, v_buf, lengths, key = carry
-            token, logits, k_buf, v_buf, lengths, key = forward(
-                logits, k_buf, v_buf, lengths, key, step_idx
-            )
-            return (logits, k_buf, v_buf, lengths, key), token
-
         (logits, k_buf, v_buf, lengths, key), tokens = lax.scan(
-            step,
-            (first_logits, cache.k, cache.v, cache.lengths, key),
-            jnp.arange(num_steps),
+            step, init, jnp.arange(num_steps)
         )
         cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
         return tokens.T, logits, cache, key
 
-    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
-
-    def cond(carry):
-        return (carry[0] < num_steps) & ~jnp.all(carry[1])
-
-    def while_body(carry):
-        step_idx, done, logits, k_buf, v_buf, lengths, key, tokens = carry
-        token, logits, k_buf, v_buf, lengths, key = forward(
-            logits, k_buf, v_buf, lengths, key, step_idx
-        )
-        token = jnp.where(done, eos_id, token)
-        tokens = lax.dynamic_update_slice(
-            tokens, token[:, None], (0, step_idx)
-        )
-        done = done | (token == eos_id)
-        if budget is not None:
-            done = done | (step_idx + 1 >= budget)
-        return (step_idx + 1, done, logits, k_buf, v_buf, lengths, key,
-                tokens)
-
-    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
-    (_, _, logits, k_buf, v_buf, lengths, key, tokens) = lax.while_loop(
-        cond,
-        while_body,
-        (jnp.int32(0), done0, first_logits, cache.k,
-         cache.v, cache.lengths, key, tokens0),
-    )
+    tokens, final = _eos_while_loop(b, num_steps, eos_id, budget, init, step)
+    logits, k_buf, v_buf, lengths, key = final[:5]
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
     return tokens, logits, cache, key
 
@@ -1292,10 +1323,9 @@ def decode_loop_scan_constrained(
     decode_loop_scan)."""
     b = first_logits.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (b,))
-    max_len = cache.k.shape[2]
     sampled = key is not None
 
-    def forward(carry, step_idx):
+    def step(carry, step_idx):
         if sampled:
             logits, k_buf, v_buf, lengths, con, rng = carry
             rng, sub = jax.random.split(rng)
@@ -1306,29 +1336,9 @@ def decode_loop_scan_constrained(
         else:
             logits, k_buf, v_buf, lengths, con = carry
             token, con = constrained_argmax(logits, con)
-        pos_vec = start_vec + step_idx
-        if config.mrope_section is not None:
-            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, b, 1))
-        else:
-            positions = pos_vec[:, None]
-        cos, sin = _position_tables(config, positions)
-        x = embed(token[:, None], params["embed_tokens"])
-
-        cache_mask = cache_key_mask(lengths, max_len)
-
-        def body(x, layer_and_cache):
-            layer, ck, cv = layer_and_cache
-            x, k, v = _layer_body(
-                config, x, layer, cos, sin, None, ck, cv, cache_mask
-            )
-            return x, (k, v)
-
-        x, (k_new, v_new) = lax.scan(
-            body, x, (params["layers_stacked"], k_buf, v_buf)
+        logits, k_buf, v_buf = _dense_token_step(
+            config, params, token, start_vec + step_idx, k_buf, v_buf, lengths
         )
-        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        logits = lm_logits(config, params, x)[:, 0]
-        k_buf, v_buf = _write_new_kv(k_buf, v_buf, k_new, v_new, lengths)
         if sampled:
             return (logits, k_buf, v_buf, lengths + 1, con, rng), token
         return (logits, k_buf, v_buf, lengths + 1, con), token
@@ -1338,35 +1348,13 @@ def decode_loop_scan_constrained(
         init = init + (key,)
 
     if eos_id is None:
-        carry, tokens = lax.scan(forward, init, jnp.arange(num_steps))
+        carry, tokens = lax.scan(step, init, jnp.arange(num_steps))
         logits, k_buf, v_buf, lengths, constraint = carry[:5]
         cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
         return tokens.T, logits, cache, constraint
 
-    tokens0 = jnp.full((b, num_steps), eos_id, jnp.int32)
-
-    def cond(carry):
-        return (carry[0] < num_steps) & ~jnp.all(carry[1])
-
-    def while_body(carry):
-        step_idx, done, tokens = carry[0], carry[1], carry[2]
-        inner, token = forward(carry[3:], step_idx)
-        token = jnp.where(done, eos_id, token)
-        tokens = lax.dynamic_update_slice(
-            tokens, token[:, None], (0, step_idx)
-        )
-        done = done | (token == eos_id)
-        if budget is not None:
-            done = done | (step_idx + 1 >= budget)
-        return (step_idx + 1, done, tokens) + inner
-
-    done0 = jnp.zeros((b,), bool) if budget is None else (budget <= 0)
-    out = lax.while_loop(
-        cond, while_body,
-        (jnp.int32(0), done0, tokens0) + init,
-    )
-    tokens = out[2]
-    logits, k_buf, v_buf, lengths, constraint = out[3:8]
+    tokens, final = _eos_while_loop(b, num_steps, eos_id, budget, init, step)
+    logits, k_buf, v_buf, lengths, constraint = final[:5]
     cache = KVCache(k=k_buf, v=v_buf, lengths=lengths)
     return tokens, logits, cache, constraint
 
@@ -1405,83 +1393,29 @@ def decode_loop_paged(
     not slots x max_len).  New K/V are written at (page_tables[i, len//page],
     len % page) with one fused scatter across layers.
     """
-    slots, max_pages = page_tables.shape
-    page = pool_k.shape[2]
-    width = max_pages * page
+    slots = page_tables.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (slots,))
 
     def step(carry, step_idx):
         logits, pool_k, pool_v, lengths = carry
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        pos_vec = start_vec + step_idx
-        if config.mrope_section is not None:
-            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, slots, 1))
-        else:
-            positions = pos_vec[:, None]
-        cos, sin = _position_tables(config, positions)
-        x = embed(token[:, None], params["embed_tokens"])
-
-        cache_mask = cache_key_mask(lengths, width)
-
-        def body(x, layer_and_pool):
-            layer, pk, pv = layer_and_pool  # pk/pv: [n_pages, page, kvh, hd]
-            ck = pk[page_tables].reshape(slots, width, *pk.shape[2:])
-            cv = pv[page_tables].reshape(slots, width, *pv.shape[2:])
-            x, k, v = _layer_body(
-                config, x, layer, cos, sin, None, ck, cv, cache_mask
-            )
-            return x, (k, v)
-
-        x, (k_new, v_new) = lax.scan(
-            body, x, (params["layers_stacked"], pool_k, pool_v)
-        )
-        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        logits = lm_logits(config, params, x)[:, 0]
-
-        # Fused paged write: page + offset per slot from the cursor.
-        rows = jnp.arange(slots)
-        page_idx = page_tables[rows, lengths // page]
-        offset = lengths % page
-        pool_k = pool_k.at[:, page_idx, offset].set(
-            encode_kv(k_new[:, :, 0], pool_k.dtype)
-        )
-        pool_v = pool_v.at[:, page_idx, offset].set(
-            encode_kv(v_new[:, :, 0], pool_v.dtype)
+        logits, pool_k, pool_v = _paged_token_step(
+            config, params, token, start_vec + step_idx,
+            pool_k, pool_v, page_tables, lengths,
         )
         return (logits, pool_k, pool_v, lengths + 1), token
 
+    init = (first_logits, pool_k, pool_v, lengths)
     if eos_id is None:
         (logits, pool_k, pool_v, lengths), tokens = lax.scan(
-            step, (first_logits, pool_k, pool_v, lengths),
-            jnp.arange(num_steps),
+            step, init, jnp.arange(num_steps)
         )
         return tokens.T, logits, pool_k, pool_v, lengths
 
-    tokens0 = jnp.full((slots, num_steps), eos_id, jnp.int32)
-    done0 = jnp.zeros((slots,), bool) if budget is None else (budget <= 0)
-
-    def cond(carry):
-        return (carry[0] < num_steps) & ~jnp.all(carry[1])
-
-    def while_body(carry):
-        step_idx, done, tokens, logits, pool_k, pool_v, lengths = carry
-        (logits, pool_k, pool_v, lengths), token = step(
-            (logits, pool_k, pool_v, lengths), step_idx
-        )
-        token = jnp.where(done, eos_id, token)
-        tokens = lax.dynamic_update_slice(
-            tokens, token[:, None], (0, step_idx)
-        )
-        done = done | (token == eos_id)
-        if budget is not None:
-            done = done | (step_idx + 1 >= budget)
-        return (step_idx + 1, done, tokens, logits, pool_k, pool_v, lengths)
-
-    (_, _, tokens, logits, pool_k, pool_v, lengths) = lax.while_loop(
-        cond, while_body,
-        (jnp.int32(0), done0, tokens0, first_logits, pool_k, pool_v,
-         lengths),
+    tokens, final = _eos_while_loop(
+        slots, num_steps, eos_id, budget, init, step
     )
+    logits, pool_k, pool_v, lengths = final[:4]
     return tokens, logits, pool_k, pool_v, lengths
 
 
@@ -1505,9 +1439,7 @@ def decode_loop_paged_constrained(
     in json_mode carry a DFA row; free-form slots pass active=False).
     With key/temperature, picks are per-row Gumbel-sampled (temperature<=0
     rows stay exact-greedy)."""
-    slots, max_pages = page_tables.shape
-    page = pool_k.shape[2]
-    width = max_pages * page
+    slots = page_tables.shape[0]
     start_vec = jnp.broadcast_to(jnp.asarray(start_position, jnp.int32), (slots,))
     sampled = key is not None
 
@@ -1522,39 +1454,9 @@ def decode_loop_paged_constrained(
         else:
             logits, pool_k, pool_v, lengths, con = carry
             token, con = constrained_argmax(logits, con)
-        pos_vec = start_vec + step_idx
-        if config.mrope_section is not None:
-            positions = jnp.broadcast_to(pos_vec[None, :, None], (3, slots, 1))
-        else:
-            positions = pos_vec[:, None]
-        cos, sin = _position_tables(config, positions)
-        x = embed(token[:, None], params["embed_tokens"])
-
-        cache_mask = cache_key_mask(lengths, width)
-
-        def body(x, layer_and_pool):
-            layer, pk, pv = layer_and_pool
-            ck = pk[page_tables].reshape(slots, width, *pk.shape[2:])
-            cv = pv[page_tables].reshape(slots, width, *pv.shape[2:])
-            x, k, v = _layer_body(
-                config, x, layer, cos, sin, None, ck, cv, cache_mask
-            )
-            return x, (k, v)
-
-        x, (k_new, v_new) = lax.scan(
-            body, x, (params["layers_stacked"], pool_k, pool_v)
-        )
-        x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
-        logits = lm_logits(config, params, x)[:, 0]
-
-        rows = jnp.arange(slots)
-        page_idx = page_tables[rows, lengths // page]
-        offset = lengths % page
-        pool_k = pool_k.at[:, page_idx, offset].set(
-            encode_kv(k_new[:, :, 0], pool_k.dtype)
-        )
-        pool_v = pool_v.at[:, page_idx, offset].set(
-            encode_kv(v_new[:, :, 0], pool_v.dtype)
+        logits, pool_k, pool_v = _paged_token_step(
+            config, params, token, start_vec + step_idx,
+            pool_k, pool_v, page_tables, lengths,
         )
         if sampled:
             return (logits, pool_k, pool_v, lengths + 1, con, rng), token
@@ -1569,29 +1471,10 @@ def decode_loop_paged_constrained(
         logits, pool_k, pool_v, lengths, constraint = carry[:5]
         return tokens.T, logits, pool_k, pool_v, lengths, constraint
 
-    tokens0 = jnp.full((slots, num_steps), eos_id, jnp.int32)
-    done0 = jnp.zeros((slots,), bool) if budget is None else (budget <= 0)
-
-    def cond(carry):
-        return (carry[0] < num_steps) & ~jnp.all(carry[1])
-
-    def while_body(carry):
-        step_idx, done, tokens = carry[0], carry[1], carry[2]
-        inner, token = step(carry[3:], step_idx)
-        token = jnp.where(done, eos_id, token)
-        tokens = lax.dynamic_update_slice(
-            tokens, token[:, None], (0, step_idx)
-        )
-        done = done | (token == eos_id)
-        if budget is not None:
-            done = done | (step_idx + 1 >= budget)
-        return (step_idx + 1, done, tokens) + inner
-
-    out = lax.while_loop(
-        cond, while_body, (jnp.int32(0), done0, tokens0) + init
+    tokens, final = _eos_while_loop(
+        slots, num_steps, eos_id, budget, init, step
     )
-    tokens = out[2]
-    logits, pool_k, pool_v, lengths, constraint = out[3:8]
+    logits, pool_k, pool_v, lengths, constraint = final[:5]
     return tokens, logits, pool_k, pool_v, lengths, constraint
 
 

@@ -143,14 +143,18 @@ def frame_size(image_path) -> Tuple[int, int]:
     return frame.shape[0], frame.shape[1]
 
 
-def prefetch(image_path, device: bool = True) -> None:
+def prefetch(image_path, device=True) -> None:
     """Warm the cache early (e.g. from the quality gate, the pipeline's
     first touch) so the dual-VLM node finds both levels hot; device_put is
-    asynchronous, so the host->HBM copy overlaps the remaining host work."""
+    asynchronous, so the host->HBM copy overlaps the remaining host work.
+
+    ``device``: True warms the default chip, False/None stays host-only,
+    and a jax Device warms that chip (DP replicas pinned elsewhere must
+    prefetch to their own chip or the overlap buys them nothing)."""
     try:
         get_frame(image_path)
-        if device:
-            get_device_frame(image_path)
+        if device is not False and device is not None:
+            get_device_frame(image_path, None if device is True else device)
     except Exception:
         pass  # consumers surface their own load errors with context
 

@@ -74,19 +74,12 @@ def resize_weights(src: int, dst: int, filter: str = "bicubic") -> np.ndarray:
 
 
 def patchify_device(frames: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
-    """Merge-window patchify on device.
+    """Merge-window patchify on device: the host law (ops.preprocess.patchify,
+    reshape/transpose only) traces identically on jnp arrays — one statement
+    of the layout, bit-for-bit by construction."""
+    from vis_tpu.ops.preprocess import patchify
 
-    frames: [T, C, H, W] normalized; returns [grid_h*grid_w, C*T*P*P]
-    matching ops.preprocess.patchify bit-for-bit.
-    """
-    t, c, h, w = frames.shape
-    m, p = MERGE_SIZE, PATCH_SIZE
-    grid_t = t // TEMPORAL_PATCH_SIZE
-    x = frames.reshape(
-        grid_t, TEMPORAL_PATCH_SIZE, c, grid_h // m, m, p, grid_w // m, m, p
-    )
-    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
-    return x.reshape(grid_t * grid_h * grid_w, c * TEMPORAL_PATCH_SIZE * p * p)
+    return patchify(frames, grid_h, grid_w)
 
 
 def _preprocess_frame_impl(
@@ -110,30 +103,36 @@ def _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w):
 
 
 @lru_cache(maxsize=8)
-def _resize_weights_dev(src: int, dst: int, filter: str = "bicubic"):
+def _resize_weights_dev(src: int, dst: int, filter: str = "bicubic",
+                        device=None):
     """Device-resident copy of the interpolation matrix — re-shipping the
     (up to ~10 MB) weight matrix per frame would dominate on slow links.
+    Keyed by DEVICE too: a DP replica pinned to another chip must get a
+    matrix committed there, or every dispatch re-copies it cross-device.
     maxsize bounds pinned HBM: bulk workloads over many native resolutions
     would otherwise accumulate up to 64 matrices (potentially GiBs) on a
     chip whose headroom belongs to the model set; 8 covers the steady
     state (a camera fleet has few distinct sensor resolutions) at a worst
     case of ~100-200 MB."""
-    return jnp.asarray(resize_weights(src, dst, filter))
+    w = resize_weights(src, dst, filter)
+    if device is not None:
+        return jax.device_put(w, device)
+    return jnp.asarray(w)
 
 
 def preprocess_frame_device(
-    rgb_u8: jnp.ndarray, dst_h: int, dst_w: int
+    rgb_u8: jnp.ndarray, dst_h: int, dst_w: int, device=None
 ) -> jnp.ndarray:
     """uint8 [H, W, 3] frame -> [grid_h*grid_w, C*T*P*P] f32 patches.
 
     Resize runs as two separable interpolation MATMULS (host-cached PIL-style
-    bicubic weight matrices, staged on device once per shape) — jax.image's
-    gather-based cubic resampling is ~100x slower on TPU.  Normalization and
-    patchify fuse into the same program.
+    bicubic weight matrices, staged on ``device`` once per shape) —
+    jax.image's gather-based cubic resampling is ~100x slower on TPU.
+    Normalization and patchify fuse into the same program.
     """
     src_h, src_w = rgb_u8.shape[:2]
-    wh = _resize_weights_dev(src_h, dst_h)
-    ww = _resize_weights_dev(src_w, dst_w)
+    wh = _resize_weights_dev(src_h, dst_h, device=device)
+    ww = _resize_weights_dev(src_w, dst_w, device=device)
     return _preprocess_frame_jit(rgb_u8, wh, ww, dst_h, dst_w)
 
 
@@ -219,7 +218,7 @@ def preprocess_image_device(
     # The u8 frame transfer is shared with every other device preprocess
     # path touching this file (auditor tiling, batched quality stats).
     patches = preprocess_frame_device(
-        get_device_frame(image_path, device), h_bar, w_bar
+        get_device_frame(image_path, device), h_bar, w_bar, device=device
     )
     return DeviceImagePatches(
         patches=patches, grid_t=1,

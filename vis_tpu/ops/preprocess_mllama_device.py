@@ -107,8 +107,8 @@ def preprocess_image_mllama_device(
     if (new_h, new_w) == (src_h, src_w):
         tiles = _tiles_noresize_jit(frame, h_t, w_t)
     else:
-        wh = _resize_weights_dev(src_h, new_h, "bilinear")
-        ww = _resize_weights_dev(src_w, new_w, "bilinear")
+        wh = _resize_weights_dev(src_h, new_h, "bilinear", device=device)
+        ww = _resize_weights_dev(src_w, new_w, "bilinear", device=device)
         tiles = _tiles_jit(frame, wh, ww, new_h, new_w, h_t, w_t)
 
     # Same id law as the host path: index into the DYNAMIC ratio list for
