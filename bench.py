@@ -180,6 +180,15 @@ def main() -> None:
 
     import jax
 
+    # Persistent compilation cache (verified to work through the axon
+    # tunnel): the target-scale engine compiles take ~6 min fresh and are
+    # all warmup — caching them shrinks the bench's exposure to degraded
+    # tunnel/host windows on repeat runs.  Timed runs are unaffected
+    # (compile happens before measurement either way).
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if os.environ.get("BENCH_SMOKE"):
         # the axon plugin ignores JAX_PLATFORMS; force CPU explicitly
         jax.config.update("jax_platforms", "cpu")

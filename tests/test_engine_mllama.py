@@ -245,8 +245,13 @@ class TestMllamaQuantized:
                               max_cache_tokens=512)
             from vis_tpu.ops.quantized import QuantizedWeight
 
+            # Single-device engines fuse Q/K/V before quantizing (layer 0
+            # is a self layer; cross layers at 1,3 keep q_proj separate).
             assert isinstance(
-                q8.params["text"]["layers"][0]["q_proj"], QuantizedWeight
+                q8.params["text"]["layers"][0]["qkv_proj"], QuantizedWeight
+            )
+            assert isinstance(
+                q8.params["text"]["layers"][1]["q_proj"], QuantizedWeight
             )
             a = q8.generate("audit this", max_tokens=6)
             b = q8.generate("audit this", max_tokens=6)

@@ -139,3 +139,58 @@ def test_cached_decode_matches_teacher_forcing(mref, mjx):
         np.testing.assert_allclose(
             logits[0], ref_logits[0, t], atol=ATOL, rtol=1e-3
         )
+
+
+def test_fused_projections_match_unfused(mref, mjx):
+    """fuse_mllama_projections is a pure relayout: the fused text stack must
+    reproduce the unfused multimodal logits EXACTLY (same dots, same order —
+    concat on the out axis doesn't change any row's arithmetic), for both
+    raw bf16 leaves and per-row-quantized int8 leaves."""
+    from vis_tpu.models.llama.mllama import (
+        fuse_mllama_projections,
+        quantize_mllama_params,
+    )
+
+    config, params = mjx
+    pixels = mref["pixels"][0, 0]
+    ar_id = int(mref["aspect_ratio_ids"][0, 0])
+    tile_mask = mref["aspect_ratio_mask"][0, 0].astype(np.float32)
+    vision = vision_forward(
+        config.vision, params, jnp.asarray(pixels),
+        jnp.asarray(ar_id), jnp.asarray(tile_mask),
+    )
+    ids = mref["mm_ids"]
+    b, s = ids.shape
+    positions = jnp.asarray(np.broadcast_to(np.arange(s)[None], (b, s)).copy())
+    mask = causal_mask(s, s)
+
+    for quantized in (False, True):
+        base = (
+            quantize_mllama_params(params, mode="int8") if quantized
+            else params
+        )
+        fused = fuse_mllama_projections(config, base)
+        # Cross layers keep their unfused k/v for compute_cross_kv.
+        cross_kv = compute_cross_kv(config, fused, vision)
+        cross_kv_base = compute_cross_kv(config, base, vision)
+        for (fk, fv), (bk, bv) in zip(cross_kv, cross_kv_base):
+            np.testing.assert_array_equal(np.asarray(fk), np.asarray(bk))
+            np.testing.assert_array_equal(np.asarray(fv), np.asarray(bv))
+        embeds = jnp.take(
+            base["text"]["embed_tokens"]
+            if not hasattr(base["text"]["embed_tokens"], "q")
+            else params["text"]["embed_tokens"],
+            jnp.asarray(ids), axis=0,
+        )
+        h_base, _ = text_forward(config, base, embeds, positions, cross_kv_base, mask=mask)
+        h_fused, _ = text_forward(config, fused, embeds, positions, cross_kv, mask=mask)
+        out_base = np.asarray(mllama_logits(config, base, h_base))
+        out_fused = np.asarray(mllama_logits(config, fused, h_fused))
+        np.testing.assert_allclose(out_fused, out_base, atol=1e-5, rtol=1e-5)
+        # Self layers must actually be fused; cross layers must not be.
+        for idx, layer in enumerate(fused["text"]["layers"]):
+            if idx in config.cross_attention_layers:
+                assert "qkv_proj" not in layer and "k_proj" in layer
+            else:
+                assert "qkv_proj" in layer and "q_proj" not in layer
+            assert "gateup_proj" in layer["mlp"]

@@ -350,10 +350,19 @@ def _self_attn_layer(
     mask: Optional[jnp.ndarray],
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     b, s, _ = x.shape
+    hd = tc.head_dim_
     h = rms_norm(x, layer["input_norm"], tc.rms_norm_eps)
-    q = linear(h, layer["q_proj"]).reshape(b, s, tc.num_heads, tc.head_dim_)
-    k = linear(h, layer["k_proj"]).reshape(b, s, tc.num_kv_heads, tc.head_dim_)
-    v = linear(h, layer["v_proj"]).reshape(b, s, tc.num_kv_heads, tc.head_dim_)
+    if "qkv_proj" in layer:  # fused layout (fuse_mllama_projections)
+        qdim = tc.num_heads * hd
+        kvdim = tc.num_kv_heads * hd
+        qkv = linear(h, layer["qkv_proj"])
+        q = qkv[..., :qdim].reshape(b, s, tc.num_heads, hd)
+        k = qkv[..., qdim : qdim + kvdim].reshape(b, s, tc.num_kv_heads, hd)
+        v = qkv[..., qdim + kvdim :].reshape(b, s, tc.num_kv_heads, hd)
+    else:
+        q = linear(h, layer["q_proj"]).reshape(b, s, tc.num_heads, hd)
+        k = linear(h, layer["k_proj"]).reshape(b, s, tc.num_kv_heads, hd)
+        v = linear(h, layer["v_proj"]).reshape(b, s, tc.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     if cache is not None:
@@ -408,6 +417,78 @@ def mllama_logits(config: MllamaConfig, params: Params,
 
 
 
+def fuse_mllama_projections(config: MllamaConfig, params: Params) -> Params:
+    """Concat each SELF layer's Q/K/V into one projection and every text
+    layer's gate/up into a gateup projection ([out, in] concat on the out
+    axis — each output row is an independent dot product, so the math is
+    unchanged and per-row quantization scales commute with the concat).
+
+    The Mllama text stack's decode step otherwise runs 7 weight matmuls
+    per self layer; fusing cuts that to 4 — the same layout law
+    decoder.fuse_stacked_projections applies to the Llama/Qwen stacks.
+    MEASURED on the tunneled v5e at 11B int4 (tools/probe_mllama_decode):
+    latency-neutral — 13.8 vs 14.0 ms/tok plain, 10.7 vs 10.3 ms/tok on
+    the constrained-window path — the decode step is int4-unpack/
+    bandwidth-bound, not kernel-count-bound, so the win is layout
+    consistency (one fused-projection convention across all single-device
+    stacks), not speed.  Cross layers keep q_proj separate (their K/V are
+    precomputed per image by compute_cross_kv, which reads the unfused
+    k_proj/v_proj) but do fuse gate/up.
+
+    NOT for tensor-parallel runs: slicing the fused output of a
+    row-sharded matmul would force a mid-layer reshard — the engine only
+    fuses when no mesh is attached.  Accepts raw [out, in] arrays or
+    QuantizedWeight/QuantizedWeight4 leaves (q and per-row scales concat
+    on axis 0); a layer whose projections mix leaf types is left unfused.
+    """
+    from vis_tpu.ops.quantized import QuantizedWeight, QuantizedWeight4
+
+    def concat_out(ws):
+        kinds = {type(w) for w in ws}
+        if len(kinds) != 1:
+            return None
+        if isinstance(ws[0], QuantizedWeight):
+            return QuantizedWeight(
+                q=jnp.concatenate([w.q for w in ws], axis=0),
+                scale=jnp.concatenate([w.scale for w in ws], axis=0),
+            )
+        if isinstance(ws[0], QuantizedWeight4):
+            return QuantizedWeight4(
+                q=jnp.concatenate([w.q for w in ws], axis=0),
+                scale=jnp.concatenate([w.scale for w in ws], axis=0),
+            )
+        return jnp.concatenate(ws, axis=0)
+
+    text = dict(params["text"])
+    layers = []
+    for idx, layer in enumerate(text["layers"]):
+        qlayer = dict(layer)
+        is_cross = idx in config.cross_attention_layers
+        if not is_cross and all(
+            n in qlayer for n in ("q_proj", "k_proj", "v_proj")
+        ):
+            fused = concat_out(
+                [qlayer["q_proj"], qlayer["k_proj"], qlayer["v_proj"]]
+            )
+            if fused is not None:
+                qlayer["qkv_proj"] = fused
+                for n in ("q_proj", "k_proj", "v_proj"):
+                    del qlayer[n]
+        if "mlp" in qlayer:
+            mlp = dict(qlayer["mlp"])
+            if "gate_proj" in mlp and "up_proj" in mlp:
+                fused = concat_out([mlp["gate_proj"], mlp["up_proj"]])
+                if fused is not None:
+                    mlp["gateup_proj"] = fused
+                    del mlp["gate_proj"], mlp["up_proj"]
+            qlayer["mlp"] = mlp
+        layers.append(qlayer)
+    text["layers"] = layers
+    out = {k: v for k, v in params.items() if k != "text"}
+    out["text"] = text
+    return out
+
+
 def quantize_mllama_params(params: Params, mode: str = "int8",
                            vocab_mode: str = None) -> Params:
     """Weight-only quantization (int8 or packed int4) of the Mllama text stack.
@@ -443,12 +524,12 @@ def quantize_mllama_params(params: Params, mode: str = "int8",
     layers = []
     for layer in text["layers"]:
         qlayer = dict(layer)
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        for name in ("qkv_proj", "q_proj", "k_proj", "v_proj", "o_proj"):
             if name in qlayer and not isinstance(qlayer[name], qtypes):
                 qlayer[name] = quantize(qlayer[name])
         if "mlp" in qlayer:
             mlp = dict(qlayer["mlp"])
-            for name in ("gate_proj", "up_proj", "down_proj"):
+            for name in ("gateup_proj", "gate_proj", "up_proj", "down_proj"):
                 if name in mlp and not isinstance(mlp[name], qtypes):
                     mlp[name] = quantize(mlp[name])
             qlayer["mlp"] = mlp

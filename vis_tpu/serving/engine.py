@@ -1375,6 +1375,7 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
     if is_vlm and _is_mllama(model_name):
         from vis_tpu.models.llama.mllama import (
             MllamaConfig,
+            fuse_mllama_projections,
             init_params as init_mllama,
             quantize_mllama_params,
         )
@@ -1384,6 +1385,10 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
 
         def make_mllama(k):
             p = init_mllama(cfg, k)
+            if mesh is None:
+                # Fuse under eval_shape so materialization creates the
+                # fused layout directly (no transient double-residency).
+                p = fuse_mllama_projections(cfg, p)
             if quantize:
                 p = quantize_mllama_params(
                     p, mode=mode, vocab_mode=_vocab_quant_mode(role)

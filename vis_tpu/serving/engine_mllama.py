@@ -62,6 +62,19 @@ class MllamaEngine:
         self.name = name
         self.config = config
         self.mesh = mesh
+        if mesh is None and not any(
+            "qkv_proj" in layer for layer in params["text"]["layers"]
+        ):
+            # Single-device runs fuse Q/K/V and gate/up — the same fused
+            # layout the Llama/Qwen stacks use (measured latency-neutral
+            # at 11B int4; see fuse_mllama_projections docstring).  The
+            # dev-target build path fuses under eval_shape already (this
+            # is a no-op there); real checkpoints fuse here, before
+            # quantization.  TP meshes keep projections separate for
+            # clean row-sharding.
+            from vis_tpu.models.llama.mllama import fuse_mllama_projections
+
+            params = fuse_mllama_projections(config, params)
         if app_config.quantization in ("int8", "int4"):
             from vis_tpu.models.llama.mllama import quantize_mllama_params
             from vis_tpu.serving.engine import _vocab_quant_mode
