@@ -57,6 +57,7 @@ class VLMAuditorAgent(BaseVLMAgent):
                 json_schema=(
                     "inspection" if config.constrained_schema else None
                 ),
+                min_tokens=config.vlm_auditor_min_tokens,
             )
             parsed = self._parse_json_robust(raw)
             fixed = self._validate_and_fix_result(parsed)

@@ -44,6 +44,7 @@ class InferenceBackend(Protocol):
         json_mode: bool = False,
         json_schema: "Optional[str]" = None,
         schema_batched: bool = False,
+        min_tokens: "Optional[int]" = None,
     ) -> str:
         ...
 
@@ -58,6 +59,7 @@ class InferenceBackend(Protocol):
         json_mode: bool = False,
         json_schema: "Optional[str]" = None,
         schema_batched: bool = False,
+        min_tokens: "Optional[int]" = None,
     ) -> Iterator[str]:
         ...
 

@@ -52,6 +52,7 @@ class VLMInspectorAgent(BaseVLMAgent):
                 json_schema=(
                     "inspection" if config.constrained_schema else None
                 ),
+                min_tokens=config.vlm_inspector_min_tokens,
             )
             parsed = self._parse_json_robust(raw)
             fixed = self._validate_and_fix_result(parsed)

@@ -218,6 +218,7 @@ class MockVLMBackend:
         json_mode: bool = False,
         json_schema: Optional[str] = None,
         schema_batched: bool = False,
+        min_tokens: Optional[int] = None,
     ) -> str:
         self._calls += 1
         if self.fail_every and self._calls % self.fail_every == 0:
@@ -276,6 +277,7 @@ class MockVLMBackend:
         json_mode: bool = False,
         json_schema: Optional[str] = None,
         schema_batched: bool = False,
+        min_tokens: Optional[int] = None,
     ) -> Iterator[str]:
         text = self.generate(
             prompt,

@@ -512,6 +512,7 @@ class Engine:
         json_mode: bool = False,
         json_schema: Optional[str] = None,
         schema_batched: bool = False,
+        min_tokens: Optional[int] = None,
     ) -> Iterator[str]:
         scheduler = getattr(self, "scheduler", None)
         if not json_mode:
@@ -558,7 +559,7 @@ class Engine:
             request = scheduler.submit_prefilled(
                 cache, logits, next_pos, max_tokens=max_tokens, kv_len=kv_len,
                 json_mode=json_mode, temperature=temperature,
-                schema=json_schema,
+                schema=json_schema, min_tokens=min_tokens,
             )
             while True:
                 chunk = request.out.get()
@@ -581,6 +582,7 @@ class Engine:
                 prompt, image_path, max_tokens=max_tokens,
                 temperature=temperature, max_image_dim=max_image_dim,
                 json_mode=json_mode, json_schema=json_schema,
+                min_tokens=min_tokens,
             )
 
     def _json_tables(self, schema: Optional[str] = None):
@@ -898,6 +900,7 @@ class Engine:
     def _generate_locked(
         self, prompt, image_path, *, max_tokens, temperature, max_image_dim,
         json_mode: bool = False, json_schema: Optional[str] = None,
+        min_tokens: Optional[int] = None,
     ) -> Iterator[str]:
         tc = self.text_config
         params = self.text_params if self.vlm_config is None else self.vlm_params["text"]
@@ -929,10 +932,11 @@ class Engine:
                 # guarantees the emitted JSON closes before the budget runs
                 # out, ending at EOS.
                 ok_t, trans_t, cost_t, cls_t, tables = json_tables
-                min_tok = min(
-                    max(app_config.constrained_json_min_tokens, 0),
-                    max_tokens - 32,
+                floor = (
+                    min_tokens if min_tokens is not None
+                    else app_config.constrained_json_min_tokens
                 )
+                min_tok = min(max(floor, 0), max_tokens - 32)
                 constraint = DecodeConstraint(
                     token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
                     class_of=cls_t,
@@ -1211,24 +1215,26 @@ class EngineBackend:
                  temperature=0.0, max_image_dim=2048,
                  json_mode: bool = False,
                  json_schema: Optional[str] = None,
-                 schema_batched: bool = False) -> str:
+                 schema_batched: bool = False,
+                 min_tokens: Optional[int] = None) -> str:
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
             json_mode=json_mode, json_schema=json_schema,
-            schema_batched=schema_batched,
+            schema_batched=schema_batched, min_tokens=min_tokens,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
                         temperature=0.0, max_image_dim=2048,
                         json_mode: bool = False,
                         json_schema: Optional[str] = None,
-                        schema_batched: bool = False):
+                        schema_batched: bool = False,
+                        min_tokens: Optional[int] = None):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
             json_mode=json_mode, json_schema=json_schema,
-            schema_batched=schema_batched,
+            schema_batched=schema_batched, min_tokens=min_tokens,
         )
 
     def health_check(self) -> bool:

@@ -409,6 +409,7 @@ class MllamaEngine:
         json_mode: bool = False,
         json_schema: Optional[str] = None,
         schema_batched: bool = False,
+        min_tokens: Optional[int] = None,
     ) -> Iterator[str]:
         # schema_batched is accepted for engine-interface parity (the
         # generic EngineBackend forwards it); this single-request engine
@@ -417,11 +418,13 @@ class MllamaEngine:
             yield from self._generate(
                 prompt, image_path, max_tokens, json_mode=json_mode,
                 temperature=temperature, json_schema=json_schema,
+                min_tokens=min_tokens,
             )
 
     def _generate(
         self, prompt, image_path, max_tokens, json_mode: bool = False,
         temperature: float = 0.0, json_schema: Optional[str] = None,
+        min_tokens: Optional[int] = None,
     ) -> Iterator[str]:
         tc = self.config.text
         # Resolve the constraint tables FIRST: json/schema mode raises
@@ -507,10 +510,11 @@ class MllamaEngine:
         constraint = None
         if json_tables is not None:
             ok_t, trans_t, cost_t, cls_t, tables = json_tables
-            min_tok = min(
-                max(app_config.constrained_json_min_tokens, 0),
-                max_tokens - 32,
+            floor = (
+                min_tokens if min_tokens is not None
+                else app_config.constrained_json_min_tokens
             )
+            min_tok = min(max(floor, 0), max_tokens - 32)
             constraint = DecodeConstraint(
                 token_ok=ok_t, token_trans=trans_t, cost_after=cost_t,
                 class_of=cls_t,
@@ -658,24 +662,28 @@ class MllamaEngineBackend:
                  temperature=0.0, max_image_dim=1024,
                  json_mode: bool = False,
                  json_schema: Optional[str] = None,
-                 schema_batched: bool = False) -> str:
+                 schema_batched: bool = False,
+                 min_tokens: Optional[int] = None) -> str:
         # schema_batched: accepted for backend-interface parity; the Mllama
         # engine has no attached scheduler (auditor requests are single).
         return self.engine.generate(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
             json_mode=json_mode, json_schema=json_schema,
+            min_tokens=min_tokens,
         )
 
     def generate_stream(self, prompt, image_path=None, *, max_tokens=1024,
                         temperature=0.0, max_image_dim=1024,
                         json_mode: bool = False,
                         json_schema: Optional[str] = None,
-                        schema_batched: bool = False):
+                        schema_batched: bool = False,
+                        min_tokens: Optional[int] = None):
         yield from self.engine.generate_stream(
             prompt, image_path, max_tokens=max_tokens,
             temperature=temperature, max_image_dim=max_image_dim,
             json_mode=json_mode, json_schema=json_schema,
+            min_tokens=min_tokens,
         )
 
     def health_check(self) -> bool:

@@ -84,6 +84,11 @@ class Request:
     schema: Optional[str] = None
     # Sampling temperature (0 = greedy); per-slot in the batched chunk.
     temperature: float = 0.0
+    # Per-request JSON-close floor override (tokens): None = the global
+    # config floor.  Bench fixtures pin floor≈budget so decode lengths
+    # reproduce a recorded transcript instead of drifting with
+    # compiled-graph content (VERDICT r4 #2).
+    min_tokens: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -175,8 +180,15 @@ class ContinuousBatchingScheduler:
                             ),
                         ),
                     )
-                except ValueError:
-                    pass  # odd slot/axis geometry: leave default placement
+                except ValueError as exc:
+                    # Do NOT silently fall back: a mis-sharded slot cache on
+                    # a real pod decodes correctly but reshards every chunk.
+                    logger.warning(
+                        "slot KV cache could not take the TP sharding "
+                        f"(kv_heads={text_config.num_kv_heads}, "
+                        f"slots={self.num_slots}, mesh={mesh.shape}): {exc}; "
+                        "leaving default placement"
+                    )
             self.cache = cache
         self.slots = [_Slot() for _ in range(self.num_slots)]
         # Host mirror of the cache cursors: the decode loop must never
@@ -388,12 +400,13 @@ class ContinuousBatchingScheduler:
     def submit(self, prompt: str, max_tokens: int = 512,
                json_mode: bool = False,
                temperature: float = 0.0,
-               schema: Optional[str] = None) -> Request:
+               schema: Optional[str] = None,
+               min_tokens: Optional[int] = None) -> Request:
         self._check_modes(json_mode, temperature, schema)
         max_tokens = self._feasible_budget(json_mode, max_tokens, schema)
         request = Request(prompt=prompt, max_tokens=max_tokens,
                           json_mode=json_mode, temperature=temperature,
-                          schema=schema)
+                          schema=schema, min_tokens=min_tokens)
         self._pending.put(request)
         return request
 
@@ -449,6 +462,7 @@ class ContinuousBatchingScheduler:
         json_mode: bool = False,
         temperature: float = 0.0,
         schema: Optional[str] = None,
+        min_tokens: Optional[int] = None,
     ) -> Request:
         """Hand off an externally prefilled request (e.g. a VLM engine's
         vision+multimodal prefill) for batched decode.  src_cache is a
@@ -462,7 +476,7 @@ class ContinuousBatchingScheduler:
         max_tokens = self._feasible_budget(json_mode, max_tokens, schema)
         request = Request(prompt="", max_tokens=max_tokens,
                           json_mode=json_mode, temperature=temperature,
-                          schema=schema)
+                          schema=schema, min_tokens=min_tokens)
         request.prefilled = (src_cache, first_logits, int(next_position), kv_len)
         self._pending.put(request)
         return request
@@ -709,10 +723,12 @@ class ContinuousBatchingScheduler:
                 self._table_index.get(request.schema, 0)
                 if request.json_mode else 0
             )
-            min_tok = min(
-                max(app_config.constrained_json_min_tokens, 0),
-                request.max_tokens - 32,
+            floor = (
+                request.min_tokens
+                if request.min_tokens is not None
+                else app_config.constrained_json_min_tokens
             )
+            min_tok = min(max(floor, 0), request.max_tokens - 32)
             self._fsm_table = self._fsm_table.at[free].set(table_idx)
             self._fsm_state = self._fsm_state.at[free].set(init_state)
             self._fsm_remaining = self._fsm_remaining.at[free].set(

@@ -57,11 +57,16 @@ class Config(BaseModel):
     vlm_inspector_model: str = "Qwen/Qwen2.5-VL-7B-Instruct"
     vlm_inspector_temperature: float = 0.1
     vlm_inspector_max_tokens: int = 2048
+    # Per-role JSON-close floor override (None = CONSTRAINED_JSON_MIN_TOKENS).
+    # Bench fixtures pin floor≈budget per role so decode lengths reproduce a
+    # recorded transcript instead of drifting with compiled-graph content.
+    vlm_inspector_min_tokens: Optional[int] = None
     vlm_inspector_provider: str = "tpu"  # "tpu" | "mock"
 
     vlm_auditor_model: str = "meta-llama/Llama-3.2-11B-Vision-Instruct"
     vlm_auditor_temperature: float = 0.1
     vlm_auditor_max_tokens: int = 2048
+    vlm_auditor_min_tokens: Optional[int] = None
     vlm_auditor_provider: str = "tpu"
 
     explainer_model: str = "meta-llama/Llama-3.1-8B-Instruct"
