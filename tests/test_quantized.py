@@ -273,6 +273,82 @@ class TestInt4:
             np.asarray(kernel_out), np.asarray(fallback), atol=0.5, rtol=2e-2
         )
 
+    def test_stacked_pick_kernel_matches_per_layer(self):
+        """quantized_matmul4_stacked (in-kernel layer pick, folded-bias
+        unpack) must match the per-layer quantized_matmul4 math for every
+        layer index — both the interpret-mode kernel and the CPU fallback."""
+        rng = np.random.default_rng(7)
+        L, out_dim, in_dim = 3, 256, 256
+        ws = [
+            jnp.asarray(rng.standard_normal((out_dim, in_dim)).astype(np.float32))
+            for _ in range(L)
+        ]
+        from vis_tpu.ops.quantized import (
+            QuantizedWeight4Pick,
+            quantize_weight4,
+            quantized_matmul4,
+            quantized_matmul4_stacked,
+        )
+
+        qws = [quantize_weight4(w) for w in ws]
+        q_stacked = jnp.stack([q.q for q in qws])
+        s_stacked = jnp.stack([q.scale for q in qws])
+        x = jnp.asarray(rng.standard_normal((2, in_dim)).astype(np.float32))
+        for idx in range(L):
+            ref = quantized_matmul4(x, qws[idx])  # CPU dequant+einsum
+            pick = QuantizedWeight4Pick(
+                q_stacked, s_stacked, jnp.int32(idx)
+            )
+            fb = quantized_matmul4_stacked(x, pick)
+            np.testing.assert_allclose(
+                np.asarray(fb), np.asarray(ref), atol=1e-4, rtol=1e-5
+            )
+            kern = quantized_matmul4_stacked(x, pick, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(kern), np.asarray(ref), atol=0.5, rtol=2e-2
+            )
+
+    def test_stacked_pick_zero_padded_rows(self):
+        """Folded-bias unpack: zero-padded rows (nibble 0, scale 0) must
+        still produce exactly zero — the -8*sum(x) correction is scaled by
+        the zero scale."""
+        rng = np.random.default_rng(8)
+        w = jnp.asarray(rng.standard_normal((200, 128)).astype(np.float32))
+        from vis_tpu.ops.quantized import (
+            QuantizedWeight4Pick,
+            quantize_weight4,
+            quantized_matmul4_stacked,
+        )
+
+        qw = quantize_weight4(w, pad_out_multiple=256)
+        pick = QuantizedWeight4Pick(
+            qw.q[None], qw.scale[None], jnp.int32(0)
+        )
+        x = jnp.asarray(rng.standard_normal((1, 128)).astype(np.float32))
+        out = quantized_matmul4_stacked(x, pick, interpret=True)
+        assert np.abs(np.asarray(out)[:, 200:]).max() == 0.0
+
+    def test_pick_layer_matches_scan_slice(self):
+        """decoder._pick_layer must reproduce exactly what lax.scan xs
+        slicing produced: same decode logits at every step."""
+        from vis_tpu.models.common.decoder import _pick_layer
+
+        config = DecoderConfig(
+            vocab_size=256, hidden_size=128, num_layers=3, num_heads=4,
+            num_kv_heads=2, intermediate_size=256, qkv_bias=True,
+            tie_word_embeddings=True, dtype=jnp.float32,
+        )
+        params = init_decoder_params(config, jax.random.PRNGKey(11))
+        stacked = stack_decoder_layers(params)["layers_stacked"]
+        for idx in range(config.num_layers):
+            picked = _pick_layer(stacked, jnp.int32(idx))
+            sliced = jax.tree.map(lambda w: w[idx], stacked)
+            flat_p = jax.tree.leaves(picked)
+            flat_s = jax.tree.leaves(sliced)
+            assert len(flat_p) == len(flat_s)
+            for a, b in zip(flat_p, flat_s):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_vocab_padding_and_logits_slice(self):
         rng = np.random.default_rng(3)
         w = jnp.asarray(rng.standard_normal((300, 128)).astype(np.float32))

@@ -53,10 +53,11 @@ def timeit(fn, *args, n=3, **kw):
 
 
 def mlp_body(h, gq, gs, dq, ds):
-    gu = quantized_matmul4(h, QuantizedWeight4(q=gq, scale=gs))
+    # scales arrive [2, out] (kernel layout); QuantizedWeight4 stores [out, 2]
+    gu = quantized_matmul4(h, QuantizedWeight4(q=gq, scale=gs.T))
     g, u = jnp.split(gu, 2, axis=-1)
     act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
-    d = quantized_matmul4(act, QuantizedWeight4(q=dq, scale=ds))
+    d = quantized_matmul4(act, QuantizedWeight4(q=dq, scale=ds.T))
     return (h + d).astype(jnp.bfloat16)
 
 
@@ -125,9 +126,9 @@ def main():
     def make():
         ks = jax.random.split(key, 2)
         gu_q = jax.random.bits(ks[0], (LAYERS, 2 * INTER, HIDDEN // 2), jnp.uint8)
-        gu_s = jnp.full((LAYERS, 2 * INTER, 2), 0.01, jnp.float32)
+        gu_s = jnp.full((LAYERS, 2, 2 * INTER), 0.01, jnp.float32)
         dn_q = jax.random.bits(ks[1], (LAYERS, HIDDEN, INTER // 2), jnp.uint8)
-        dn_s = jnp.full((LAYERS, HIDDEN, 2), 0.01, jnp.float32)
+        dn_s = jnp.full((LAYERS, 2, HIDDEN), 0.01, jnp.float32)
         return gu_q, gu_s, dn_q, dn_s
 
     gu_q, gu_s, dn_q, dn_s = make()
@@ -187,23 +188,25 @@ def main():
     if "D" not in which:
         return
 
-    def mlp_body_stacked(h, idx):
-        gu = q4_matmul_stacked(h, gu_q, gu_s, idx)
+    def mlp_body_stacked(h, idx, guq, gus, dnq, dns):
+        gu = q4_matmul_stacked(h, guq, gus, idx)
         g, u = jnp.split(gu, 2, axis=-1)
         act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
-        d = q4_matmul_stacked(act, dn_q, dn_s, idx)
+        d = q4_matmul_stacked(act, dnq, dns, idx)
         return (h + d).astype(jnp.bfloat16)
 
-    def stack_idx(x):
+    def stack_idx(ws, x):
+        guq, gus, dnq, dns = ws
+
         def body(h, idx):
-            return mlp_body_stacked(h, idx), None
+            return mlp_body_stacked(h, idx, guq, gus, dnq, dns), None
         out, _ = jax.lax.scan(body, x, jnp.arange(LAYERS, dtype=jnp.int32))
         return out
 
-    chain = jax.jit(lambda x, n: jax.lax.fori_loop(
-        0, n, lambda i, h: stack_idx(h), x), static_argnames=("n",))
+    chain = jax.jit(lambda ws, x, n: jax.lax.fori_loop(
+        0, n, lambda i, h: stack_idx(ws, h), x), static_argnames=("n",))
     try:
-        t = timeit(lambda: chain(x0, STEPS))
+        t = timeit(lambda: chain((gu_q, gu_s, dn_q, dn_s), x0, STEPS))
         print(f"D. scan idx, in-kernel: {t/STEPS*1e3:7.3f} ms/pass "
               f"({mlp_bytes/(t/STEPS)/1e9:.0f} GB/s)", flush=True)
     except Exception as exc:

@@ -485,6 +485,44 @@ def fuse_stacked_projections(stacked: Params) -> Params:
     return out
 
 
+def _pick_layer(stacked: Params, idx: jnp.ndarray) -> Params:
+    """Layer `idx`'s view of the stacked-layer pytree for decode scans.
+
+    Packed-int4 leaves become QuantizedWeight4Pick — the layer's weight
+    blocks are DMA'd inside the Pallas matmul kernel, NOT sliced by XLA.
+    Measured (tools/probe_scan_slice.py, v5e, 7B MLP dims): lax.scan xs
+    slicing materializes a copy of every layer's packed weights each step,
+    capping the decode weight stream at ~294 GB/s; the in-kernel pick runs
+    ~478 GB/s.  Small leaves (norms, biases, int8 weights) are gathered
+    with dynamic_index_in_dim — byte-identical to what scan xs did."""
+    from vis_tpu.ops.quantized import (
+        QuantizedWeight,
+        QuantizedWeight4,
+        QuantizedWeight4Pick,
+    )
+
+    def pick(w):
+        if isinstance(w, QuantizedWeight4):
+            return QuantizedWeight4Pick(w.q, w.scale, idx)
+        if isinstance(w, QuantizedWeight):
+            return QuantizedWeight(
+                q=lax.dynamic_index_in_dim(w.q, idx, 0, keepdims=False),
+                scale=lax.dynamic_index_in_dim(
+                    w.scale, idx, 0, keepdims=False
+                ),
+            )
+        return lax.dynamic_index_in_dim(w, idx, 0, keepdims=False)
+
+    return jax.tree.map(
+        pick, stacked,
+        is_leaf=lambda x: isinstance(x, (QuantizedWeight, QuantizedWeight4)),
+    )
+
+
+def _num_stacked_layers(stacked: Params) -> int:
+    return jax.tree.leaves(stacked)[0].shape[0]
+
+
 def _layer_body(
     config: DecoderConfig,
     x: jnp.ndarray,
@@ -640,15 +678,19 @@ def _extend_chunk(
     cache_mask = cache_key_mask(cache.lengths, max_len)
     chunk_mask = causal_mask(s, s) + length_mask(s, new_lengths)
 
-    def body(x, layer_and_cache):
-        layer, ck, cv = layer_and_cache
+    stacked = params["layers_stacked"]
+
+    def body(x, idx_and_cache):
+        idx, ck, cv = idx_and_cache
         x, k, v = _layer_body(
-            config, x, layer, cos, sin, chunk_mask, ck, cv, cache_mask
+            config, x, _pick_layer(stacked, idx), cos, sin, chunk_mask,
+            ck, cv, cache_mask
         )
         return x, (k, v)
 
     x, (k_new, v_new) = lax.scan(
-        body, input_embeds, (params["layers_stacked"], cache.k, cache.v)
+        body, input_embeds,
+        (jnp.arange(_num_stacked_layers(stacked)), cache.k, cache.v),
     )
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
 
@@ -766,15 +808,19 @@ def decode_step_scan(
     max_len = cache.k.shape[2]
     cache_mask = cache_key_mask(cache.lengths, max_len)
 
-    def body(x, layer_and_cache):
-        layer, ck, cv = layer_and_cache
+    stacked = params["layers_stacked"]
+
+    def body(x, idx_and_cache):
+        idx, ck, cv = idx_and_cache
         x, k, v = _layer_body(
-            config, x, layer, cos, sin, None, ck, cv, cache_mask
+            config, x, _pick_layer(stacked, idx), cos, sin, None,
+            ck, cv, cache_mask
         )
         return x, (k, v)
 
     x, (k_new, v_new) = lax.scan(
-        body, token_embeds, (params["layers_stacked"], cache.k, cache.v)
+        body, token_embeds,
+        (jnp.arange(_num_stacked_layers(stacked)), cache.k, cache.v),
     )
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = lm_logits(config, params, x)[:, 0]
@@ -806,15 +852,18 @@ def _dense_token_step(
     x = embed(token[:, None], params["embed_tokens"])
     cache_mask = cache_key_mask(lengths, k_buf.shape[2])
 
-    def body(x, layer_and_cache):
-        layer, ck, cv = layer_and_cache
+    stacked = params["layers_stacked"]
+
+    def body(x, idx_and_cache):
+        idx, ck, cv = idx_and_cache
         x, k, v = _layer_body(
-            config, x, layer, cos, sin, None, ck, cv, cache_mask
+            config, x, _pick_layer(stacked, idx), cos, sin, None,
+            ck, cv, cache_mask
         )
         return x, (k, v)
 
     x, (k_new, v_new) = lax.scan(
-        body, x, (params["layers_stacked"], k_buf, v_buf)
+        body, x, (jnp.arange(_num_stacked_layers(stacked)), k_buf, v_buf)
     )
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = lm_logits(config, params, x)[:, 0]
@@ -847,17 +896,20 @@ def _paged_token_step(
     x = embed(token[:, None], params["embed_tokens"])
     cache_mask = cache_key_mask(lengths, width)
 
-    def body(x, layer_and_pool):
-        layer, pk, pv = layer_and_pool  # pk/pv: [n_pages, page, kvh, hd]
+    stacked = params["layers_stacked"]
+
+    def body(x, idx_and_pool):
+        idx, pk, pv = idx_and_pool  # pk/pv: [n_pages, page, kvh, hd]
         ck = pk[page_tables].reshape(slots, width, *pk.shape[2:])
         cv = pv[page_tables].reshape(slots, width, *pv.shape[2:])
         x, k, v = _layer_body(
-            config, x, layer, cos, sin, None, ck, cv, cache_mask
+            config, x, _pick_layer(stacked, idx), cos, sin, None,
+            ck, cv, cache_mask
         )
         return x, (k, v)
 
     x, (k_new, v_new) = lax.scan(
-        body, x, (params["layers_stacked"], pool_k, pool_v)
+        body, x, (jnp.arange(_num_stacked_layers(stacked)), pool_k, pool_v)
     )
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = lm_logits(config, params, x)[:, 0]

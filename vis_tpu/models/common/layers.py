@@ -60,14 +60,18 @@ def linear(x: jnp.ndarray, weight: Any,
     from vis_tpu.ops.quantized import (
         QuantizedWeight,
         QuantizedWeight4,
+        QuantizedWeight4Pick,
         quantized_linear,
         quantized_linear4,
+        quantized_linear4_stacked,
     )
 
     if isinstance(weight, QuantizedWeight):
         return quantized_linear(x, weight, bias)
     if isinstance(weight, QuantizedWeight4):
         return quantized_linear4(x, weight, bias)
+    if isinstance(weight, QuantizedWeight4Pick):
+        return quantized_linear4_stacked(x, weight, bias)
     out = jnp.einsum(
         "...i,oi->...o", x, weight, preferred_element_type=jnp.float32
     )

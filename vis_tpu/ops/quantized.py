@@ -407,6 +407,139 @@ def quantized_matmul4(
     )(x.astype(jnp.bfloat16), qw.q, qw.scale.T)
 
 
+# ---------------------------------------------------------------------------
+# Stacked int4 matmul with in-kernel layer pick
+# ---------------------------------------------------------------------------
+#
+# MEASURED MOTIVATION (tools/probe_scan_slice.py, one v5e chip, 7B MLP
+# dims): scanning layer weights as lax.scan xs makes XLA materialize a
+# copy of each layer's slice before the pallas_call consumes it — the
+# weight stream drops to ~294 GB/s (read + write + kernel-read).  Keeping
+# the STACKED array as a plain operand and letting the kernel's index_map
+# DMA the layer's blocks directly from HBM (PrefetchScalarGridSpec) runs
+# the same math at ~478 GB/s — 1.63x on the decode path's dominant cost.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedWeight4Pick:
+    """A VIEW of one layer inside stacked int4 weights: q [L, out, in//2],
+    scale [L, out, 2], idx scalar int32.  linear() dispatches it to
+    quantized_matmul4_stacked, which picks layer `idx` inside the Pallas
+    kernel (no XLA-level slice).  Built inside decode-scan bodies; the
+    stacked arrays are ordinary jit operands (NOT scan xs)."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    idx: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.q, self.scale, self.idx), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.q.shape[1], self.q.shape[2] * 2)
+
+
+def _q4_stacked_kernel(idx_ref, x_ref, qp_ref, scale_ref, o_ref):
+    """Layer-picking twin of _q4_matmul_kernel with the -8 nibble bias
+    FOLDED into a per-half activation-sum correction (measured +8%:
+    tools/probe_unpack.py variant B): stored nibbles are value+8, so
+    x @ (n - 8) == x @ n - 8 * sum(x).  scale_ref: [1, 2, block_o]."""
+    x = x_ref[...]
+    half = qp_ref.shape[-1]
+    b = qp_ref[0].astype(jnp.int32)
+    w_lo = (b & 15).astype(jnp.bfloat16)
+    w_hi = (b >> 4).astype(jnp.bfloat16)   # u8 source: high bits already 0
+    x_lo = x[:, :half]
+    x_hi = x[:, half:]
+    y_lo = jax.lax.dot_general(
+        x_lo, w_lo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+    y_hi = jax.lax.dot_general(
+        x_hi, w_hi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - 8.0 * jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
+    o_ref[...] = (
+        y_lo * scale_ref[0, 0, :][None, :]
+        + y_hi * scale_ref[0, 1, :][None, :]
+    )
+
+
+def quantized_matmul4_stacked(
+    x: jnp.ndarray, pick: QuantizedWeight4Pick, *, interpret: bool = False
+) -> jnp.ndarray:
+    """x [B, I] @ stacked_q[idx]^T -> [B, O] f32; the layer's blocks are
+    DMA'd straight from the stacked HBM array inside the kernel."""
+    n_layers, out_dim, half = pick.q.shape
+    in_dim = half * 2
+    batch = x.shape[0]
+    max_rows = max(128, (2 * 1024 * 1024) // max(1, half))
+    block_o = 0
+    for candidate in (2048, 1024, 512, 256, 128):
+        if candidate <= max_rows and out_dim % candidate == 0:
+            block_o = candidate
+            break
+    use_kernel = (
+        (jax.default_backend() == "tpu" or interpret)
+        and batch <= 128
+        and block_o > 0
+        and half % 128 == 0
+    )
+    if not use_kernel:
+        q = jax.lax.dynamic_index_in_dim(pick.q, pick.idx, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(
+            pick.scale, pick.idx, 0, keepdims=False
+        )
+        return jnp.einsum(
+            "bi,oi->bo", x.astype(jnp.bfloat16),
+            unpack_int4(q.astype(jnp.int32), s),
+            preferred_element_type=jnp.float32,
+        )
+    # Scales transpose to the kernel's [L, 2, out] lane-major layout; the
+    # transpose is loop-invariant, so XLA hoists it out of decode loops
+    # (bytes are trivial next to the packed weights).
+    scale_t = pick.scale.transpose(0, 2, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(out_dim // block_o,),
+        in_specs=[
+            pl.BlockSpec((batch, in_dim), lambda i, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o, half), lambda i, idx: (idx[0], i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, block_o), lambda i, idx: (idx[0], 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, block_o), lambda i, idx: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _q4_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, out_dim), jnp.float32),
+        interpret=interpret,
+    )(jnp.reshape(pick.idx, (1,)).astype(jnp.int32),
+      x.astype(jnp.bfloat16), pick.q, scale_t)
+
+
+def quantized_linear4_stacked(
+    x: jnp.ndarray, pick: QuantizedWeight4Pick,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    lead_shape = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    y = quantized_matmul4_stacked(flat, pick)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.reshape(*lead_shape, pick.q.shape[1]).astype(x.dtype)
+
+
 def quantized_linear4(
     x: jnp.ndarray, qw: QuantizedWeight4, bias: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
@@ -432,9 +565,12 @@ __all__ = [
     "fused_swiglu_mlp",
     "quantized_linear",
     "QuantizedWeight4",
+    "QuantizedWeight4Pick",
     "quantize_weight4",
     "quantized_matmul4",
+    "quantized_matmul4_stacked",
     "quantized_linear4",
+    "quantized_linear4_stacked",
     "embed_rows4",
     "unpack_int4",
 ]

@@ -26,9 +26,64 @@ logger = setup_logger(__name__, level="INFO", component="MESH")
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host process-group init (SURVEY.md §5.8: "Across hosts/slices:
+    DCN process groups via jax.distributed.initialize").
+
+    Called before any jax.devices() use.  Arguments default to the standard
+    env surface (also what TPU pod runtimes export):
+
+      VIS_TPU_COORDINATOR   host:port of process 0 (required for multi-host)
+      VIS_TPU_NUM_PROCESSES total process count
+      VIS_TPU_PROCESS_ID    this process's rank
+
+    Returns True when a process group was created; False for the
+    single-process case (no env, num_processes<=1) — every existing
+    single-host path is unchanged.  After init, jax.devices() returns the
+    GLOBAL device list, so create_mesh() below builds DCN-spanning meshes
+    with no further changes; XLA routes "model"-axis collectives over ICI
+    within a slice and "data"-axis collectives over DCN across hosts when
+    the mesh is laid out host-major (process index varies along "data").
+    """
+    global _DISTRIBUTED_INITIALIZED
+    import os
+
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    coordinator_address = coordinator_address or os.environ.get(
+        "VIS_TPU_COORDINATOR"
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get("VIS_TPU_NUM_PROCESSES", "0") or 0)
+    if process_id is None:
+        pid_env = os.environ.get("VIS_TPU_PROCESS_ID")
+        process_id = int(pid_env) if pid_env is not None else None
+    if not coordinator_address or not num_processes or num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _DISTRIBUTED_INITIALIZED = True
+    logger.info(
+        f"jax.distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()}, {len(jax.local_devices())} local / "
+        f"{len(jax.devices())} global devices via {coordinator_address}"
+    )
+    return True
+
 
 def create_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
     """Build the ("data", "model") mesh over the available devices."""
+    init_distributed()  # no-op unless the multi-host env surface is set
     devices = jax.devices()
     if shape is None:
         from vis_tpu.utils.config import get_config
@@ -66,4 +121,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-__all__ = ["create_mesh", "named", "replicated", "DATA_AXIS", "MODEL_AXIS", "P"]
+__all__ = [
+    "create_mesh", "init_distributed", "named", "replicated",
+    "DATA_AXIS", "MODEL_AXIS", "P",
+]
