@@ -339,25 +339,30 @@ def _q4_matmul_kernel(x_ref, qp_ref, scale_ref, o_ref):
 
     x_ref: [B, I] bf16; qp_ref: [block_o, I/2] uint8;
     scale_ref: [2, block_o] f32; o_ref: [B, block_o] f32.
+
+    The stored -8 nibble bias is FOLDED into a per-half sum(x) correction
+    (x @ (n-8) == x @ n - 8*sum(x)) — 5 lane-ops/byte instead of 8, +8%
+    measured (tools/probe_unpack.py variant B).  Unpack stages through
+    int32 (Mosaic legalizes neither u8->bf16 casts nor u8 shifts); the
+    int32 staging copy is 4 bytes/nibble-pair of VMEM, which is why the
+    block budget below is sized so the whole working set (u8 + int32 +
+    2x bf16 planes) stays inside the 16 MB scope.
     """
     x = x_ref[...]
     half = qp_ref.shape[1]
-    b = qp_ref[...]
-    # Unpack through int32 (Mosaic legalizes neither u8->bf16 casts nor u8
-    # shifts); the int32 staging copy is 4 bytes/nibble-pair of VMEM, which
-    # is why the block budget below is sized so the whole working set
-    # (u8 + int32 + 2x bf16 planes) stays inside the 16 MB scope.
-    b = b.astype(jnp.int32)
-    w_lo = ((b & 15) - 8).astype(jnp.bfloat16)
-    w_hi = (((b >> 4) & 15) - 8).astype(jnp.bfloat16)
+    b = qp_ref[...].astype(jnp.int32)
+    w_lo = (b & 15).astype(jnp.bfloat16)
+    w_hi = (b >> 4).astype(jnp.bfloat16)   # u8 source: high bits already 0
+    x_lo = x[:, :half]
+    x_hi = x[:, half:]
     y_lo = jax.lax.dot_general(
-        x[:, :half], w_lo, (((1,), (1,)), ((), ())),
+        x_lo, w_lo, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) - 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
     y_hi = jax.lax.dot_general(
-        x[:, half:], w_hi, (((1,), (1,)), ((), ())),
+        x_hi, w_hi, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) - 8.0 * jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
     o_ref[...] = y_lo * scale_ref[0, :][None, :] + y_hi * scale_ref[1, :][None, :]
 
 
