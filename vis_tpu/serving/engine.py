@@ -164,6 +164,11 @@ class Engine:
     # run — per-role counts survive the batched/scheduler path this way).
     last_decode_tokens: Optional[int] = None
     decode_tokens_total: int = 0
+    # Wall seconds spent inside the decode dispatch+sync block (chip time;
+    # bench.py divides token deltas by this for per-model tokens/s and the
+    # weight-stream roofline fraction).  Batched requests accrue on the
+    # scheduler's own counter — see decode_seconds_total.
+    decode_device_s_total: float = 0.0
 
     def __init__(
         self,
@@ -500,6 +505,36 @@ class Engine:
             self.scheduler.stop()
             self.scheduler = None
 
+    # -- decode-stream telemetry -----------------------------------------
+    @property
+    def decode_seconds_total(self) -> float:
+        """Chip seconds attributable to this engine's decode streams —
+        own unbatched decode blocks plus (when a scheduler is attached)
+        the shared batched decode dispatches."""
+        sched = getattr(self, "scheduler", None)
+        extra = getattr(sched, "decode_device_s_total", 0.0) if sched else 0.0
+        return self.decode_device_s_total + extra
+
+    @property
+    def weight_bytes_per_pass(self) -> int:
+        """Bytes of decoder+head parameters one decode forward streams from
+        HBM.  Embedding tables are excluded (decode gathers one row, it
+        does not stream the table); the vocab-head matmul reads its full
+        weight, so head leaves stay in.  With CONSTRAINED_LOOKAHEAD, a
+        DFA-forced window shares ONE pass across up to `window` tokens, so
+        tokens/s x this value can legitimately exceed the raw HBM read
+        rate — bench.py publishes that ratio as the roofline fraction."""
+        params = (
+            self.text_params if self.vlm_config is None
+            else self.vlm_params["text"]
+        )
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            if "embed" in jax.tree_util.keystr(path).lower():
+                continue
+            total += getattr(leaf, "nbytes", 0)
+        return total
+
     # -- generation -----------------------------------------------------
     def generate_stream(
         self,
@@ -602,6 +637,66 @@ class Engine:
             return self._json_tables(None)  # fall back to generic JSON
         return cached
 
+    def encode_vision(self, image) -> jnp.ndarray:
+        """Vision-tower forward for preprocessed patches -> merged embeds
+        trimmed to the image's real token count.  Shared by the prefill
+        path and the bench's high-res TTFT leg (bench.py drives a 4K frame
+        through exactly this path)."""
+        padded, bucket = image.padded()
+        if self._is_qwen25:
+            from vis_tpu.models.qwen2_5_vl.vision import window_layout
+            from vis_tpu.ops.preprocess import PATCH_BUCKETS
+
+            base = window_layout(
+                self.vlm_config.vision, image.grid_h, image.grid_w,
+                src_len=bucket,
+            )
+            # Bucket padding adds WHOLE masked windows, so the bucket
+            # must stay a multiple of window_patches (64 for the
+            # production 112px window, but config-dependent — a
+            # checkpoint with window_size=84 has 36).
+            wp = self.vlm_config.vision.window_patches
+            win_bucket = next(
+                (b for b in PATCH_BUCKETS
+                 if b >= base.win_len and b % wp == 0),
+                ((base.win_len + wp - 1) // wp) * wp,
+            )
+            layout = window_layout(
+                self.vlm_config.vision, image.grid_h, image.grid_w,
+                min_len=win_bucket, src_len=bucket,
+            )
+            with span("engine.vision_encode", logger):
+                vision_embeds = self._encode_image_jit(
+                    self.vlm_params["vision"],
+                    jnp.asarray(padded),
+                    jnp.asarray(layout.gather_patch),
+                    jnp.asarray(layout.valid),
+                    jnp.asarray(layout.cos),
+                    jnp.asarray(layout.sin),
+                    jnp.asarray(layout.inv_merged),
+                    jnp.asarray(layout.inv_patch),
+                    jnp.asarray(image.num_patches),
+                )
+                vision_embeds = vision_embeds[: image.num_tokens]
+        else:
+            cos, sin = vision_rotary_tables(
+                self.vlm_config.vision, image.grid_h, image.grid_w
+            )
+            cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
+            sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
+            cos_p[: cos.shape[0]] = cos
+            sin_p[: sin.shape[0]] = sin
+            with span("engine.vision_encode", logger):
+                vision_embeds = self._encode_image_jit(
+                    self.vlm_params,
+                    jnp.asarray(padded),
+                    jnp.asarray(cos_p),
+                    jnp.asarray(sin_p),
+                    jnp.asarray(image.num_patches),
+                )
+                vision_embeds = vision_embeds[: image.num_tokens]
+        return vision_embeds
+
     def _prefill_request(
         self, prompt, image_path, *, max_tokens, max_image_dim,
         right_size_cache: bool = False, prompt_only_cache: bool = False,
@@ -635,59 +730,7 @@ class Engine:
                     image = preprocess_image(
                         image_path, max_image_dim=max_image_dim
                     )
-            padded, bucket = image.padded()
-            if self._is_qwen25:
-                from vis_tpu.models.qwen2_5_vl.vision import window_layout
-                from vis_tpu.ops.preprocess import PATCH_BUCKETS
-
-                base = window_layout(
-                    self.vlm_config.vision, image.grid_h, image.grid_w,
-                    src_len=bucket,
-                )
-                # Bucket padding adds WHOLE masked windows, so the bucket
-                # must stay a multiple of window_patches (64 for the
-                # production 112px window, but config-dependent — a
-                # checkpoint with window_size=84 has 36).
-                wp = self.vlm_config.vision.window_patches
-                win_bucket = next(
-                    (b for b in PATCH_BUCKETS
-                     if b >= base.win_len and b % wp == 0),
-                    ((base.win_len + wp - 1) // wp) * wp,
-                )
-                layout = window_layout(
-                    self.vlm_config.vision, image.grid_h, image.grid_w,
-                    min_len=win_bucket, src_len=bucket,
-                )
-                with span("engine.vision_encode", logger):
-                    vision_embeds = self._encode_image_jit(
-                        self.vlm_params["vision"],
-                        jnp.asarray(padded),
-                        jnp.asarray(layout.gather_patch),
-                        jnp.asarray(layout.valid),
-                        jnp.asarray(layout.cos),
-                        jnp.asarray(layout.sin),
-                        jnp.asarray(layout.inv_merged),
-                        jnp.asarray(layout.inv_patch),
-                        jnp.asarray(image.num_patches),
-                    )
-                    vision_embeds = vision_embeds[: image.num_tokens]
-            else:
-                cos, sin = vision_rotary_tables(
-                    self.vlm_config.vision, image.grid_h, image.grid_w
-                )
-                cos_p = np.zeros((bucket, cos.shape[1]), np.float32)
-                sin_p = np.zeros((bucket, sin.shape[1]), np.float32)
-                cos_p[: cos.shape[0]] = cos
-                sin_p[: sin.shape[0]] = sin
-                with span("engine.vision_encode", logger):
-                    vision_embeds = self._encode_image_jit(
-                        self.vlm_params,
-                        jnp.asarray(padded),
-                        jnp.asarray(cos_p),
-                        jnp.asarray(sin_p),
-                        jnp.asarray(image.num_patches),
-                    )
-                    vision_embeds = vision_embeds[: image.num_tokens]
+            vision_embeds = self.encode_vision(image)
 
         ids, mrope_positions, next_pos = self._build_prompt_ids(prompt, image)
         seq_len = ids.shape[1]
@@ -925,6 +968,7 @@ class Engine:
                 emitted = text
                 yield chunk_text
 
+        _t_decode = time.perf_counter()
         with span("engine.decode", logger):
             if json_tables is not None:
                 # Grammar-constrained decode (greedy or in-scan sampled):
@@ -1072,6 +1116,7 @@ class Engine:
                     step0 += steps
                     chunk_idx += 1
 
+        self.decode_device_s_total += time.perf_counter() - _t_decode
         self.last_decode_tokens = len(generated)
         self.decode_tokens_total += len(generated)
         final = self.tokenizer.decode(generated)

@@ -10,6 +10,7 @@ use the KV cache.
 from __future__ import annotations
 
 import threading
+import time
 from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Iterator, List, Optional
@@ -48,6 +49,27 @@ class MllamaEngine:
     # Telemetry twins of Engine's counters (bench.py diffs the total).
     last_decode_tokens: Optional[int] = None
     decode_tokens_total: int = 0
+    decode_device_s_total: float = 0.0
+
+    @property
+    def decode_seconds_total(self) -> float:
+        """Chip seconds in decode blocks (Engine-interface twin)."""
+        return self.decode_device_s_total
+
+    @property
+    def weight_bytes_per_pass(self) -> int:
+        """Decoder+head parameter bytes one decode forward streams from HBM
+        (Engine-interface twin; see Engine.weight_bytes_per_pass).  The
+        text tree includes the cross-attention layers' q/o projections the
+        decode pass really reads; the vision tower and the embedding
+        gather are excluded."""
+        total = 0
+        flat = jax.tree_util.tree_flatten_with_path(self.params["text"])[0]
+        for path, leaf in flat:
+            if "embed" in jax.tree_util.keystr(path).lower():
+                continue
+            total += getattr(leaf, "nbytes", 0)
+        return total
 
     def __init__(
         self,
@@ -543,6 +565,7 @@ class MllamaEngine:
         if use_lookahead:
             forced_tok_dev = jnp.asarray(json_tables[-1].forced_token)
             forced_state_dev = jnp.asarray(json_tables[-1].forced_state)
+        _t_decode = time.perf_counter()
         with span("mllama.decode", logger):
             while remaining > 0 and not done:
                 steps = min(self.decode_chunk, remaining)
@@ -635,6 +658,7 @@ class MllamaEngine:
                     emitted = text
                 remaining -= steps
                 pos += steps
+        self.decode_device_s_total += time.perf_counter() - _t_decode
         self.last_decode_tokens = len(generated)
         self.decode_tokens_total += len(generated)
         final = self.tokenizer.decode(generated)

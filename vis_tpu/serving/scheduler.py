@@ -285,6 +285,10 @@ class ContinuousBatchingScheduler:
         self._temps_host = np.zeros((self.num_slots,), np.float32)
         self._sample_base_key = jax.random.PRNGKey(0)
         self._chunk_counter = 0
+        # Chip seconds inside batched decode dispatch+sync blocks; the
+        # owning Engine folds this into decode_seconds_total for the
+        # bench's per-model tokens/s.
+        self.decode_device_s_total = 0.0
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._shutdown = threading.Event()
@@ -852,6 +856,7 @@ class ContinuousBatchingScheduler:
         # blocking token sync is chip time; the per-slot post-processing
         # below (full-sequence detokenize, queue puts) is host work and
         # gets its own span so contention shows on the right side.
+        _t_decode = time.perf_counter()
         with span("scheduler.decode"):
             if self.paged:
                 if constraint is not None:
@@ -905,6 +910,7 @@ class ContinuousBatchingScheduler:
                 self._fsm_state = constraint.state
                 self._fsm_remaining = constraint.remaining
             token_matrix = np.asarray(tokens)  # [slots, steps] (the sync)
+        self.decode_device_s_total += time.perf_counter() - _t_decode
 
         with span("scheduler.host"):
             self._postprocess_chunk(steps, prev_lengths, token_matrix)
