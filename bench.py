@@ -454,6 +454,13 @@ def main() -> None:
         "verdict_p50_s": round(verdict_p50, 4),
         "runs_s": [round(t, 4) for t in totals],
         "run_splits": split_runs,
+        "run_splits_note": (
+            "device_span_s SUMS per-engine dispatch spans; the dual-VLM "
+            "node runs inspector and auditor concurrently, so this "
+            "attributable chip time can exceed total_s wall time — it is "
+            "not a wall-clock partition (host_span_s likewise sums "
+            "host-side spans only; neither pair adds up to total_s)"
+        ),
         "spread_frac": round(spread, 4),
         "variance_warning": (
             f"run spread {spread:.0%} of p50 exceeds 15% — host contention "

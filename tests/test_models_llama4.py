@@ -145,3 +145,41 @@ def test_cached_decode_matches_hf_greedy(l4ref, l4jx):
             llama4_logits(config, params, hidden)[:, -1])))
         got.append(tok)
     np.testing.assert_array_equal(np.asarray(got), target)
+
+
+def test_ep_sharded_forward_token_exact(l4ref, l4jx):
+    """Expert-parallel execution on a virtual mesh reproduces the
+    unsharded logits: expert weights sharded on the expert axis (EP),
+    attention TP on the same 'model' axis (VERDICT r4 #8)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from vis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from vis_tpu.parallel.sharding import shard_llama4_params
+
+    config, params = l4jx
+    devices = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    sharded = shard_llama4_params(params, mesh)
+    gate_up = sharded["layers"][1]["moe"]["gate_up"]
+    assert gate_up.sharding.spec[0] == MODEL_AXIS  # 4 experts over 4 devices
+
+    ids = l4ref["text_ids"]
+    b, s = ids.shape
+    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    mask = causal_mask(s, s)
+
+    def fwd(p, token_ids):
+        embeds = embed(token_ids, p["embed_tokens"])
+        hidden, _ = text_forward(config, p, embeds, positions, mask=mask)
+        return llama4_logits(config, p, hidden)
+
+    base = np.asarray(fwd(params, jnp.asarray(ids)))
+    with mesh:
+        ep = np.asarray(jax.jit(fwd)(sharded, jnp.asarray(ids)))
+    np.testing.assert_allclose(ep, base, atol=2e-4, rtol=1e-3)
+    np.testing.assert_array_equal(
+        np.argmax(ep, axis=-1), np.argmax(base, axis=-1)
+    )

@@ -1,8 +1,12 @@
 """Probe: Mllama-11B int4 per-step decode cost, plain vs constrained-window.
 
-The r04 bench shows mllama.decode ~15 ms/step standalone vs a ~8 ms
+The r04 bench measured mllama.decode ~15 ms/step standalone vs a ~8 ms
 bandwidth expectation (5.2 GB int4 weights + 0.67 GB self-KV + 0.21 GB
 cross-KV per step at the ~1 TB/s packed-read rate the 7B path achieves).
+(That 15 ms predates the r04 frame-cache/device-tiling fixes; this probe,
+run AFTER them, measures ~14.0 ms plain / ~10.3 ms windowed — the numbers
+fuse_mllama_projections's docstring cites.  The two baselines differ
+because they bracket those fixes, not because anything regressed.)
 This probe isolates where the gap lives by timing, on the target-scale
 auditor engine (random weights, latency is weight-value independent):
 

@@ -50,10 +50,34 @@ def _put(x, mesh: Mesh, spec: P):
             q=_put(x.q, mesh, spec),
             scale=_put(x.scale, mesh, P(*tuple(spec)[:-1], None)),
         )
+    if isinstance(x, jax.ShapeDtypeStruct):
+        # Abstract leaf (AOT lowering at target scale without materializing
+        # the weights — tools/tp8_projection.py): attach the sharding to the
+        # ShapeDtypeStruct, mirroring device_put's replicate-on-indivisible
+        # fallback explicitly since no placement happens to raise for us.
+        if not _spec_fits(x.shape, mesh, spec):
+            spec = P()
+        return jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, spec)
+        )
     try:
         return jax.device_put(x, NamedSharding(mesh, spec))
     except ValueError:
         return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def _spec_fits(shape, mesh: Mesh, spec: P) -> bool:
+    """True when every sharded dim divides its mesh-axes product."""
+    for dim, s in zip(shape, tuple(spec)):
+        if s is None:
+            continue
+        axes = s if isinstance(s, tuple) else (s,)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        if n and dim % n:
+            return False
+    return True
 
 
 def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
@@ -208,6 +232,66 @@ def shard_mllama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def shard_llama4_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """TP + EP rules for the Llama-4 MoE auditor.
+
+    Attention and dense-MLP layers shard Megatron-style over "model" (same
+    as shard_decoder_params).  MoE layers use EXPERT parallelism on the same
+    axis: the stacked expert tensors (gate_up [E, H, 2I], down [E, I, H])
+    are sharded on the leading expert dim, so each device runs its E/D local
+    experts over the (replicated) token batch and moe_ffn's sum over the
+    expert axis becomes the psum that combines them — dense-dispatch EP with
+    zero resharding of activations.  Routers stay replicated (tiny, and
+    every device needs all scores to scale its local experts' inputs); the
+    shared expert is TP like a dense MLP, so its down_proj all-reduce fuses
+    with the EP psum.  Vision tower + projector stay replicated (prefill
+    cost, not in the decode loop)."""
+    out: Dict[str, Any] = {
+        "embed_tokens": _put(params["embed_tokens"], mesh, P(MODEL_AXIS, None)),
+        "final_norm": _put(params["final_norm"], mesh, P()),
+    }
+    if "lm_head" in params:
+        out["lm_head"] = _put(params["lm_head"], mesh, P(MODEL_AXIS, None))
+    out["layers"] = []
+    for layer in params["layers"]:
+        sharded = {
+            "input_norm": _put(layer["input_norm"], mesh, P()),
+            "post_attn_norm": _put(layer["post_attn_norm"], mesh, P()),
+            "q_proj": _put(layer["q_proj"], mesh, P(MODEL_AXIS, None)),
+            "k_proj": _put(layer["k_proj"], mesh, P(MODEL_AXIS, None)),
+            "v_proj": _put(layer["v_proj"], mesh, P(MODEL_AXIS, None)),
+            "o_proj": _put(layer["o_proj"], mesh, P(None, MODEL_AXIS)),
+        }
+        if "moe" in layer:
+            moe = layer["moe"]
+            sharded["moe"] = {
+                "router": _put(moe["router"], mesh, P()),
+                "gate_up": _put(moe["gate_up"], mesh, P(MODEL_AXIS, None, None)),
+                "down": _put(moe["down"], mesh, P(MODEL_AXIS, None, None)),
+                "shared": {
+                    "gate_proj": _put(moe["shared"]["gate_proj"], mesh,
+                                      P(MODEL_AXIS, None)),
+                    "up_proj": _put(moe["shared"]["up_proj"], mesh,
+                                    P(MODEL_AXIS, None)),
+                    "down_proj": _put(moe["shared"]["down_proj"], mesh,
+                                      P(None, MODEL_AXIS)),
+                },
+            }
+        else:
+            sharded["mlp"] = {
+                "gate_proj": _put(layer["mlp"]["gate_proj"], mesh,
+                                  P(MODEL_AXIS, None)),
+                "up_proj": _put(layer["mlp"]["up_proj"], mesh,
+                                P(MODEL_AXIS, None)),
+                "down_proj": _put(layer["mlp"]["down_proj"], mesh,
+                                  P(None, MODEL_AXIS)),
+            }
+        out["layers"].append(sharded)
+    if "vision" in params:
+        out["vision"] = replicate_tree(params["vision"], mesh)
+    return out
+
+
 def kv_cache_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
     """[layers, batch, len, kv_heads, head_dim] — heads over "model" when
     divisible, batch over "data"."""
@@ -221,6 +305,7 @@ __all__ = [
     "shard_stacked_decoder_params",
     "shard_vision_params",
     "shard_qwen2vl_params",
+    "shard_llama4_params",
     "shard_mllama_params",
     "replicate_tree",
     "kv_cache_sharding",

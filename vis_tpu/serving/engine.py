@@ -1331,6 +1331,14 @@ def _is_mllama(model_name: str) -> bool:
     return "llama" in lname and "vision" in lname
 
 
+def _is_llama4(model_name: str) -> bool:
+    """The reference auditor's primary family (vlm_auditor.py:34:
+    Llama-4-Maverick-17B-128E, falling back to Llama-3.2 Vision)."""
+    lname = model_name.lower()
+    return ("llama-4" in lname or "llama4" in lname
+            or "maverick" in lname or "scout" in lname)
+
+
 # Projection weights inside vision towers (Qwen ViT blocks/merger, Mllama
 # ViT blocks/projector) quantized by name; embeddings, norms and gates are
 # ADDED to activations (not matmul'd) and must stay full precision.
@@ -1422,6 +1430,32 @@ def _build_target_dev_engine(role: str, model_name: str, is_vlm: bool, mesh):
     mode = app_config.quantization
     quantize = mode in ("int8", "int4")
     key = jax.random.PRNGKey(hash(role) % (2**31))
+
+    if is_vlm and _is_llama4(model_name):
+        # Single-chip "target scale" does not exist for Maverick (128
+        # experts ~ 400B total params); the honest dev stand-in is the
+        # dev-profile MoE geometry — EP over a pod is the deployment path
+        # (parallel/sharding.shard_llama4_params + __graft_entry__ EP leg).
+        from vis_tpu.models.llama4.config import Llama4Config
+        from vis_tpu.models.llama4.model import init_params as init_llama4
+        from vis_tpu.serving.engine_llama4 import Llama4Engine
+
+        cfg4 = Llama4Config.dev_profile()
+        params = _materialize_like(
+            jax.eval_shape(lambda k: init_llama4(cfg4, k), key),
+            hash(role) % (2**31),
+        )
+        tokenizer = ByteTokenizer(vocab_size=cfg4.text.vocab_size)
+        logger.warning(
+            f"{role}: Llama-4 at true Maverick scale needs EP over a pod; "
+            "building the dev-profile MoE geometry "
+            f"({cfg4.text.num_experts} experts, {cfg4.text.num_layers} "
+            "layers) for single-chip latency work"
+        )
+        return Llama4Engine(
+            f"target-{role}-llama4-dev-moe", cfg4, params, tokenizer,
+            mesh=mesh, role=role,
+        )
 
     if is_vlm and _is_mllama(model_name):
         from vis_tpu.models.llama.mllama import (
@@ -1718,6 +1752,22 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
 
             hf_cfg = json.loads(cfg_file.read_text())
         model_type = (hf_cfg or {}).get("model_type", "")
+        if is_vlm and (model_type == "llama4" or
+                       (not model_type and _is_llama4(model_name))):
+            from vis_tpu.models.llama4.config import Llama4Config
+            from vis_tpu.models.llama4.model import (
+                convert_hf_state_dict as convert_llama4,
+            )
+            from vis_tpu.serving.engine_llama4 import Llama4Engine
+
+            cfg = (
+                Llama4Config.from_hf_config(hf_cfg) if hf_cfg is not None
+                else Llama4Config.maverick_17b_128e()
+            )
+            params = _converted(lambda state: convert_llama4(state, cfg))
+            logger.info(f"{role}: loaded Llama-4 {model_name} from {ckpt_dir}")
+            return Llama4Engine(model_name, cfg, params, tokenizer,
+                                mesh=mesh, role=role)
         if is_vlm and (model_type == "mllama" or
                        (not model_type and _is_mllama(model_name))):
             from vis_tpu.models.llama.mllama import (
@@ -1789,6 +1839,34 @@ def build_engine(role: str, model_name: str, mesh: Any = _MESH_DEFAULT):
     if app_config.dev_profile == "target":
         return _build_target_dev_engine(role, model_name, is_vlm, mesh)
     key = jax.random.PRNGKey(hash(role) % (2**31))
+    if is_vlm and _is_llama4(model_name):
+        from vis_tpu.models.llama4.config import (
+            Llama4Config,
+            Llama4TextConfig,
+            Llama4VisionConfig,
+        )
+        from vis_tpu.models.llama4.model import init_params as init_llama4
+        from vis_tpu.serving.engine_llama4 import Llama4Engine
+
+        cfg4 = Llama4Config(
+            text=Llama4TextConfig(
+                vocab_size=1024, hidden_size=512, num_layers=4,
+                num_heads=8, num_kv_heads=2, head_dim=64,
+                intermediate_size=1024, intermediate_size_mlp=2048,
+                num_experts=4, top_k=1, interleave_moe_layer_step=2,
+                attention_chunk_size=512, dtype=jnp.bfloat16,
+            ),
+            vision=Llama4VisionConfig(
+                image_size=336, patch_size=14, hidden_size=128,
+                num_layers=2, num_heads=4, intermediate_size=512,
+                projector_input_dim=512, projector_output_dim=512,
+                vision_output_dim=512, dtype=jnp.bfloat16,
+            ),
+        )
+        params = init_llama4(cfg4, key)
+        tokenizer = ByteTokenizer(vocab_size=cfg4.text.vocab_size)
+        return Llama4Engine(f"dev-{role}-llama4", cfg4, params, tokenizer,
+                            mesh=mesh, role=role)
     if is_vlm and _is_mllama(model_name):
         from vis_tpu.models.llama.mllama import MllamaConfig, MllamaVisionConfig
         from vis_tpu.serving.engine_mllama import MllamaEngine
