@@ -520,6 +520,31 @@ def main() -> None:
             leg_preprocess_e2e
 
         leg("batch_continuous", lambda: leg_batch_throughput(p50))
+
+        # The two remaining legs need at most the inspector engine, but the
+        # three target-scale engines leave the 16 GB chip too full for the
+        # 4K tower's activations (r5 run: both legs died instantly with
+        # RESOURCE_EXHAUSTED).  Release the auditor + explainer (params,
+        # schedulers, slot caches) first — the headline and batch legs that
+        # needed them are already recorded.
+        import gc
+
+        from vis_tpu import agents as _agents_mod
+
+        for key in list(_engines):
+            if key.startswith("inspector:"):
+                continue
+            eng = _engines.pop(key)
+            sched = getattr(eng, "scheduler", None)
+            if sched is not None:
+                try:
+                    sched.stop()
+                except Exception:
+                    pass
+        _agents_mod._cache.clear()  # agents hold backend -> engine refs
+        gc.collect()
+        hbm("after_engine_release")
+
         leg("preprocess_e2e", leg_preprocess_e2e)
         leg("highres_4k", leg_highres_4k)
     print(f"# breakdown: {json.dumps(breakdown)}", file=sys.stderr)

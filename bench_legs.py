@@ -65,11 +65,19 @@ def leg_batch_throughput(p50_single: float, n_images: int = 8) -> dict:
     wall = time.perf_counter() - t0
     per_image = session.get("image_results", {})
     completed = sum(1 for r in per_image.values() if r.get("completed"))
+    # A pipeline "completes" even when a VLM call failed (Gate 0 catches
+    # it) — but such an image did NOT pay its decode work, so counting it
+    # would inflate images/s.  Publish the failure count so the rate is
+    # interpretable; a clean leg has analysis_failures == 0.
+    failures = sum(
+        1 for r in per_image.values() if r.get("failure_history")
+    )
     rate = n_images / wall
     seq_equiv = 1.0 / p50_single if p50_single else None
     return {
         "images": n_images,
         "completed": completed,
+        "analysis_failures": failures,
         "concurrency": config.max_concurrent_calls,
         "wall_s": round(wall, 2),
         "images_per_s_chip": round(rate, 4),

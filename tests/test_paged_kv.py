@@ -96,6 +96,55 @@ class TestPool:
         dense_bytes = 2 * 2 * 4 * 512 * 2 * 16 * 4  # k+v,L,slots,len,kvh,hd,f32
         assert pool.memory_bytes() < dense_bytes / 1.5
 
+    def test_reserve_device_failure_rolls_back(self):
+        """A device failure mid-reserve (OOM on a full chip) must surface
+        as a clean False with host bookkeeping intact — the r5 batch leg
+        killed the scheduler thread when this raised instead."""
+        pool = self._pool()
+        total = pool.free_pages
+        assert pool.try_reserve(0, 300)  # 3 pages, establishes prev mapping
+
+        def boom(*a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected")
+
+        real = pool._set_row_jit
+        pool._set_row_jit = boom
+        try:
+            assert not pool.try_reserve(0, 150)  # re-reserve fails on device
+            assert not pool.try_reserve(1, 128)  # fresh reserve fails too
+        finally:
+            pool._set_row_jit = real
+        # Slot 0 keeps its ORIGINAL 3-page mapping; slot 1 owns nothing.
+        assert len(pool._owned[0]) == 3
+        assert 1 not in pool._owned
+        assert pool.free_pages == total - 3
+        pool.release(0)
+        assert pool.free_pages == total
+
+    def test_release_device_failure_still_frees_pages(self):
+        """release() must return pages to the host free list even when the
+        page-table clear fails on-device (stale rows are rewritten by the
+        next try_reserve before any decode reads them)."""
+        pool = self._pool()
+        total = pool.free_pages
+        assert pool.try_reserve(0, 300)
+
+        def boom(*a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected")
+
+        real = pool._set_row_jit
+        pool._set_row_jit = boom
+        try:
+            pool.release(0)  # must not raise
+        finally:
+            pool._set_row_jit = real
+        assert pool.free_pages == total
+        assert 0 not in pool._owned
+        # Next reserve rewrites the full row, clearing the stale mapping.
+        assert pool.try_reserve(0, 128)
+        table = np.asarray(pool.page_tables)[0]
+        assert (table[1:] == 0).all()
+
 
 class TestPagedScheduler:
     def test_single_request_matches_engine(self, setup):

@@ -260,3 +260,30 @@ class TestDecodeCrashRecovery:
         # The loop survived: a fresh request completes and stays token-exact.
         out = scheduler.generate("after the crash", max_tokens=8, timeout=120)
         assert out == engine.generate("after the crash", max_tokens=8)
+
+    def test_injected_admission_failure_survives_thread(self, setup):
+        """An exception that escapes _admit_one entirely (the r5 batch leg
+        hit one: OOM inside the admit handler's own device cleanup) must
+        not kill the scheduler thread."""
+        engine, scheduler = setup
+        original = scheduler._admit_one
+        fired = threading.Event()
+
+        def exploding_once():
+            if not fired.is_set():
+                fired.set()
+                raise RuntimeError("injected admission failure")
+            return original()
+
+        scheduler._admit_one = exploding_once
+        try:
+            # The first admission attempt explodes past _admit_one's own
+            # handler; the request stays QUEUED (never popped by the real
+            # admit) and is served once the patched function delegates.
+            out = scheduler.generate("survives admit crash", max_tokens=8,
+                                     timeout=120)
+            assert fired.is_set()
+        finally:
+            scheduler._admit_one = original
+        assert out == engine.generate("survives admit crash", max_tokens=8)
+        assert scheduler._thread.is_alive()

@@ -741,6 +741,23 @@ class Engine:
         # backward over valid KV (dynamic_update_slice semantics) rather
         # than error.  _request_cache_len carries the same +32.
         bucket = min(bucket, self.max_cache_tokens - max_tokens - 32)
+        if prompt_only_cache:
+            # Scheduler-bound request: the paged pool's per-slot budget
+            # (prompt + max_tokens + one decode chunk of slack, bounded by
+            # the page-table window) can be TIGHTER than max_cache_tokens.
+            # Truncate against it here, or the scheduler rejects the
+            # request outright after the prefill was already paid (r5
+            # batch leg: a 2128-token explainer bundle + 448 budget hit
+            # the 2560-token slot limit and the explanation was lost).
+            sched = getattr(self, "scheduler", None)
+            pool = getattr(sched, "pool", None) if sched is not None else None
+            if pool is not None:
+                slot_tokens = (
+                    min(pool.n_pages - 1, pool.max_pages) * pool.page_size
+                )
+                paged_room = slot_tokens - max_tokens - sched.decode_chunk
+                if 2 <= paged_room < bucket:
+                    bucket = paged_room
         if bucket < 2:
             # A budget that leaves no room for even a truncated prompt
             # must fail loudly: negative buckets would otherwise slice

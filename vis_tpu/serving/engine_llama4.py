@@ -96,8 +96,7 @@ class Llama4Engine(LoopDecodeEngine):
     def _embed_tokens(self, params, token_ids):
         return embed(token_ids, params["embed_tokens"])
 
-    def _prefill_embeds(self, params, padded_ids, aux):
-        embeds = self._embed_tokens(params, padded_ids)
+    def _merge_prefill_embeds(self, params, embeds, padded_ids, aux):
         if aux is None:
             return embeds
         b, s, h = embeds.shape

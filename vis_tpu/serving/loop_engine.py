@@ -14,7 +14,7 @@ fourth would have made it worse).  Subclasses provide:
   _model_forward(params, embeds, positions, aux, cache, mask)
   _model_logits(params, hidden)
   _embed_tokens(params, token_ids)
-  _prefill_embeds(params, padded_ids, aux)   [default: _embed_tokens]
+  _merge_prefill_embeds(params, embeds, padded_ids, aux)  [default: identity]
   _prepare_aux(image_path)                    vision work; aux is any pytree
   _prompt_ids(prompt, aux)                    token ids incl. placeholders
   _cache_geometry()                           (n_layers, kv_heads, head_dim, dtype)
@@ -98,19 +98,39 @@ class LoopDecodeEngine:
         self.decode_chunk = app_config.decode_chunk
         self._lock = threading.Lock()
 
-        self._prefill_jit = jax.jit(self._prefill_impl)
+        # The KV cache is DONATED to every jitted call (it is dead in the
+        # caller the moment the call returns): without aliasing, XLA holds
+        # input AND output cache buffers live across the dispatch — ~670 MB
+        # of transient HBM at 11B dims — which, concurrent with the
+        # inspector's decode on the same chip, tipped the 16 GB budget
+        # (run-1 RESOURCE_EXHAUSTED after a green warmup).  Engine's
+        # decode jits donate for the same reason (engine.py
+        # donate_argnums=(3,)).
+        # The prompt-embedding gather runs as its OWN tiny program (like
+        # Engine._embed_jit), NOT inside the prefill jit: folding the
+        # gather into the big prefill program regressed run-1 of the bench
+        # to a deterministic RESOURCE_EXHAUSTED — the compiled prefill's
+        # transient peak grew by roughly the dequantized vocab table (~1 GB
+        # at 128k x 4k), which fits when warmup's compile serialization
+        # staggers the two VLMs but not when their warm paths overlap.
+        self._embed_jit = jax.jit(self._embed_tokens)
+        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(5,))
         self._decode_chunk_jit = jax.jit(
-            self._decode_chunk_impl, static_argnames=("steps",)
+            self._decode_chunk_impl, static_argnames=("steps",),
+            donate_argnums=(3,),
         )
         self._decode_chunk_json_jit = jax.jit(
-            self._decode_chunk_json_impl, static_argnames=("steps",)
+            self._decode_chunk_json_impl, static_argnames=("steps",),
+            donate_argnums=(3,),
         )
         self._decode_window_json_jit = jax.jit(
             self._decode_window_json_impl,
             static_argnames=("n_windows", "window"),
+            donate_argnums=(3,),
         )
         self._decode_chunk_sampled_jit = jax.jit(
-            self._decode_chunk_sampled_impl, static_argnames=("steps",)
+            self._decode_chunk_sampled_impl, static_argnames=("steps",),
+            donate_argnums=(3,),
         )
         self._json_constraint: Dict[Optional[str], Any] = {}
 
@@ -124,10 +144,11 @@ class LoopDecodeEngine:
     def _embed_tokens(self, params, token_ids):
         raise NotImplementedError
 
-    def _prefill_embeds(self, params, padded_ids, aux):
-        """Prompt embeddings inside the prefill jit; override to merge
-        vision features at placeholder positions."""
-        return self._embed_tokens(params, padded_ids)
+    def _merge_prefill_embeds(self, params, embeds, padded_ids, aux):
+        """Adjust prompt embeddings inside the prefill jit (embeds arrive
+        precomputed from the eager gather); override to merge vision
+        features at placeholder positions."""
+        return embeds
 
     def _prepare_aux(self, image_path: Optional[Path]):
         """Per-request vision work; the returned pytree threads through
@@ -149,10 +170,10 @@ class LoopDecodeEngine:
         raise NotImplementedError
 
     # -- jitted impls ----------------------------------------------------
-    def _prefill_impl(self, params, padded_ids, positions, aux, cache,
-                      prompt_lengths):
+    def _prefill_impl(self, params, embeds, padded_ids, positions, aux,
+                      cache, prompt_lengths):
         s = padded_ids.shape[1]
-        embeds = self._prefill_embeds(params, padded_ids, aux)
+        embeds = self._merge_prefill_embeds(params, embeds, padded_ids, aux)
         mask = causal_mask(s, cache.k.shape[2]) + length_mask(
             cache.k.shape[2], prompt_lengths
         )
@@ -493,9 +514,11 @@ class LoopDecodeEngine:
         cache = KVCache.create(
             n_layers, 1, cache_len, kv_heads, head_dim, dtype=cache_dtype,
         )
+        padded_dev = jnp.asarray(padded)
+        embeds = self._embed_jit(self.params, padded_dev)
         with span(f"{self.span_prefix}.prefill", logger):
             logits, cache = self._prefill_jit(
-                self.params, jnp.asarray(padded), positions, aux, cache,
+                self.params, embeds, padded_dev, positions, aux, cache,
                 jnp.asarray([seq_len]),
             )
 

@@ -140,9 +140,26 @@ class PagedKVPool:
             # Table update inside the lock: page_tables is a read-modify-
             # write of shared state; an interleaved reserve/release would
             # lose one row update.
-            self.page_tables = self._set_row_jit(
-                self.page_tables, jnp.int32(slot), jnp.asarray(row)
-            )
+            try:
+                self.page_tables = self._set_row_jit(
+                    self.page_tables, jnp.int32(slot), jnp.asarray(row)
+                )
+            except Exception:
+                # Device failure (e.g. RESOURCE_EXHAUSTED on a full chip)
+                # mid-reserve: roll the host bookkeeping back and report a
+                # clean "no room" — an exception here killed the scheduler
+                # thread once (r5 batch leg) because the caller's cleanup
+                # path performs another device op that fails the same way.
+                self._owned.pop(slot, None)
+                self._free.extend(pages)
+                if prev:
+                    self._owned[slot] = prev
+                    del self._free[-len(prev):]
+                logger.exception(
+                    f"page-table update failed reserving slot {slot}; "
+                    "reservation rolled back"
+                )
+                return False
         return True
 
     def release(self, slot: int) -> None:
@@ -151,10 +168,21 @@ class PagedKVPool:
             pages = self._owned.pop(slot, [])
             self._free.extend(pages)
             if pages:
-                self.page_tables = self._set_row_jit(
-                    self.page_tables, jnp.int32(slot),
-                    jnp.zeros((self.max_pages,), jnp.int32),
-                )
+                try:
+                    self.page_tables = self._set_row_jit(
+                        self.page_tables, jnp.int32(slot),
+                        jnp.zeros((self.max_pages,), jnp.int32),
+                    )
+                except Exception:
+                    # Pages are back in the host free list either way; a
+                    # stale device row is harmless (the slot is inactive,
+                    # and try_reserve rewrites the FULL row before any new
+                    # decode touches it).  Raising here instead cascaded an
+                    # OOM out of the scheduler's admission error handler.
+                    logger.exception(
+                        f"page-table clear failed releasing slot {slot}; "
+                        "host free-list updated, device row left stale"
+                    )
 
 
 __all__ = ["PagedKVPool"]

@@ -401,11 +401,23 @@ class ContinuousBatchingScheduler:
             self._thread.join(timeout=10)
             self._thread = None
 
+    def _check_alive(self) -> None:
+        """Fail fast when the scheduler loop is gone: a request queued to a
+        dead thread blocks its caller for the full generate() timeout (10+
+        minutes) — the r5 batch leg hung its whole bench that way."""
+        t = getattr(self, "_thread", None)
+        if self._shutdown.is_set() or (t is not None and not t.is_alive()):
+            raise RuntimeError(
+                "scheduler thread is not running; restart the scheduler "
+                "(attach_scheduler) before submitting"
+            )
+
     def submit(self, prompt: str, max_tokens: int = 512,
                json_mode: bool = False,
                temperature: float = 0.0,
                schema: Optional[str] = None,
                min_tokens: Optional[int] = None) -> Request:
+        self._check_alive()
         self._check_modes(json_mode, temperature, schema)
         max_tokens = self._feasible_budget(json_mode, max_tokens, schema)
         request = Request(prompt=prompt, max_tokens=max_tokens,
@@ -476,6 +488,7 @@ class ContinuousBatchingScheduler:
         Pass kv_len (the cursor value) when known host-side — it saves a
         blocking device read at admission (kv_len != next_position for
         M-RoPE models, where rope positions run ahead of cache slots)."""
+        self._check_alive()
         self._check_modes(json_mode, temperature, schema)
         max_tokens = self._feasible_budget(json_mode, max_tokens, schema)
         request = Request(prompt="", max_tokens=max_tokens,
@@ -675,14 +688,17 @@ class ContinuousBatchingScheduler:
         except Exception as exc:
             logger.error(f"Prefill failed for {request.request_id}: {exc}",
                          exc_info=True)
+            # Unblock the caller FIRST: pool.release is device-touching
+            # cleanup and can fail on the same full chip that failed the
+            # admission — the caller must not hang on out.get() for that.
+            request.error = str(exc)
+            request.out.put(None)
             if self.paged:
                 # The reservation made above must not outlive the failed
                 # admission: leaked pages shrink the pool forever and
                 # disable the idle release_buffers() path (its guard
                 # requires an empty owned map).
                 self.pool.release(free)
-            request.error = str(exc)
-            request.out.put(None)
             return False
 
     def _activate_slot(self, free: int, request: Request, tmp_cache: KVCache,
@@ -992,10 +1008,18 @@ class ContinuousBatchingScheduler:
                 # simultaneous arrivals then share the first chunk instead
                 # of ramping in one admission per chunk (prefill is ~an
                 # order of magnitude cheaper than a decode chunk).
-                while self._admit_one():
-                    advanced = True
-                    if self._prefilling is not None:
-                        break  # a chunked prefill started; stop admitting
+                # Same never-die contract as _decode_once below: an
+                # admission failure that escapes _admit_one's own handler
+                # (an OOM inside the handler's cleanup did, once) must not
+                # kill the thread — every queued and in-flight request
+                # would block forever on out.get().
+                try:
+                    while self._admit_one():
+                        advanced = True
+                        if self._prefilling is not None:
+                            break  # a chunked prefill started; stop admitting
+                except Exception as exc:
+                    logger.exception(f"request admission failed: {exc}")
             if self.active_count == 0:
                 if not advanced:
                     if (
