@@ -422,6 +422,16 @@ def main() -> None:
     # *effective* number and may legitimately exceed 1.0 on heavily
     # forced streams (that IS the fast-forward win).
     MEASURED_WEIGHT_STREAM_GBPS = 1000.0
+    # The PRACTICAL single-model ceiling, measured r5 on this chip
+    # (tools/probe_decode_cost.py): the full production decode step —
+    # int4 unpack + matmuls + attention + KV write + vocab head, one
+    # fused loop — streams 3.55 GB of weights in 6.705 ms = 529 GB/s,
+    # while a pure XLA reduce over the same bytes reaches only 417 GB/s.
+    # 1 TB/s is a single-matvec best case that no full-layer program
+    # reproduces; fractions against BOTH are published so the headline
+    # number is interpretable (the dual-VLM phase shares this practical
+    # rate between two models).
+    PRACTICAL_STREAM_GBPS = 529.0
     rooflines = {}
     for rkey, eng in list(_engines.items()):
         toks = sum(r.get(rkey, 0) for r in token_runs)
@@ -441,6 +451,9 @@ def main() -> None:
             "effective_weight_stream_GBps": round(eff_gbps, 1),
             "roofline_fraction": (
                 round(eff_gbps / MEASURED_WEIGHT_STREAM_GBPS, 3)
+            ),
+            "practical_roofline_fraction": (
+                round(eff_gbps / PRACTICAL_STREAM_GBPS, 3)
             ),
         }
 
@@ -471,6 +484,7 @@ def main() -> None:
         "decode_tokens_last_run": token_runs[-1],
         "decode_rooflines": rooflines,
         "roofline_reference_GBps": MEASURED_WEIGHT_STREAM_GBPS,
+        "practical_stream_GBps_measured": PRACTICAL_STREAM_GBPS,
         "device_preprocess_img_per_s_compute": round(pp_rate, 1),
         "tunnel_rtt_ms_p50": tunnel_rtt_ms,
         "tunnel_rtt_initial_ms_p50": tunnel_rtt_initial_ms,
