@@ -428,7 +428,10 @@ def fuse_mllama_projections(config: MllamaConfig, params: Params) -> Params:
     decoder.fuse_stacked_projections applies to the Llama/Qwen stacks.
     MEASURED on the tunneled v5e at 11B int4 (tools/probe_mllama_decode):
     latency-neutral — 13.8 vs 14.0 ms/tok plain, 10.7 vs 10.3 ms/tok on
-    the constrained-window path — the decode step is int4-unpack/
+    the constrained-window path.  (The probe's module docstring quotes the
+    earlier r04 bench at ~15 ms/step: that number predates the frame-cache
+    and device-tiling fixes; 13.8-14.0 is the post-fix baseline the probe
+    itself measured.)  The decode step is int4-unpack/
     bandwidth-bound, not kernel-count-bound, so the win is layout
     consistency (one fused-projection convention across all single-device
     stacks), not speed.  Cross layers keep q_proj separate (their K/V are
